@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship parse→enrich→route→aggregate pipeline on
+                 sf0.001 transcripts (synthesized deterministically
+                 from events.parquet, see axosyslog_spark/sources/).
+queries()      — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()   — DuckDB SQL computing the identical result.
 """
 
 from __future__ import annotations
@@ -12,27 +12,238 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from axosyslog_spark import oracle
+from axosyslog_spark.operators import grouping
+from axosyslog_spark.operators.enrich import enrich_tools
+from axosyslog_spark.operators.parse import parse_stage
+from axosyslog_spark.plans.pipeline import routed_output, run_pipeline
+from axosyslog_spark.sources.transcripts import (
+    TS_FMT_DUCK,
+    TS_FMT_SPARK,
+    synthesize_transcripts,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _utc(spark: SparkSession) -> SparkSession:
+    """Pin session TZ so event-time strings match the naive-UTC oracle."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    _utc(spark)
+    res = run_pipeline(spark, synthesize_transcripts(spark, SF0001))
+    return res.histogram
+
+
+# ---------------------------------------------------------------------------
+# queries: (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+
+def _transcripts(spark: SparkSession, sf: str) -> DataFrame:
+    return synthesize_transcripts(_utc(spark), sf)
+
+
+def q_pipe_transcripts(spark: SparkSession, sf: str) -> DataFrame:
+    t = _transcripts(spark, sf)
+    return t.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+    )
+
+
+def q_pipe_parse(spark: SparkSession, sf: str) -> DataFrame:
+    p = parse_stage(_transcripts(spark, sf))
+    return p.select(
+        "conv_id", "turn_idx", "kind", "parse_ok", "pri", "severity",
+        "facility", "host", "appname", "procid", "status", "latency_ms",
+        "path", "retry", "json_k", "json_event",
+    )
+
+
+def q_pipe_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    e = enrich_tools(parse_stage(_transcripts(spark, sf)), spark)
+    return e.select(
+        "conv_id", "turn_idx", "tool", "tool_category", "risk_level", "owner"
+    )
+
+
+def q_pipe_routed(spark: SparkSession, sf: str) -> DataFrame:
+    res = run_pipeline(spark, _transcripts(spark, sf))
+    return routed_output(res.routed)
+
+
+def q_pipe_sink_counts(spark: SparkSession, sf: str) -> DataFrame:
+    res = run_pipeline(spark, _transcripts(spark, sf))
+    return res.counts
+
+
+def q_pipe_sink_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    res = run_pipeline(spark, _transcripts(spark, sf))
+    return res.histogram.select(
+        "sink", "severity",
+        F.coalesce("tool_category", F.lit("")).alias("tool_category"), "n",
+    )
+
+
+def q_pipe_grouping_by(spark: SparkSession, sf: str) -> DataFrame:
+    g = grouping.grouped_ordered_agg(_transcripts(spark, sf))
+    return g.select(
+        "conv_id", "n_turns",
+        F.date_format("first_ts", TS_FMT_SPARK).alias("first_ts"),
+        F.date_format("last_ts", TS_FMT_SPARK).alias("last_ts"),
+        "agg_values",
+    )
+
+
+def q_pipe_grouping_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Same contract as q_pipe_grouping_by but via the skew-aware
+    two-phase aggregation — the oracle SQL is identical, which IS the
+    equivalence proof for the salting path."""
+    g = grouping.salted_ordered_agg(_transcripts(spark, sf), fragment_rows=8)
+    return g.select(
+        "conv_id", F.col("n_turns").cast("bigint").alias("n_turns"),
+        F.date_format("first_ts", TS_FMT_SPARK).alias("first_ts"),
+        F.date_format("last_ts", TS_FMT_SPARK).alias("last_ts"),
+        "agg_values",
+    )
+
+
+def q_pipe_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    s = grouping.sessionize(_transcripts(spark, sf), gap_minutes=30.0)
+    return s.groupBy("conv_id").agg(
+        (F.max("session_id") + 1).cast("bigint").alias("n_sessions")
+    )
+
+
+def q_pipe_suppress(spark: SparkSession, sf: str) -> DataFrame:
+    s = grouping.suppress(_transcripts(spark, sf))
+    return s.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def q_pipe_rate_limit(spark: SparkSession, sf: str) -> DataFrame:
+    r = grouping.rate_limit(_transcripts(spark, sf), ["conv_id"], max_rows=5)
+    return r.select("conv_id", "turn_idx", "role")
+
+
+def q_pipe_group_lines(spark: SparkSession, sf: str) -> DataFrame:
+    g = grouping.group_lines(_transcripts(spark, sf), sep=" | ")
+    return g.select("conv_id", "assembled", "n_lines")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pipe_transcripts": q_pipe_transcripts,
+        "pipe_parse": q_pipe_parse,
+        "pipe_enrich": q_pipe_enrich,
+        "pipe_routed": q_pipe_routed,
+        "pipe_sink_counts": q_pipe_sink_counts,
+        "pipe_sink_histogram": q_pipe_sink_histogram,
+        "pipe_grouping_by": q_pipe_grouping_by,
+        "pipe_grouping_salted": q_pipe_grouping_salted,
+        "pipe_sessionize": q_pipe_sessionize,
+        "pipe_suppress": q_pipe_suppress,
+        "pipe_rate_limit": q_pipe_rate_limit,
+        "pipe_group_lines": q_pipe_group_lines,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    P = oracle.pipeline_prefix()
+    W = oracle.with_transcripts
+    grouping_sql = W(
+        f"""
+        SELECT conv_id,
+               count(*) AS n_turns,
+               strftime(min(ts), '{TS_FMT_DUCK}') AS first_ts,
+               strftime(max(ts), '{TS_FMT_DUCK}') AS last_ts,
+               string_agg(role, ',' ORDER BY turn_idx) AS agg_values
+        FROM transcripts GROUP BY conv_id
+        """
+    )
+    return {
+        "pipe_transcripts": W(
+            f"SELECT conv_id, turn_idx, role, text, tool, "
+            f"strftime(ts, '{TS_FMT_DUCK}') AS ts_str FROM transcripts"
+        ),
+        "pipe_parse": P
+        + """
+        SELECT conv_id, turn_idx, kind, parse_ok, pri, severity, facility,
+               host, appname, procid, status, latency_ms, path, retry,
+               json_k, json_event
+        FROM parsed3
+        """,
+        "pipe_enrich": P
+        + """
+        SELECT conv_id, turn_idx, tool, tool_category, risk_level, owner
+        FROM enriched
+        """,
+        "pipe_routed": P
+        + """
+        SELECT sink, conv_id, turn_idx, severity,
+               coalesce(tool_category, '') AS tool_category, text
+        FROM routed
+        """,
+        "pipe_sink_counts": P
+        + "SELECT sink, count(*) AS n FROM routed GROUP BY sink",
+        "pipe_sink_histogram": P
+        + """
+        SELECT sink, severity, coalesce(tool_category, '') AS tool_category,
+               count(*) AS n
+        FROM routed GROUP BY sink, severity, tool_category
+        """,
+        "pipe_grouping_by": grouping_sql,
+        "pipe_grouping_salted": grouping_sql,
+        "pipe_sessionize": W(
+            """
+            SELECT conv_id,
+                   CAST(1 + sum(CASE WHEN prev_ts IS NOT NULL
+                                AND epoch(ts) - epoch(prev_ts) > 1800
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM (
+              SELECT conv_id, ts,
+                     lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_ts
+              FROM transcripts
+            ) GROUP BY conv_id
+            """
+        ),
+        "pipe_suppress": W(
+            """
+            SELECT conv_id, count(*) AS n_kept
+            FROM (
+              SELECT conv_id,
+                     (text = lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx)) AS dup
+              FROM transcripts
+            ) WHERE dup IS NOT TRUE GROUP BY conv_id
+            """
+        ),
+        "pipe_rate_limit": W(
+            """
+            SELECT conv_id, turn_idx, role
+            FROM (
+              SELECT conv_id, turn_idx, role,
+                     row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+              FROM transcripts
+            ) WHERE rn <= 5
+            """
+        ),
+        "pipe_group_lines": W(
+            """
+            SELECT conv_id,
+                   string_agg(text, ' | ' ORDER BY turn_idx) AS assembled,
+                   count(*) AS n_lines
+            FROM transcripts GROUP BY conv_id
+            """
+        ),
+    }

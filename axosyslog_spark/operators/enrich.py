@@ -1,0 +1,95 @@
+"""Enrichment: broadcast lookup join with default-record fallback.
+
+Reference: add-contextual-data() — selector template resolves a key
+into a CSV-loaded database; on miss, the default-selector record is
+injected instead (modules/add-contextual-data/add-contextual-data.c:111-137,
+context-info-db.c). geoip2() is the same shape with an interval key
+(modules/geoip2/geoip-parser.c).
+
+Spark mapping: the database is a small dimension — ``broadcast()`` +
+LEFT join (no shuffle of the fact side), then ``coalesce`` each
+enriched column to the default record's value. At 100 TB fact scale
+this stays a broadcast-hash-join: the dimension is bounded (tool
+registry), never the fact table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class LookupSpec:
+    """A contextual-data database: key column + enrichment columns."""
+
+    key: str                       # join key on the fact side
+    db_key: str                    # key column in the database
+    columns: tuple[str, ...]       # enrichment columns to inject
+    default: dict[str, str] = field(default_factory=dict)  # default record
+    prefix: str = ""               # namespace prefix for injected cols
+
+
+# The tool registry fixture (FIXTURES.md F2). One canonical Python
+# definition shared by the Spark dimension and the DuckDB oracle SQL.
+TOOL_CATEGORIES = ("retrieval", "codegen", "shell", "analysis")
+TOOL_RISKS = ("low", "medium", "high")
+
+
+def tool_lookup_rows() -> list[tuple[str, str, str, str]]:
+    """(tool, tool_category, risk_level, owner) — deterministic."""
+    return [
+        (
+            f"tool_{i:02d}",
+            TOOL_CATEGORIES[i % 4],
+            TOOL_RISKS[i % 3],
+            f"team-{i % 5}",
+        )
+        for i in range(16)
+    ]
+
+
+TOOL_DEFAULT = {"tool_category": "unknown", "risk_level": "medium", "owner": "team-default"}
+
+
+def tool_lookup_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        tool_lookup_rows(), "tool string, tool_category string, risk_level string, owner string"
+    )
+
+
+def tool_lookup_values_sql(alias: str = "tl") -> str:
+    """DuckDB VALUES clause mirroring tool_lookup_df (oracle parity)."""
+    rows = ", ".join(
+        f"('{t}', '{c}', '{r}', '{o}')" for t, c, r, o in tool_lookup_rows()
+    )
+    return f"(VALUES {rows}) AS {alias}(tool, tool_category, risk_level, owner)"
+
+
+def enrich(df: DataFrame, db: DataFrame, spec: LookupSpec) -> DataFrame:
+    """Generic add-contextual-data: broadcast left join + default fallback."""
+    sel = [F.col(spec.db_key).alias(f"__db_{spec.db_key}")] + [
+        F.col(c).alias(spec.prefix + c) for c in spec.columns
+    ]
+    dim = db.select(*sel)
+    out = df.join(
+        F.broadcast(dim), df[spec.key] == dim[f"__db_{spec.db_key}"], "left"
+    ).drop(f"__db_{spec.db_key}")
+    for c in spec.columns:
+        name = spec.prefix + c
+        if c in spec.default:
+            out = out.withColumn(name, F.coalesce(F.col(name), F.lit(spec.default[c])))
+    return out
+
+
+def enrich_tools(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Flagship enrichment: tool registry join with default record."""
+    spec = LookupSpec(
+        key="tool",
+        db_key="tool",
+        columns=("tool_category", "risk_level", "owner"),
+        default=TOOL_DEFAULT,
+    )
+    return enrich(df, tool_lookup_df(spark), spec)

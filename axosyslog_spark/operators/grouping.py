@@ -1,0 +1,204 @@
+"""grouping-by() / correlation analogs: keyed, ordered aggregation.
+
+Reference: modules/correlation/groupingby.c:102-132 — contexts keyed by
+(scope, key template), rows sorted by sort-key() inside the context
+(correlation-context.c:72-90), closed by timeout()/trigger(), filtered
+by where()/having(), emitting one synthetic message per context from
+aggregate() templates.
+
+Batch Spark mapping:
+  - context        = groupBy(key)
+  - sort-key()     = array_sort(collect_list(struct(sort_key, ...)))
+    (order restored inside the aggregate, NOT via a global sort)
+  - where()        = pre-filter; having() = post-filter
+  - timeout()      = event-time gap sessionization (lag(ts) > gap)
+  - trigger()      = post-aggregation predicate emitting the row
+
+Skew discipline (north_rule): a hot conv_id would funnel through one
+reducer. ``salted_ordered_agg`` does two-phase aggregation — partial
+aggregate on (key, salt), merge on key — so a conversation owning 30%
+of all rows still spreads over N partitions. Order is restored by
+sorting the collected (turn_idx, value) structs, which keeps the
+stable (conv_id, turn_idx) contract without a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def grouped_ordered_agg(
+    df: DataFrame,
+    key: str = "conv_id",
+    sort_key: str = "turn_idx",
+    value: str = "role",
+    having: Column | None = None,
+) -> DataFrame:
+    """One synthetic row per context: n_turns, first/last ts, and the
+    ordered concatenation of ``value`` (the aggregate() template analog).
+
+    Single shuffle on ``key`` with map-side partial aggregation; the
+    in-group order comes from sorting collected structs, never from a
+    global sort.
+    """
+    out = df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(sort_key, value))),
+                lambda x: x[value],
+            ),
+            ",",
+        ).alias("agg_values"),
+    )
+    if having is not None:
+        out = out.filter(having)
+    return out
+
+
+def salted_ordered_agg(
+    df: DataFrame,
+    key: str = "conv_id",
+    sort_key: str = "turn_idx",
+    value: str = "role",
+    fragment_rows: int = 1024,
+    having: Column | None = None,
+) -> DataFrame:
+    """Skew-aware two-phase variant of grouped_ordered_agg.
+
+    Phase 1 aggregates on (key, salt) where salt = sort_key DIV
+    fragment_rows — partials are bounded by ``fragment_rows`` even for
+    a pathological key, so a conversation owning 30% of all rows still
+    spreads across reducers. Phase 2 merges the per-salt partials:
+    counts sum, min/max fold, and the ordered value string is rebuilt
+    by sorting the per-salt fragments on their minimum sort_key.
+    Fragments are contiguous ranges (range salt, NOT a hash), so
+    fragment order == row order. Output equals the unsalted version
+    (tested in tests/test_grouping.py).
+    """
+    salt = F.floor(F.col(sort_key) / F.lit(max(fragment_rows, 1)))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(key, "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("pc"),
+            F.min("ts").alias("pmin_ts"),
+            F.max("ts").alias("pmax_ts"),
+            F.min(sort_key).alias("pmin_sk"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(sort_key, value))),
+                    lambda x: x[value],
+                ),
+                ",",
+            ).alias("pvals"),
+        )
+    )
+    out = partial.groupBy(key).agg(
+        F.sum("pc").alias("n_turns"),
+        F.min("pmin_ts").alias("first_ts"),
+        F.max("pmax_ts").alias("last_ts"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pmin_sk", "pvals"))),
+                lambda x: x["pvals"],
+            ),
+            ",",
+        ).alias("agg_values"),
+    )
+    if having is not None:
+        out = out.filter(having)
+    return out
+
+
+def sessionize(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """timeout() analog in batch: event-time gap sessionization.
+
+    A new session starts when the gap to the previous row (per key,
+    event-time order) exceeds ``gap_minutes`` — the batch equivalent of
+    the reference's timer-wheel context timeout clamped to the message
+    clock (modules/correlation/correlation.c:91-112). Adds
+    ``session_id: int`` (0-based per key).
+    """
+    w = Window.partitionBy(key).orderBy(ts_col)
+    prev_ts = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts) > gap_minutes * 60),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_id",
+        (F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1).cast("int"),
+    )
+
+
+def group_lines(
+    df: DataFrame,
+    key: str = "conv_id",
+    sort_key: str = "turn_idx",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """group-lines() / multi-line assembly analog: rebuild one document
+    per key by concatenating lines in sort order
+    (modules/correlation/group-lines.c, lib/multi-line/)."""
+    return df.groupBy(key).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(sort_key, text_col))),
+                lambda x: x[text_col],
+            ),
+            sep,
+        ).alias("assembled"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def suppress(
+    df: DataFrame,
+    key: str = "conv_id",
+    sort_key: str = "turn_idx",
+    value: str = "text",
+    within_seconds: float | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """suppress() analog: drop consecutive duplicate messages per key
+    (lib/logwriter.c suppress logic). If ``within_seconds`` is given,
+    only duplicates inside that window are suppressed."""
+    w = Window.partitionBy(key).orderBy(sort_key)
+    same = F.col(value) == F.lag(value).over(w)
+    if within_seconds is not None:
+        same = same & (
+            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.lag(ts_col).over(w))
+            <= within_seconds
+        )
+    return df.withColumn("__dup", F.coalesce(same, F.lit(False))).filter(
+        ~F.col("__dup")
+    ).drop("__dup")
+
+
+def rate_limit(
+    df: DataFrame,
+    key_cols: list[str],
+    max_rows: int,
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """rate-limit() analog in batch: keep the first ``max_rows`` rows
+    per key in event order (modules/rate-limit-filter/rate-limit.c
+    token bucket → deterministic batch equivalent)."""
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_rows)
+        .drop("__rn")
+    )

@@ -1,0 +1,140 @@
+"""Parse stage: header classification + field extraction.
+
+Reference semantics:
+  - message format dispatch: lib/msg-format.c:122,179-227
+  - RFC5424/RFC3164 header split: modules/syslogformat/syslog-format.c:1211
+  - kv scanner: modules/kvformat/kv-parser.c + lib/scanner/kv-scanner/
+  - json parser: modules/json/json-parser.c
+  - parse-quality tags (unparsed): lib/logmsg/logmsg.h:108-144
+  - default PRI when absent = 13 (facility user(1), severity notice(5)) —
+    syslog-format.c default priority behavior.
+
+Spark mapping: pure column algebra — one regexp_extract pass for the
+header (Catalyst collapses the repeated regexp_extract calls on the
+same pattern into a single evaluation per referenced group within one
+projection), `when` chains for classification, casts for typed
+promotion. No Python executes per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# RFC5424-ish: <PRI>VERSION SP TIMESTAMP SP HOSTNAME SP APP-NAME SP
+#              PROCID SP MSGID SP STRUCTURED-DATA SP MSG
+RFC5424_RE = r"^<([0-9]{1,3})>([0-9]) ([^ ]+) ([^ ]+) ([^ ]+) ([^ ]+) ([^ ]+) ([^ ]+) (.*)$"
+
+# syslog default priority when the header is absent/invalid: 13
+DEFAULT_PRI = 13
+
+TS_FMT_SPARK = "yyyy-MM-dd'T'HH:mm:ss"
+
+
+def classify_kind(text: Column) -> Column:
+    """Message-shape dispatch (msg-format.c analog).
+
+    'syslog' | 'json' | 'kv' | 'free' — anchored probes so that a
+    malformed header (garbage prefix) does NOT leak into the kv path.
+    """
+    return (
+        F.when(text.rlike(RFC5424_RE), F.lit("syslog"))
+        .when(text.startswith("{"), F.lit("json"))
+        .when(text.rlike(r"^status="), F.lit("kv"))
+        .otherwise(F.lit("free"))
+    )
+
+
+def parse_header(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """RFC5424 header parse + typed promotion + parse-quality tags.
+
+    Adds: kind, parse_ok, pri, severity, facility, host, appname,
+    procid, msg_ts, body, tags.
+    """
+    text = F.col(text_col)
+    kind = classify_kind(text)
+
+    def g(i: int) -> Column:
+        return F.regexp_extract(text, RFC5424_RE, i)
+
+    pri_raw = g(1)
+    # invalid PRI (>191) falls back to the default, like a failed parse
+    pri_num = F.when(
+        (kind == "syslog") & (pri_raw.cast("int") <= 191), pri_raw.cast("int")
+    ).otherwise(F.lit(DEFAULT_PRI))
+
+    df = df.withColumns(
+        {
+            "kind": kind,
+            "parse_ok": kind != "free",
+            "pri": pri_num,
+            "severity": (pri_num % 8).cast("int"),
+            "facility": ((pri_num - pri_num % 8) / 8).cast("int"),
+            "host": F.when(kind == "syslog", g(4)),
+            "appname": F.when(kind == "syslog", g(5)),
+            "procid": F.when(kind == "syslog", g(6)),
+            "msg_ts": F.when(kind == "syslog", F.to_timestamp(g(3), TS_FMT_SPARK)),
+            "body": F.when(kind == "syslog", g(9)).otherwise(text),
+        }
+    )
+    df = df.withColumn(
+        "tags",
+        F.when(F.col("parse_ok"), F.array(F.col("kind"))).otherwise(
+            F.array(F.lit("unparsed"))
+        ),
+    )
+    # group 3 is the timestamp, group 4 host, 5 app, 6 procid per RFC5424
+    return df
+
+
+def parse_kv(df: DataFrame, src_col: str = "body") -> DataFrame:
+    """kv-parser() analog: extract well-known key=value fields, typed.
+
+    Reference: modules/kvformat/kv-parser.c (value-separator '=',
+    pair-separator ' '). Implemented as anchored regexp extraction so
+    it composes with the syslog body (kv fields live in the body).
+    """
+    src = F.col(src_col)
+    return df.withColumns(
+        {
+            "status": F.nullif(F.regexp_extract(src, r"status=([a-z]+)", 1), F.lit("")),
+            "latency_ms": F.nullif(
+                F.regexp_extract(src, r"latency_ms=([0-9]+)", 1), F.lit("")
+            ).cast("bigint"),
+            "path": F.nullif(F.regexp_extract(src, r"path=([^ ]+)", 1), F.lit("")),
+            "retry": F.nullif(
+                F.regexp_extract(src, r"retry=([0-9]+)", 1), F.lit("")
+            ).cast("int"),
+        }
+    )
+
+
+def kv_to_map(df: DataFrame, src_col: str, out_col: str = "kv") -> DataFrame:
+    """Generic kv scan into a MapType column (open-schema analog of the
+    reference's NV pairs): str_to_map over 'k=v k=v' text."""
+    return df.withColumn(
+        out_col,
+        F.str_to_map(F.regexp_replace(F.col(src_col), r"^[^ ]*: ", ""), " ", "="),
+    )
+
+
+def parse_json_fields(df: DataFrame, src_col: str = "text") -> DataFrame:
+    """json-parser() analog for the embedded JSON shape: promote known
+    fields ($.k, $.event, $.latency_ms) to typed columns."""
+    src = F.col(src_col)
+    is_json = F.col("kind") == "json"
+    return df.withColumns(
+        {
+            "json_k": F.when(is_json, F.get_json_object(src, "$.k").cast("bigint")),
+            "json_event": F.when(is_json, F.get_json_object(src, "$.event")),
+            "latency_ms": F.coalesce(
+                F.col("latency_ms"),
+                F.when(is_json, F.get_json_object(src, "$.latency_ms").cast("bigint")),
+            ),
+        }
+    )
+
+
+def parse_stage(df: DataFrame) -> DataFrame:
+    """The full parse stage used by the flagship pipeline."""
+    return parse_json_fields(parse_kv(parse_header(df)))

@@ -1,0 +1,73 @@
+"""The flagship pipeline: parse → enrich → route → aggregate.
+
+This is the end-to-end job the north_star describes. Physical shape
+(one Spark job, SURVEY.md §4):
+
+    scan transcripts (parquet/Iceberg; partition prune on ts/conv)
+    → parse stage        (pure projections, whole-stage codegen)
+    → enrich             (broadcast hash join, no shuffle)
+    → route              (projection: per-sink booleans + routes array)
+    → per-sink writes    (filter + write, no extra shuffle)
+    → aggregates         (groupBy with map-side partials, one exchange)
+
+The routed frame is computed once and persisted before fan-out — the
+Spark analog of the reference's copy-on-write clone at the multiplexer
+(lib/logmpx.c:86-96): every sink derives from the same materialized
+routing pass instead of re-running parse per sink.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from axosyslog_spark.operators.enrich import enrich_tools
+from axosyslog_spark.operators.metrics import sink_counts, sink_histogram
+from axosyslog_spark.operators.parse import parse_stage
+from axosyslog_spark.operators.route import (
+    RouteSpec,
+    flagship_route_spec,
+    route_explode,
+)
+
+
+@dataclass
+class PipelineResult:
+    parsed: DataFrame
+    routed: DataFrame          # exploded (sink, …) frame
+    counts: DataFrame          # per-sink counts
+    histogram: DataFrame       # (sink, severity, tool_category, n)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    spec: RouteSpec | None = None,
+) -> PipelineResult:
+    """Compose the full flagship pipeline lazily (no action triggered)."""
+    spec = spec or flagship_route_spec()
+    parsed = enrich_tools(parse_stage(transcripts), spark)
+    routed = route_explode(parsed, spec)
+    return PipelineResult(
+        parsed=parsed,
+        routed=routed,
+        counts=sink_counts(routed),
+        histogram=sink_histogram(routed),
+    )
+
+
+def routed_output(routed: DataFrame) -> DataFrame:
+    """The canonical routed-row output: stable (sink, conv_id, turn_idx)
+    identity plus the formatted per-turn text — the routed-row equality
+    surface of the correctness gate (per-turn text equality under
+    stable ordering)."""
+    return routed.select(
+        "sink",
+        "conv_id",
+        "turn_idx",
+        "severity",
+        F.coalesce("tool_category", F.lit("")).alias("tool_category"),
+        "text",
+    )

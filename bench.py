@@ -1,0 +1,113 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Headline queries exercise the flagship parse→enrich→route→aggregate
+pipeline at two input shapes:
+
+  - pipe_* over transcripts synthesized from $SPARK_GRAFT_SF_DIR's
+    events.parquet (the driver-recorded scale factor), and
+  - gen5m_* over a generated transcript table (default 5M turns,
+    override with $BENCH_ROWS) — the north-star turns/sec measure,
+    including the skewed-conversation salted aggregation.
+
+Every timing uses a noop sink so the measured cost is compute+shuffle,
+not local-disk write throughput. An extra "throughput_turns_per_sec"
+field reports rows/sec for the 5M-turn full pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from axosyslog_spark.operators import grouping  # noqa: E402
+from axosyslog_spark.plans.pipeline import run_pipeline  # noqa: E402
+from axosyslog_spark.session import get_spark  # noqa: E402
+from axosyslog_spark.sources.transcripts import (  # noqa: E402
+    generate_transcripts,
+    synthesize_transcripts,
+)
+
+
+def _consume(df) -> int:
+    """Execute the full plan without a real sink; return row count."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bench_rows = int(os.environ.get("BENCH_ROWS", "5000000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # --- JIT/codegen warm-up (untimed): run the full pipeline once on a
+    # small generated slice so steady-state throughput is measured, not
+    # JVM compilation (same methodology as JMH warm-up iterations) ---
+    warm = generate_transcripts(spark, 200_000, 1000, partitions=cpus)
+    for _ in range(2):
+        _consume(run_pipeline(spark, warm).routed)
+        _consume(grouping.salted_ordered_agg(warm, fragment_rows=4096))
+        _consume(grouping.sessionize(warm).groupBy("conv_id").count())
+        _consume(grouping.grouped_ordered_agg(warm))
+
+    # --- sf_dir-scale pipeline (events-derived transcripts) ---
+    t_sf = synthesize_transcripts(spark, sf_dir)
+    timed("pipe_full", lambda: _consume(run_pipeline(spark, t_sf).routed))
+    timed("pipe_histogram", lambda: run_pipeline(spark, t_sf).histogram.collect())
+    timed("pipe_grouping", lambda: _consume(grouping.grouped_ordered_agg(t_sf)))
+
+    # --- 5M-turn generated transcripts (north-star measure) ---
+    gen = generate_transcripts(
+        spark, bench_rows, max(bench_rows // 200, 1), skew_hot_convs=5,
+        partitions=cpus * 4,
+    )
+    # materialize the input once so pipeline timing excludes generation
+    gen.persist()
+    n = gen.count()
+    t0 = time.perf_counter()
+    res = run_pipeline(spark, gen)
+    _consume(res.routed)
+    res.counts.collect()
+    pipe_secs = time.perf_counter() - t0
+    timings["gen5m_pipeline"] = round(pipe_secs, 3)
+    timed("gen5m_salted_agg", lambda: _consume(
+        grouping.salted_ordered_agg(gen, fragment_rows=4096)
+    ))
+    timed("gen5m_sessionize", lambda: _consume(
+        grouping.sessionize(gen).groupBy("conv_id").count()
+    ))
+    gen.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "pipeline_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "bench_rows": n,
+                "cpus": cpus,
+                "throughput_turns_per_sec": round(n / pipe_secs, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

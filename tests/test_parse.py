@@ -1,0 +1,86 @@
+"""Parse-stage unit tests — golden extraction cases.
+
+Modeled on the reference's parser unit tests
+(modules/syslogformat/tests/, modules/kvformat/tests/,
+modules/json/tests/): exact (name, value, type) extraction per line.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from axosyslog_spark.operators.parse import parse_stage
+
+
+def _mk(spark, lines):
+    rows = [
+        ("conv-1", i, "user", text, "", dt.datetime(2024, 1, 1, 0, 0, i))
+        for i, text in enumerate(lines)
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+
+def test_syslog_header_extraction(spark):
+    line = "<13>1 2024-01-01T00:00:07 host-3 proc_click 42 - - status=ok latency_ms=117 path=/v1/run"
+    row = parse_stage(_mk(spark, [line])).collect()[0]
+    assert row.kind == "syslog"
+    assert row.parse_ok is True
+    assert row.pri == 13
+    assert row.severity == 5 and row.facility == 1
+    assert row.host == "host-3"
+    assert row.appname == "proc_click"
+    assert row.procid == "42"
+    assert row.msg_ts == dt.datetime(2024, 1, 1, 0, 0, 7)
+    assert row.body == "status=ok latency_ms=117 path=/v1/run"
+    assert row.status == "ok"
+    assert row.latency_ms == 117
+    assert row.path == "/v1/run"
+    assert row.tags == ["syslog"]
+
+
+def test_severity_facility_decode(spark):
+    # pri=165 => facility 20 (local4), severity 5 (notice)
+    line = "<165>1 2024-01-01T00:00:07 h a 1 - - m"
+    row = parse_stage(_mk(spark, [line])).collect()[0]
+    assert row.pri == 165 and row.facility == 20 and row.severity == 5
+
+
+def test_invalid_pri_falls_back_to_default(spark):
+    # >191 is not a valid syslog PRI -> default 13 (user.notice)
+    line = "<999>1 2024-01-01T00:00:07 h a 1 - - m"
+    row = parse_stage(_mk(spark, [line])).collect()[0]
+    assert row.pri == 13 and row.severity == 5 and row.facility == 1
+
+
+def test_kv_shape(spark):
+    row = parse_stage(_mk(spark, ["status=error latency_ms=9 path=/v1/x retry=2"])).collect()[0]
+    assert row.kind == "kv" and row.parse_ok
+    assert row.status == "error" and row.latency_ms == 9
+    assert row.retry == 2 and row.path == "/v1/x"
+    assert row.severity == 5  # default pri applies to headerless shapes
+
+
+def test_json_shape(spark):
+    row = parse_stage(_mk(spark, ['{"event": "click", "k": 7, "latency_ms": 31}'])).collect()[0]
+    assert row.kind == "json" and row.parse_ok
+    assert row.json_k == 7 and row.json_event == "click"
+    assert row.latency_ms == 31
+
+
+def test_malformed_is_unparsed(spark):
+    # garbage prefix must NOT classify as kv even though it contains k=v
+    row = parse_stage(_mk(spark, ["BADHDR 2024-01-01T00:00:07 host-1 status=error latency_ms=3"])).collect()[0]
+    assert row.kind == "free"
+    assert row.parse_ok is False
+    assert row.tags == ["unparsed"]
+    # kv scavenging still applies to the raw body (kv-parser is its own
+    # stage in the reference, independent of header parse success)
+    assert row.status == "error" and row.latency_ms == 3
+
+
+def test_free_text(spark):
+    row = parse_stage(_mk(spark, ["turn about click with no structure"])).collect()[0]
+    assert row.kind == "free" and row.parse_ok is False
+    assert row.latency_ms is None and row.status is None
