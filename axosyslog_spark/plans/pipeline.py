@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from axosyslog_spark.operators.enrich import enrich_tools
@@ -56,6 +56,30 @@ def run_pipeline(
         counts=sink_counts(routed),
         histogram=sink_histogram(routed),
     )
+
+
+def run_pipeline_observed(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    spec: RouteSpec | None = None,
+) -> tuple[DataFrame, Observation]:
+    """Pipeline with per-sink counters piggybacked on the SAME pass.
+
+    The reference attaches ingress/egress counters to every named log
+    path (lib/cfg-tree.c:1087-1101, lib/stats/) — they update as
+    messages flow, costing no extra traversal. Spark's ``observe()``
+    is the exact analog: the counter aggregates are computed inside
+    whatever action consumes the routed frame (e.g. the sink write),
+    so per-sink counts never trigger a second scan of the input.
+    """
+    spec = spec or flagship_route_spec()
+    routed = run_pipeline(spark, transcripts, spec).routed
+    obs = Observation("sink_counts")
+    aggs = [
+        F.sum(F.when(F.col("sink") == s, 1).otherwise(0)).alias(s)
+        for s in spec.sinks()
+    ] + [F.count(F.lit(1)).alias("__total")]
+    return routed.observe(obs, *aggs), obs
 
 
 def routed_output(routed: DataFrame) -> DataFrame:
