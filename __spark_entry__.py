@@ -18,6 +18,7 @@ from axosyslog_spark import oracle
 from axosyslog_spark.operators import grouping
 from axosyslog_spark.operators.enrich import enrich_tools
 from axosyslog_spark.operators.parse import parse_stage
+from axosyslog_spark.operators.patterndb import PatternDB, PdbRule
 from axosyslog_spark.plans.pipeline import routed_output, run_pipeline
 from axosyslog_spark.sources.transcripts import (
     TS_FMT_DUCK,
@@ -137,6 +138,36 @@ def q_pipe_group_lines(spark: SparkSession, sf: str) -> DataFrame:
     return g.select("conv_id", "assembled", "n_lines")
 
 
+# F4-style pattern rules applied to the parsed message body
+PDB_RULES = [
+    PdbRule(
+        "kv_retry",
+        "status=@ESTRING:status: @latency_ms=@NUMBER:latency_ms@ path=@ESTRING:path: @retry=@NUMBER:retry@",
+    ),
+    PdbRule(
+        "kv_plain",
+        "status=@ESTRING:status: @latency_ms=@NUMBER:latency_ms@ path=@ESTRING:path:@",
+    ),
+    PdbRule(
+        "badhdr",
+        "BADHDR @STRING:bts@ @STRING:bhost@ status=@ESTRING:status: @latency_ms=@NUMBER:latency_ms@",
+    ),
+    PdbRule("free", "turn about @ESTRING:topic: @with no structure"),
+]
+
+
+def q_pipe_patterndb(spark: SparkSession, sf: str) -> DataFrame:
+    from axosyslog_spark.operators.parse import parse_header
+
+    pdb = PatternDB(PDB_RULES)
+    p = parse_header(_transcripts(spark, sf))
+    out = pdb.apply(p, text_col="body")
+    return out.select(
+        "conv_id", "turn_idx", "rule_id",
+        "status", "latency_ms", "path", "retry", "topic", "bts", "bhost",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipe_transcripts": q_pipe_transcripts,
@@ -151,6 +182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_suppress": q_pipe_suppress,
         "pipe_rate_limit": q_pipe_rate_limit,
         "pipe_group_lines": q_pipe_group_lines,
+        "pipe_patterndb": q_pipe_patterndb,
     }
 
 
@@ -245,5 +277,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_lines
             FROM transcripts GROUP BY conv_id
             """
+        ),
+        "pipe_patterndb": (
+            "WITH "
+            + oracle.TRANSCRIPTS_ORACLE_CTE.strip()
+            + ",\n"
+            + oracle.PARSED_CTE.strip()
+            + "\n"
+            + oracle.patterndb_select_sql(
+                PatternDB(PDB_RULES), "body", "FROM parsed2", "conv_id, turn_idx"
+            )
         ),
     }

@@ -97,6 +97,42 @@ routed AS (
 """
 
 
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def patterndb_select_sql(pdb, src_col: str, from_clause: str, keys: str) -> str:
+    """Generate the DuckDB mirror of PatternDB.apply: the same compiled
+    regexes, evaluated in the same precedence order (the compiled rule
+    list is already longest-literal-prefix-first)."""
+    whens = []
+    for c in pdb.rules:
+        guard = f"regexp_matches({src_col}, {_sql_str(c.regex)})"
+        if c.literal_prefix:
+            guard = f"starts_with({src_col}, {_sql_str(c.literal_prefix)}) AND {guard}"
+        whens.append(f"WHEN {guard} THEN '{c.rule_id}'")
+    rule_id = "CASE " + " ".join(whens) + " ELSE NULL END"
+    cols = [f"{rule_id} AS rule_id"]
+    for name in pdb.field_names:
+        field_whens = []
+        for c in pdb.rules:
+            gi = next((i + 1 for i, f in enumerate(c.fields) if f.name == name), None)
+            if gi is not None:
+                field_whens.append(
+                    f"WHEN rule_id = '{c.rule_id}' THEN "
+                    f"regexp_extract({src_col}, {_sql_str(c.regex)}, {gi})"
+                )
+        expr = "CASE " + " ".join(field_whens) + " ELSE NULL END"
+        cast = pdb._casts.get(name)
+        if cast:
+            duck_t = {"bigint": "BIGINT", "double": "DOUBLE", "int": "INT"}[cast]
+            expr = f"CAST(nullif({expr}, '') AS {duck_t})"
+        cols.append(f"{expr} AS {name}")
+    inner = f"SELECT {keys}, {src_col}, {rule_id} AS rule_id {from_clause}"
+    outer_cols = [keys, "rule_id"] + cols[1:]
+    return f"SELECT {', '.join(outer_cols)} FROM ({inner})"
+
+
 def pipeline_prefix() -> str:
     """WITH clause chaining transcripts → parsed → enriched → routed."""
     return (
