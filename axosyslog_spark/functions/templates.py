@@ -1,0 +1,262 @@
+"""Template functions and macros as Column builders.
+
+Families (SURVEY.md §2.7; registry modules/basicfuncs/basic-funcs.c:76-150):
+cond, string, numeric, list, value-pairs, path, ip, encode, tags,
+crypto (modules/cryptofuncs/), format-json (modules/json/format-json.c),
+format-welf (modules/kvformat/format-welf.c), format-date
+(modules/timestamp/tf-format-date.c), plus the date-part macro family
+(lib/template/macros.c:94-204: S_/R_/C_ x DATE/ISODATE/YEAR/...).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# cond funcs (modules/basicfuncs/cond-funcs.c)
+# ---------------------------------------------------------------------------
+
+
+def tf_if(cond: Column, a: Column, b: Column) -> Column:
+    """$(if cond a b)"""
+    return F.when(cond, a).otherwise(b)
+
+
+def tf_or(*cols: Column) -> Column:
+    """$(or a b ...) — first non-empty value."""
+    return F.coalesce(*[F.nullif(c, F.lit("")) for c in cols])
+
+
+# ---------------------------------------------------------------------------
+# string funcs (modules/basicfuncs/str-funcs.c)
+# ---------------------------------------------------------------------------
+
+def tf_length(c: Column) -> Column: return F.length(c)                    # $(length)
+def tf_substr(c: Column, pos: int, n: int) -> Column: return F.substring(c, pos, n)  # $(substr)
+def tf_strip(c: Column) -> Column: return F.trim(c)                       # $(strip)
+def tf_lowercase(c: Column) -> Column: return F.lower(c)                  # $(lowercase)
+def tf_uppercase(c: Column) -> Column: return F.upper(c)                  # $(uppercase)
+
+
+def tf_sanitize(c: Column, replacement: str = "_") -> Column:
+    """$(sanitize) — replace unsafe filename chars (/ and control)."""
+    return F.regexp_replace(c, r"[/\x00-\x1f]", replacement)
+
+
+def tf_replace_delimiter(c: Column, from_chars: str, to: str) -> Column:
+    """$(replace-delimiter)"""
+    return F.translate(c, from_chars, to * len(from_chars))
+
+
+def tf_padding(c: Column, width: int, pad: str = " ") -> Column:
+    """$(padding) — left-pad to width."""
+    return F.lpad(c, width, pad)
+
+
+def tf_explode(c: Column, sep: str) -> Column: return F.split(c, re_escape(sep))  # $(explode)
+def tf_implode(c: Column, sep: str) -> Column: return F.array_join(c, sep)        # $(implode)
+
+
+def re_escape(s: str) -> str:
+    import re
+
+    return re.escape(s)
+
+
+# ---------------------------------------------------------------------------
+# numeric funcs (modules/basicfuncs/numeric-funcs.c)
+# ---------------------------------------------------------------------------
+
+def tf_sum(*cols: Column) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+def tf_min(*cols: Column) -> Column: return F.least(*cols)
+def tf_max(*cols: Column) -> Column: return F.greatest(*cols)
+
+
+def tf_average(*cols: Column) -> Column:
+    return tf_sum(*cols) / F.lit(len(cols))
+
+
+def tf_round(c: Column, digits: int = 0) -> Column: return F.round(c, digits)
+def tf_ceil(c: Column) -> Column: return F.ceil(c)
+def tf_floor(c: Column) -> Column: return F.floor(c)
+
+
+# ---------------------------------------------------------------------------
+# list funcs (modules/basicfuncs/list-funcs.c) — syslog-ng comma lists
+# ---------------------------------------------------------------------------
+
+def tf_list_concat(*cols: Column) -> Column: return F.concat(*cols)
+def tf_list_head(c: Column) -> Column: return F.element_at(c, 1)
+def tf_list_nth(c: Column, n: int) -> Column: return F.element_at(c, n + 1)  # 0-based in ref
+def tf_list_tail(c: Column) -> Column: return F.slice(c, 2, 1_000_000)
+def tf_list_count(c: Column) -> Column: return F.size(c)
+def tf_list_append(c: Column, v: Column) -> Column: return F.array_append(c, v)
+def tf_list_search(c: Column, v: Column) -> Column: return F.array_position(c, v) - 1
+def tf_list_slice(c: Column, start: int, end: int) -> Column: return F.slice(c, start + 1, end - start)
+
+
+# iteration funcs (tf-map.c, tf-filter.c, tf-iterate.c) — higher-order
+def tf_map(c: Column, fn) -> Column: return F.transform(c, fn)
+def tf_filter(c: Column, fn) -> Column: return F.filter(c, fn)
+def tf_iterate(c: Column, fn, init: Column) -> Column: return F.aggregate(c, init, fn)
+
+
+# ---------------------------------------------------------------------------
+# path funcs (fname-funcs.c)
+# ---------------------------------------------------------------------------
+
+def tf_basename(c: Column) -> Column:
+    return F.element_at(F.split(c, "/"), -1)
+
+
+def tf_dirname(c: Column) -> Column:
+    return F.when(
+        c.contains("/"), F.regexp_extract(c, r"^(.*)/[^/]*$", 1)
+    ).otherwise(F.lit("."))
+
+
+# ---------------------------------------------------------------------------
+# ip funcs (ip-funcs.c)
+# ---------------------------------------------------------------------------
+
+def tf_ipv4_to_int(c: Column) -> Column:
+    from axosyslog_spark.operators.filters import ip_to_long
+
+    return ip_to_long(c)
+
+
+# ---------------------------------------------------------------------------
+# encode funcs (urlencode.c, misc-funcs.c)
+# ---------------------------------------------------------------------------
+
+def tf_url_encode(c: Column) -> Column: return F.url_encode(c)
+def tf_url_decode(c: Column) -> Column: return F.url_decode(c)
+def tf_base64_encode(c: Column) -> Column: return F.base64(c.cast("binary"))
+
+
+# ---------------------------------------------------------------------------
+# crypto funcs (modules/cryptofuncs/)
+# ---------------------------------------------------------------------------
+
+def tf_sha256(c: Column, length: int | None = None) -> Column:
+    h = F.sha2(c.cast("binary"), 256)
+    return F.substring(h, 1, length) if length else h
+
+
+def tf_sha1(c: Column) -> Column: return F.sha1(c.cast("binary"))
+def tf_md5(c: Column) -> Column: return F.md5(c.cast("binary"))
+def tf_uuid() -> Column: return F.expr("uuid()")
+
+
+# ---------------------------------------------------------------------------
+# format funcs
+# ---------------------------------------------------------------------------
+
+def format_json(named_cols: dict[str, Column]) -> Column:
+    """$(format-json k=v ...) — modules/json/format-json.c."""
+    return F.to_json(F.struct(*[c.alias(k) for k, c in named_cols.items()]))
+
+
+def format_welf(named_cols: dict[str, Column]) -> Column:
+    """$(format-welf) — k=v space-joined, keys sorted
+    (modules/kvformat/format-welf.c)."""
+    parts = [
+        F.concat(F.lit(f"{k}="), named_cols[k].cast("string"))
+        for k in sorted(named_cols)
+    ]
+    return F.concat_ws(" ", *parts)
+
+
+def format_date(c: Column, fmt: str) -> Column:
+    """$(format-date) — modules/timestamp/tf-format-date.c."""
+    return F.date_format(c, fmt)
+
+
+# ---------------------------------------------------------------------------
+# macros (lib/template/macros.c) — date part family over a ts column
+# ---------------------------------------------------------------------------
+
+_MACRO_FMT = {
+    "DATE": "MMM dd HH:mm:ss",
+    "ISODATE": "yyyy-MM-dd'T'HH:mm:ssXXX",
+    "FULLDATE": "yyyy MMM dd HH:mm:ss",
+    "YEAR": "yyyy",
+    "MONTH": "MM",
+    "DAY": "dd",
+    "HOUR": "HH",
+    "MIN": "mm",
+    "SEC": "ss",
+    "WEEKDAY": "EEE",
+    "MONTH_ABBREV": "MMM",
+}
+
+
+def macro(name: str, ts: Column | None = None, **cols: Column) -> Column:
+    """Resolve a reference macro name to a Column.
+
+    Time-based macros take the stamp column (S_*), e.g.
+    macro('YEAR', ts) / macro('ISODATE', ts); value macros take the
+    relevant columns as kwargs (macro('PRI', severity=..., facility=...)).
+    """
+    if name.startswith("S_") or name.startswith("R_") or name.startswith("C_"):
+        name = name[2:]
+    if name in _MACRO_FMT:
+        return F.date_format(ts, _MACRO_FMT[name])
+    if name == "UNIXTIME":
+        return F.unix_timestamp(ts)
+    if name == "MSEC":
+        return (F.unix_millis(ts) % 1000).cast("string")
+    if name == "PRI":
+        return (cols["facility"] * 8 + cols["severity"]).cast("string")
+    if name == "SEVERITY_NUM" or name == "LEVEL_NUM":
+        return cols["severity"]
+    if name == "FACILITY_NUM":
+        return cols["facility"]
+    if name == "SEVERITY" or name == "LEVEL":
+        from axosyslog_spark.operators.filters import SEVERITIES
+
+        expr = F.lit("unknown")
+        for i, s in enumerate(SEVERITIES):
+            expr = F.when(cols["severity"] == i, F.lit(s)).otherwise(expr)
+        return expr
+    if name == "FACILITY":
+        from axosyslog_spark.operators.filters import FACILITIES
+
+        expr = F.lit("unknown")
+        for i, s in enumerate(FACILITIES):
+            expr = F.when(cols["facility"] == i, F.lit(s)).otherwise(expr)
+        return expr
+    if name == "TAGS":
+        return F.array_join(cols["tags"], ",")
+    raise KeyError(f"unknown macro {name!r}")
+
+
+TEMPLATE_FUNCS = {
+    "if": tf_if, "or": tf_or,
+    "length": tf_length, "substr": tf_substr, "strip": tf_strip,
+    "lowercase": tf_lowercase, "uppercase": tf_uppercase,
+    "sanitize": tf_sanitize, "replace-delimiter": tf_replace_delimiter,
+    "padding": tf_padding, "explode": tf_explode, "implode": tf_implode,
+    "sum": tf_sum, "min": tf_min, "max": tf_max, "average": tf_average,
+    "round": tf_round, "ceil": tf_ceil, "floor": tf_floor,
+    "list-concat": tf_list_concat, "list-head": tf_list_head,
+    "list-nth": tf_list_nth, "list-tail": tf_list_tail,
+    "list-count": tf_list_count, "list-append": tf_list_append,
+    "list-search": tf_list_search, "list-slice": tf_list_slice,
+    "map": tf_map, "filter": tf_filter, "iterate": tf_iterate,
+    "basename": tf_basename, "dirname": tf_dirname,
+    "ipv4-to-int": tf_ipv4_to_int,
+    "url-encode": tf_url_encode, "url-decode": tf_url_decode,
+    "base64-encode": tf_base64_encode,
+    "sha256": tf_sha256, "hash": tf_sha256, "sha1": tf_sha1, "md5": tf_md5,
+    "uuid": tf_uuid,
+    "format-json": format_json, "format-welf": format_welf,
+    "format-date": format_date,
+}

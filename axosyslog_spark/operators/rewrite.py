@@ -1,0 +1,157 @@
+"""Rewrite stage: per-message column edits (lib/rewrite/).
+
+Every reference rewrite is an in-place mutation of one message; in
+Spark each is a projection — Catalyst collapses consecutive rewrites
+into a single whole-stage-codegen'd select, so a chain of N rewrites
+costs one pass regardless of N (the reference pays a pipe hop each).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def set_value(df: DataFrame, name: str, value: Column | str) -> DataFrame:
+    """set(value) — rewrite-set.c. `value` may be a Column (template
+    analog) or a literal string."""
+    return df.withColumn(name, value if isinstance(value, Column) else F.lit(value))
+
+
+def unset(df: DataFrame, *names: str) -> DataFrame:
+    """unset() — rewrite-unset.c."""
+    return df.drop(*names)
+
+
+def rename(df: DataFrame, src: str, dst: str) -> DataFrame:
+    """rename() — rewrite-rename.c (move semantics: src disappears)."""
+    return df.withColumnRenamed(src, dst)
+
+
+def subst(
+    df: DataFrame,
+    pattern: str,
+    replacement: str,
+    value: str = "text",
+    global_: bool = True,
+) -> DataFrame:
+    """subst() — rewrite-subst.c. Default substitutes the FIRST match
+    only (flags(global) enables all) — reference default is non-global;
+    regexp_replace is global, so non-global anchors via a capture trick.
+    """
+    col = F.col(value)
+    if global_:
+        return df.withColumn(value, F.regexp_replace(col, pattern, replacement))
+    # non-global: splice the replacement over the first match only.
+    # (valid for patterns without anchors/lookaround: the first literal
+    # occurrence of the matched text is the match site)
+    m = F.regexp_extract(col, pattern, 0)
+    repl = F.regexp_replace(m, pattern, replacement)
+    pos = F.instr(col, m)
+    spliced = F.concat(
+        col.substr(F.lit(1), pos - 1),
+        repl,
+        col.substr(pos + F.length(m), F.length(col)),
+    )
+    return df.withColumn(value, F.when(m == "", col).otherwise(spliced))
+
+
+def set_tag(df: DataFrame, tag: str, tags_col: str = "tags") -> DataFrame:
+    """set-tag() — rewrite-set-tag.c (idempotent: set semantics)."""
+    return df.withColumn(
+        tags_col,
+        F.when(
+            F.array_contains(F.col(tags_col), tag), F.col(tags_col)
+        ).otherwise(F.array_append(F.col(tags_col), F.lit(tag))),
+    )
+
+
+def clear_tag(df: DataFrame, tag: str, tags_col: str = "tags") -> DataFrame:
+    """clear-tag() — rewrite-set-tag.c."""
+    return df.withColumn(tags_col, F.array_remove(F.col(tags_col), tag))
+
+
+def set_severity(df: DataFrame, severity: Column | int) -> DataFrame:
+    """set-severity() — rewrite-set-severity.c; keeps pri consistent."""
+    sev = severity if isinstance(severity, Column) else F.lit(severity)
+    return df.withColumn("severity", sev.cast("int")).withColumn(
+        "pri", (F.col("facility") * 8 + F.col("severity")).cast("int")
+    )
+
+
+def set_facility(df: DataFrame, facility: Column | int) -> DataFrame:
+    """set-facility() — rewrite-set-facility.c."""
+    fac = facility if isinstance(facility, Column) else F.lit(facility)
+    return df.withColumn("facility", fac.cast("int")).withColumn(
+        "pri", (F.col("facility") * 8 + F.col("severity")).cast("int")
+    )
+
+
+def set_pri(df: DataFrame, pri: Column | int) -> DataFrame:
+    """set-pri() — rewrite-set-pri.c; severity/facility re-derived."""
+    p = pri if isinstance(pri, Column) else F.lit(pri)
+    return (
+        df.withColumn("pri", p.cast("int"))
+        .withColumn("severity", (F.col("pri") % 8).cast("int"))
+        .withColumn("facility", ((F.col("pri") - F.col("pri") % 8) / 8).cast("int"))
+    )
+
+
+def groupset(
+    df: DataFrame, value: Column, map_col: str = "kv", key_glob: str = "*"
+) -> DataFrame:
+    """groupset() — rewrite-groupset.c: apply a value to every matching
+    key of the open-schema map column (glob over field names)."""
+    import fnmatch
+    import re as _re
+
+    rx = fnmatch.translate(key_glob)
+    # transform_values with a key-glob condition
+    return df.withColumn(
+        map_col,
+        F.transform_values(
+            F.col(map_col),
+            lambda k, v: F.when(k.rlike(rx.replace("\\Z", "$")), value).otherwise(v),
+        ),
+    )
+
+
+def map_value_pairs(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """map-value-pairs() — bulk rename/copy per value-pairs spec
+    (modules/map-value-pairs/)."""
+    out = df
+    for src, dst in mapping.items():
+        out = out.withColumn(dst, F.col(src))
+    return out
+
+
+def fix_timezone(df: DataFrame, ts_col: str, tz: str) -> DataFrame:
+    """fix-timezone() — modules/timestamp/rewrite-fix-timezone.c:
+    reinterpret the wall-clock fields of the stamp in another zone."""
+    return df.withColumn(ts_col, F.to_utc_timestamp(F.col(ts_col), tz))
+
+
+def set_timezone(df: DataFrame, ts_col: str, tz: str) -> DataFrame:
+    """set-timezone() — convert the stamp into the given zone's wall
+    clock (rewrite-set-timezone.c)."""
+    return df.withColumn(ts_col, F.from_utc_timestamp(F.col(ts_col), tz))
+
+
+def value_pairs_select(
+    df: DataFrame,
+    include_globs: list[str],
+    exclude_globs: list[str] | None = None,
+    add_prefix: str = "",
+) -> DataFrame:
+    """value-pairs projection: select column sets by glob with
+    include/exclude and add-prefix rekey transforms
+    (lib/value-pairs/value-pairs.c:126-137, transforms.c)."""
+    import fnmatch
+
+    cols = []
+    for c in df.columns:
+        if any(fnmatch.fnmatch(c, g) for g in include_globs) and not any(
+            fnmatch.fnmatch(c, g) for g in (exclude_globs or [])
+        ):
+            cols.append(F.col(c).alias(add_prefix + c))
+    return df.select(*cols)

@@ -1,0 +1,150 @@
+"""Rewrite stage + template function unit tests (lib/rewrite/,
+modules/basicfuncs/)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from axosyslog_spark.functions import templates as tf
+from axosyslog_spark.operators import rewrite as rw
+
+
+def _one(spark, **cols):
+    row = tuple(cols.values())
+    schema = ", ".join(f"{k} {'int' if isinstance(v, int) else 'string'}" for k, v in cols.items())
+    return spark.createDataFrame([row], schema)
+
+
+def test_set_unset_rename(spark):
+    df = _one(spark, a="x")
+    out = rw.set_value(df, "b", F.upper(F.col("a")))
+    out = rw.rename(out, "a", "c")
+    out = rw.unset(out, "b")
+    r = out.collect()[0]
+    assert r.asDict() == {"c": "x"}
+
+
+def test_subst_global_and_first(spark):
+    df = _one(spark, text="a1 b2 c3")
+    g = rw.subst(df, r"[0-9]", "#").collect()[0].text
+    assert g == "a# b# c#"
+    one = rw.subst(df, r"[0-9]", "#", global_=False).collect()[0].text
+    assert one == "a# b2 c3"
+    nomatch = rw.subst(df, r"zz", "#", global_=False).collect()[0].text
+    assert nomatch == "a1 b2 c3"
+
+
+def test_subst_with_groups(spark):
+    df = _one(spark, text="user=alice")
+    out = rw.subst(df, r"user=(\w+)", "u:$1").collect()[0].text
+    assert out == "u:alice"
+
+
+def test_tags(spark):
+    df = spark.createDataFrame([(["a"],)], "tags array<string>")
+    out = rw.set_tag(rw.set_tag(df, "b"), "b")  # idempotent
+    assert out.collect()[0].tags == ["a", "b"]
+    out = rw.clear_tag(out, "a")
+    assert out.collect()[0].tags == ["b"]
+
+
+def test_set_pri_family(spark):
+    df = spark.createDataFrame([(5, 1, 13)], "severity int, facility int, pri int")
+    r = rw.set_severity(df, 2).collect()[0]
+    assert (r.severity, r.pri) == (2, 10)
+    r = rw.set_facility(df, 20).collect()[0]
+    assert (r.facility, r.pri) == (20, 165)
+    r = rw.set_pri(df, 165).collect()[0]
+    assert (r.severity, r.facility) == (5, 20)
+
+
+def test_groupset_glob(spark):
+    df = spark.createDataFrame(
+        [({"a.x": "1", "a.y": "2", "b.z": "3"},)], "kv map<string,string>"
+    )
+    out = rw.groupset(df, F.lit("X"), key_glob="a.*").collect()[0].kv
+    assert out == {"a.x": "X", "a.y": "X", "b.z": "3"}
+
+
+def test_value_pairs_select(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "h_a int, h_b int, other int")
+    out = rw.value_pairs_select(df, ["h_*"], exclude_globs=["h_b"], add_prefix="p.")
+    assert out.columns == ["p.h_a"]
+
+
+def test_timezone_rewrites(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame([(dt.datetime(2024, 1, 1, 12, 0, 0),)], "ts timestamp")
+    # fix-timezone: the wall clock 12:00 was actually UTC+2 -> 10:00 UTC
+    r = rw.fix_timezone(df, "ts", "Europe/Budapest").collect()[0].ts
+    assert r == dt.datetime(2024, 1, 1, 11, 0, 0)  # CET is +1 in January
+
+
+def test_string_and_numeric_funcs(spark):
+    df = _one(spark, s="  /var/log/app.log  ", n=7)
+    r = df.select(
+        tf.tf_strip(F.col("s")).alias("stripped"),
+        tf.tf_basename(tf.tf_strip(F.col("s"))).alias("base"),
+        tf.tf_dirname(tf.tf_strip(F.col("s"))).alias("dir"),
+        tf.tf_uppercase(F.lit("ab")).alias("up"),
+        tf.tf_padding(F.lit("7"), 3, "0").alias("pad"),
+        tf.tf_sum(F.col("n"), F.lit(3)).alias("sum"),
+        tf.tf_average(F.col("n"), F.lit(3)).alias("avg"),
+        tf.tf_sha256(F.lit("abc"), 8).alias("h"),
+        tf.tf_md5(F.lit("abc")).alias("m"),
+        tf.tf_ipv4_to_int(F.lit("10.0.0.1")).alias("ip"),
+    ).collect()[0]
+    assert r.stripped == "/var/log/app.log"
+    assert r.base == "app.log" and r.dir == "/var/log"
+    assert r.up == "AB" and r.pad == "007"
+    assert r.sum == 10 and r.avg == 5.0
+    assert r.h == "ba7816bf"  # sha256('abc') prefix
+    assert r.m == "900150983cd24fb0d6963f7d28e17f72"
+    assert r.ip == 10 * 16777216 + 1
+
+
+def test_list_funcs(spark):
+    df = spark.createDataFrame([(["a", "b", "c"],)], "l array<string>")
+    r = df.select(
+        tf.tf_list_head(F.col("l")).alias("h"),
+        tf.tf_list_nth(F.col("l"), 1).alias("n1"),
+        tf.tf_list_count(F.col("l")).alias("c"),
+        tf.tf_implode(F.col("l"), ",").alias("joined"),
+        tf.tf_list_search(F.col("l"), F.lit("b")).alias("idx"),
+        tf.tf_map(F.col("l"), lambda x: F.upper(x)).alias("mapped"),
+        tf.tf_filter(F.col("l"), lambda x: x != "b").alias("filtered"),
+    ).collect()[0]
+    assert r.h == "a" and r.n1 == "b" and r.c == 3
+    assert r.joined == "a,b,c" and r.idx == 1
+    assert r.mapped == ["A", "B", "C"] and r.filtered == ["a", "c"]
+
+
+def test_format_funcs(spark):
+    df = _one(spark, a="x", b="y")
+    r = df.select(
+        tf.format_json({"k1": F.col("a"), "k2": F.col("b")}).alias("j"),
+        tf.format_welf({"dst": F.col("b"), "src": F.col("a")}).alias("w"),
+    ).collect()[0]
+    assert r.j == '{"k1":"x","k2":"y"}'
+    assert r.w == "dst=y src=x"
+
+
+def test_macros(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 5, 7, 9, 11), 3, 4)],
+        "ts timestamp, severity int, facility int",
+    )
+    r = df.select(
+        tf.macro("YEAR", F.col("ts")).alias("y"),
+        tf.macro("S_MONTH", F.col("ts")).alias("m"),
+        tf.macro("HOUR", F.col("ts")).alias("h"),
+        tf.macro("UNIXTIME", F.col("ts")).alias("u"),
+        tf.macro("PRI", severity=F.col("severity"), facility=F.col("facility")).alias("pri"),
+        tf.macro("SEVERITY", severity=F.col("severity")).alias("sev"),
+        tf.macro("FACILITY", facility=F.col("facility")).alias("fac"),
+    ).collect()[0]
+    assert (r.y, r.m, r.h) == ("2024", "03", "07")
+    assert r.pri == "35" and r.sev == "err" and r.fac == "auth"
