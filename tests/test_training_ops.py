@@ -1,0 +1,127 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from axosyslog_spark.operators import dedup, multimodal, similarity, textstats
+
+DOCS = [
+    (0, "The quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup (case)
+    (2, "The quick brown fox jumps over the lazy dog near the river bank yesterday"),  # near dup
+    (3, "completely different content about database query optimization and joins"),
+    (4, "zzz qqq xxx"),  # junk
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_dup_groups(docs).collect()
+    dup_group = [g for g in groups if g.n_dups > 1]
+    assert len(dup_group) == 1
+    assert dup_group[0].canonical_id == 0 and dup_group[0].n_dups == 2
+    kept = dedup.drop_exact_dups(docs).select("doc_id").collect()
+    assert sorted(r.doc_id for r in kept) == [0, 2, 3, 4]
+
+
+def test_jaccard_pairs(spark, docs):
+    pairs = {(r.id1, r.id2): r.jaccard_e6 for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1_000_000
+    assert (0, 2) in pairs and 500_000 <= pairs[(0, 2)] < 1_000_000
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    got = {(r.id1, r.id2): r.jaccard_e6 for r in dedup.minhash_near_dups(docs, threshold=0.5).collect()}
+    # exact dups always collide in every band; near dups should too here
+    assert (0, 1) in got
+    assert (0, 2) in got
+    assert not any((p[0], p[1]) == (0, 3) for p in got)
+
+
+def test_simhash_near_dups(spark, docs):
+    sh = docs.select(dedup.simhash(F.col("text")).alias("s")).collect()
+    assert len({r.s for r in sh}) >= 3  # distinct docs get distinct digests
+    pairs = {(r.id1, r.id2): r.hamming for r in dedup.simhash_near_dups(
+        docs, max_hamming=6).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0
+    assert (0, 2) in pairs
+
+
+def test_text_profile(spark, docs):
+    prof = {r.doc_id: r for r in textstats.text_profile(docs).collect()}
+    assert prof[0].n_tokens == 14
+    assert prof[0].lang_guess == "en"
+    assert prof[4].lang_guess == "unknown"
+    assert prof[0].quality > prof[4].quality
+    assert prof[0].fingerprint == prof[1].fingerprint      # normalization
+    assert prof[0].fingerprint != prof[2].fingerprint
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # 8-dim embeddings: v1 ~ v0 (same direction), v2 orthogonal-ish
+    rows = [
+        (0, [1.0, 0.0, 0.5, 0.0, 0.2, 0.0, 0.0, 0.1]),
+        (1, [0.9, 0.05, 0.45, 0.0, 0.2, 0.0, 0.0, 0.1]),
+        (2, [0.0, 1.0, 0.0, 0.8, 0.0, 0.3, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0]),
+        (4, [1.0, 0.0, 0.5, 0.0, 0.2, 0.0, 0.0, 0.1]),  # == v0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    top = similarity.brute_force_topk(vectors, q, k=2).collect()
+    assert [r.neighbor_id for r in top] == [4, 1]   # identical first, then close
+    assert top[0].cos_e6 in (999_999, 1_000_000)
+
+
+def test_lsh_topk_finds_identical(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    top = similarity.lsh_topk(vectors, q, dim=8, k=2, n_planes=4).collect()
+    # identical vector shares every hyperplane sign -> always a candidate
+    assert top and top[0].neighbor_id == 4
+
+
+def test_embedding_near_dups(spark, vectors):
+    pairs = {(r.id1, r.id2): r.cos_e6 for r in similarity.embedding_near_dups(
+        vectors, threshold=0.99).collect()}
+    assert (0, 4) in pairs
+    assert (0, 1) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_multimodal_roundtrip(spark, docs):
+    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    assert [(f.name, f.dataType) for f in media.schema.fields] == [
+        (f.name, f.dataType) for f in multimodal.MEDIA_SCHEMA.fields
+    ]
+    decoded = multimodal.decode_media(media)
+    rows = {r.media_id: r for r in decoded.collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    assert rows[0].n_bytes == len(DOCS[0][1])
+    assert rows[0].width >= 64 and rows[0].height >= 64
+    # images have no duration; only videos have multiple frames
+    for r in rows.values():
+        if r.kind == "image":
+            assert r.duration_ms == 0 and r.n_frames == 1
+    # deterministic: same payload -> same feature hash
+    m2 = {r.media_id: r for r in multimodal.decode_media(media).collect()}
+    assert all(m2[k].feature_hash == rows[k].feature_hash for k in rows)
+
+
+def test_resize_and_frames(spark, docs):
+    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    resized = multimodal.resize_images(media, max_side=100).collect()
+    assert resized and all(max(r.width, r.height) <= 100 for r in resized)
+    frames = multimodal.sample_frames(media, every_n=2).collect()
+    assert frames and all(r.frame_idx % 2 == 0 for r in frames)
