@@ -1,0 +1,71 @@
+"""csv-parser() and date-parser() unit tests (modules/csvparser/tests,
+modules/timestamp/date-parser.c semantics)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from axosyslog_spark.operators.csvparse import CsvColumn, CsvSpec, csv_parse
+from axosyslog_spark.operators.dateparse import date_parser
+
+
+def _df(spark, lines):
+    return spark.createDataFrame([(t,) for t in lines], "text string")
+
+
+def test_csv_quoted_dialect(spark):
+    spec = CsvSpec(
+        columns=(CsvColumn("host"), CsvColumn("port", "int"), CsvColumn("msg")),
+    )
+    out = csv_parse(_df(spark, ['web1,8080,"hello, world"']), spec).collect()[0]
+    assert out.host == "web1" and out.port == 8080
+    assert out.msg == "hello, world"       # quoted delimiter preserved
+    assert out.csv_ok is True
+
+
+def test_csv_drop_invalid(spark):
+    spec = CsvSpec(columns=(CsvColumn("a"), CsvColumn("b"), CsvColumn("c")))
+    rows = csv_parse(_df(spark, ["1,2,3", "1,2"]), spec).collect()
+    assert [r.csv_ok for r in rows] == [True, False]
+
+
+def test_csv_greedy_rest(spark):
+    spec = CsvSpec(
+        columns=(CsvColumn("lvl"), CsvColumn("rest")), delimiter=" ",
+        quote=None, greedy=True,
+    )
+    out = csv_parse(_df(spark, ["err disk full on /dev/sda"]), spec).collect()[0]
+    assert out.lvl == "err" and out.rest == "disk full on /dev/sda"
+
+
+def test_csv_strip_and_null(spark):
+    spec = CsvSpec(
+        columns=(CsvColumn("a"), CsvColumn("b")), quote=None,
+        strip=True, null_value="-",
+    )
+    out = csv_parse(_df(spark, [" x , - "]), spec).collect()[0]
+    assert out.a == "x" and out.b is None
+
+
+def test_date_parser_multi_format(spark):
+    df = _df(
+        spark,
+        [
+            "2024-01-02T03:04:05",
+            "2024/01/02 03:04:05",
+            "02/Jan/2024:03:04:05",
+            "not a date",
+        ],
+    )
+    rows = date_parser(df, "text").collect()
+    expect = dt.datetime(2024, 1, 2, 3, 4, 5)
+    assert rows[0].parsed_ts == expect
+    assert rows[1].parsed_ts == expect
+    assert rows[2].parsed_ts == expect
+    assert rows[3].parsed_ts is None
+
+
+def test_date_parser_timezone(spark):
+    df = _df(spark, ["2024-06-01T12:00:00"])
+    out = date_parser(df, "text", timezone="Europe/Budapest").collect()[0]
+    assert out.parsed_ts == dt.datetime(2024, 6, 1, 10, 0, 0)  # CEST = +2

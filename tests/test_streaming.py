@@ -1,0 +1,96 @@
+"""Structured Streaming face: stream results must equal the batch
+pipeline on the same input (availableNow trigger = bounded replay)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from axosyslog_spark.plans.pipeline import run_pipeline
+from axosyslog_spark.sources.transcripts import synthesize_transcripts
+from axosyslog_spark.streaming import pipeline as sp
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def staged(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "transcripts")
+    synthesize_transcripts(spark, SF).write.parquet(path)
+    return path
+
+
+def _run_to_memory(spark, df, name, output_mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_pipeline_equals_batch(spark, staged, tmp_path):
+    stream = sp.stream_transcripts(spark, staged)
+    assert stream.isStreaming
+    routed = sp.stream_pipeline(spark, stream)
+    got = _run_to_memory(spark, routed, "routed_mem")
+    stream_counts = {
+        r.sink: r.n for r in got.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    batch = run_pipeline(spark, spark.read.parquet(staged))
+    batch_counts = {r.sink: r.n for r in batch.counts.collect()}
+    assert stream_counts == batch_counts
+
+
+def test_session_aggregate_closes_on_gap(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", 0, "u", "x", "", t0),
+        ("c1", 1, "u", "x", "", t0 + dt.timedelta(minutes=5)),
+        ("c1", 2, "u", "x", "", t0 + dt.timedelta(minutes=60)),  # new session
+    ]
+    path = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).write.parquet(path)
+    stream = sp.stream_transcripts(spark, path)
+    sess = sp.session_aggregate(stream, gap="30 minutes")
+    got = _run_to_memory(spark, sess, "sess_mem", output_mode="complete")
+    rows = sorted(got.collect(), key=lambda r: r.session_start)
+    assert len(rows) == 2
+    assert rows[0].n_turns == 2 and rows[1].n_turns == 1
+
+
+def test_rate_limit_stateful(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("c1", i, "u", f"t{i}", "", t0) for i in range(10)] + [
+        ("c2", 0, "u", "x", "", t0)
+    ]
+    path = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).write.parquet(path)
+    stream = sp.stream_transcripts(spark, path)
+    rl = sp.rate_limit_stateful(stream, max_per_key=3)
+    got = {r.conv_id: r for r in _run_to_memory(spark, rl, "rl_mem", "update").collect()}
+    assert got["c1"].n_passed == 3 and got["c1"].n_dropped == 7
+    assert got["c2"].n_passed == 1 and got["c2"].n_dropped == 0
+
+
+def test_stream_sink_writes(spark, staged, tmp_path):
+    stream = sp.stream_transcripts(spark, staged)
+    routed = sp.stream_pipeline(spark, stream)
+    out = str(tmp_path / "sinks")
+    ckpt = str(tmp_path / "ckpt")
+    q = sp.write_sinks(routed, out, ckpt)
+    q.awaitTermination(120)
+    written = spark.read.parquet(out)
+    batch = run_pipeline(spark, spark.read.parquet(staged))
+    assert written.count() == batch.routed.count()
+    sinks = {r.sink for r in written.select("sink").distinct().collect()}
+    assert "sink_errors" in sinks and "sink_default" in sinks

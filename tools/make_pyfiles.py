@@ -1,0 +1,28 @@
+"""Package axosyslog_spark for spark-submit --py-files."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    dist = os.path.join(REPO, "dist")
+    os.makedirs(dist, exist_ok=True)
+    out = os.path.join(dist, "axosyslog_spark.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(REPO, "axosyslog_spark")
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, REPO))
+    print(out)
+
+
+if __name__ == "__main__":
+    main()
