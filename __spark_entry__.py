@@ -169,6 +169,159 @@ def q_pipe_patterndb(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# classic operator families over events / documents (oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def q_op_csv_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """csv-parser(): build a csv line from events, parse it back into
+    typed columns (greedy last column)."""
+    from axosyslog_spark.operators.csvparse import CsvColumn, CsvSpec, csv_parse
+
+    ev = _utc(spark).read.parquet(f"{sf}/events.parquet")
+    line = F.concat_ws(
+        ",",
+        F.col("event_id").cast("string"),
+        F.col("event_type"),
+        F.col("user_id").cast("string"),
+        F.col("props"),
+    )
+    df = ev.select(F.col("event_id"), line.alias("text"))
+    spec = CsvSpec(
+        columns=(
+            CsvColumn("eid", "bigint"),
+            CsvColumn("etype"),
+            CsvColumn("uid", "bigint"),
+            CsvColumn("rest"),
+        ),
+        quote=None,
+        greedy=True,
+    )
+    return csv_parse(df, spec).select("event_id", "eid", "etype", "uid", "rest", "csv_ok")
+
+
+def q_op_date_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """date-parser(): multi-format strptime chain."""
+    from axosyslog_spark.operators.dateparse import date_parser
+
+    ev = _utc(spark).read.parquet(f"{sf}/events.parquet")
+    fmt = (
+        F.when(F.col("event_id") % 3 == 0, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(F.col("event_id") % 3 == 1, F.date_format("ts", "yyyy/MM/dd HH:mm:ss"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd"))
+    )
+    df = ev.select("event_id", fmt.alias("raw"))
+    out = date_parser(df, "raw")
+    return out.select(
+        "event_id", "raw",
+        F.date_format("parsed_ts", TS_FMT_SPARK).alias("parsed_str"),
+    )
+
+
+def q_op_geoip_range(spark: SparkSession, sf: str) -> DataFrame:
+    """geoip2() analog: ip -> int, broadcast range join on intervals
+    (modules/geoip2/geoip-parser.c as interval enrichment)."""
+    from axosyslog_spark.operators.filters import ip_to_long
+
+    ev = _utc(spark).read.parquet(f"{sf}/events.parquet")
+    ip = F.concat_ws(
+        ".",
+        F.lit("10"),
+        (F.col("user_id") % 200).cast("string"),
+        (F.col("event_id") % 250).cast("string"),
+        F.lit("1"),
+    )
+    df = ev.select("event_id", ip.alias("ip"), ip_to_long(ip).alias("ip_num"))
+    ranges = spark.createDataFrame(
+        GEO_RANGES, "lo bigint, hi bigint, geo_name string"
+    )
+    joined = df.join(
+        F.broadcast(ranges),
+        (F.col("ip_num") >= F.col("lo")) & (F.col("ip_num") <= F.col("hi")),
+        "left",
+    )
+    return joined.select(
+        "event_id", "ip",
+        F.coalesce("geo_name", F.lit("unknown")).alias("geo_name"),
+    )
+
+
+# deterministic interval dimension shared with the oracle SQL
+def _geo_ranges() -> list[tuple[int, int, str]]:
+    base = 10 * 16777216
+    return [
+        (base + i * 50 * 65536, base + (i * 50 + 49) * 65536 + 65535, f"region-{i}")
+        for i in range(4)
+    ]
+
+
+GEO_RANGES = _geo_ranges()
+
+
+def q_op_metrics_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """metrics-probe(): labeled counters + integer-cents sum."""
+    from axosyslog_spark.operators.metrics import metrics_probe
+
+    ev = _utc(spark).read.parquet(f"{sf}/events.parquet")
+    ev = ev.withColumn(
+        "value_cents", F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    )
+    out = metrics_probe(ev, ["event_type"], counter_name="n")
+    cents = ev.groupBy("event_type").agg(F.sum("value_cents").alias("cents"))
+    return out.join(cents, "event_type").select("event_type", "n", "cents")
+
+
+def q_op_template_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """string/crypto/path template functions over documents."""
+    from axosyslog_spark.functions import templates as tf
+
+    d = _docs(spark, sf)
+    path = F.concat(F.lit("/corpus/"), F.col("source"), F.lit("/doc_"),
+                    F.col("doc_id").cast("string"), F.lit(".txt"))
+    return d.select(
+        "doc_id",
+        tf.tf_length(F.col("text")).alias("len"),
+        tf.tf_substr(F.col("text"), 1, 16).alias("head16"),
+        tf.tf_uppercase(F.col("lang")).alias("lang_up"),
+        tf.tf_padding(F.col("doc_id").cast("string"), 6, "0").alias("padded"),
+        tf.tf_basename(path).alias("base"),
+        tf.tf_dirname(path).alias("dir"),
+        tf.tf_sha256(F.col("text"), 16).alias("sha16"),
+        tf.tf_md5(F.col("text")).alias("md5"),
+    )
+
+
+def q_op_netmask_inlist(spark: SparkSession, sf: str) -> DataFrame:
+    """netmask() + in-list() filters composed."""
+    from axosyslog_spark.operators.filters import in_list, ip_to_long, netmask
+
+    ev = _utc(spark).read.parquet(f"{sf}/events.parquet")
+    ip = F.concat_ws(
+        ".", F.lit("10"), (F.col("user_id") % 200).cast("string"),
+        (F.col("event_id") % 250).cast("string"), F.lit("1"),
+    )
+    df = ev.withColumn("ip", ip)
+    kept = df.filter(
+        netmask(F.col("ip"), "10.64.0.0/10")
+        & in_list(F.col("event_type"), ["click", "view", "error"])
+    )
+    _ = ip_to_long  # (used by netmask internally)
+    return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_op_subst(spark: SparkSession, sf: str) -> DataFrame:
+    """subst() rewrite: global and first-match-only variants."""
+    from axosyslog_spark.operators.rewrite import subst
+
+    d = _docs(spark, sf).select("doc_id", "text")
+    g = subst(d, "[aeiou]", "_").withColumnRenamed("text", "t_global")
+    one = subst(d, "table", "TABLE", global_=False).withColumnRenamed("text", "t_first")
+    return g.join(one.select("doc_id", "t_first"), "doc_id").select(
+        "doc_id", "t_global", "t_first"
+    )
+
+
+# ---------------------------------------------------------------------------
 # training-data ops over documents / embeddings
 # ---------------------------------------------------------------------------
 
@@ -279,6 +432,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_rate_limit": q_pipe_rate_limit,
         "pipe_group_lines": q_pipe_group_lines,
         "pipe_patterndb": q_pipe_patterndb,
+        "op_csv_parse": q_op_csv_parse,
+        "op_date_parse": q_op_date_parse,
+        "op_geoip_range": q_op_geoip_range,
+        "op_metrics_probe": q_op_metrics_probe,
+        "op_template_funcs": q_op_template_funcs,
+        "op_netmask_inlist": q_op_netmask_inlist,
+        "op_subst": q_op_subst,
         "doc_text_profile": q_doc_text_profile,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
@@ -393,6 +553,90 @@ def oracle_sql() -> dict[str, str]:
                 PatternDB(PDB_RULES), "body", "FROM parsed2", "conv_id, turn_idx"
             )
         ),
+        "op_csv_parse": """
+        WITH lines AS (
+          SELECT event_id,
+                 CAST(event_id AS VARCHAR) || ',' || event_type || ',' ||
+                 CAST(user_id AS VARCHAR) || ',' || props AS text
+          FROM events
+        )
+        SELECT event_id,
+               CAST(split_part(text, ',', 1) AS BIGINT) AS eid,
+               split_part(text, ',', 2) AS etype,
+               CAST(split_part(text, ',', 3) AS BIGINT) AS uid,
+               regexp_extract(text, '^[^,]*,[^,]*,[^,]*,(.*)$', 1) AS rest,
+               TRUE AS csv_ok
+        FROM lines
+        """,
+        "op_date_parse": """
+        WITH raws AS (
+          SELECT event_id,
+            CASE WHEN event_id % 3 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+                 WHEN event_id % 3 = 1 THEN strftime(ts, '%Y/%m/%d %H:%M:%S')
+                 ELSE strftime(ts, '%Y-%m-%d') END AS raw
+          FROM events
+        )
+        SELECT event_id, raw,
+               strftime(try_strptime(raw,
+                 ['%Y-%m-%dT%H:%M:%S', '%Y/%m/%d %H:%M:%S', '%Y-%m-%d']),
+                 '%Y-%m-%dT%H:%M:%S') AS parsed_str
+        FROM raws
+        """,
+        "op_geoip_range": (
+            """
+        WITH ips AS (
+          SELECT event_id,
+                 '10.' || CAST(user_id % 200 AS VARCHAR) || '.' ||
+                 CAST(event_id % 250 AS VARCHAR) || '.1' AS ip,
+                 10 * 16777216 + (user_id % 200) * 65536 + (event_id % 250) * 256 + 1 AS ip_num
+          FROM events
+        )
+        SELECT i.event_id, i.ip, coalesce(g.geo_name, 'unknown') AS geo_name
+        FROM ips i LEFT JOIN (VALUES """
+            + ", ".join(f"({lo}, {hi}, '{nm}')" for lo, hi, nm in GEO_RANGES)
+            + """) AS g(lo, hi, geo_name)
+          ON i.ip_num BETWEEN g.lo AND g.hi
+        """
+        ),
+        "op_metrics_probe": """
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY event_type
+        """,
+        "op_template_funcs": """
+        WITH p AS (
+          SELECT *, '/corpus/' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path
+          FROM documents
+        )
+        SELECT doc_id,
+               length(text) AS len,
+               substr(text, 1, 16) AS head16,
+               upper(lang) AS lang_up,
+               lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded,
+               regexp_extract(path, '([^/]*)$', 1) AS base,
+               regexp_extract(path, '^(.*)/[^/]*$', 1) AS dir,
+               substr(sha256(text), 1, 16) AS sha16,
+               md5(text) AS md5
+        FROM p
+        """,
+        "op_netmask_inlist": """
+        WITH ips AS (
+          SELECT *,
+                 10 * 16777216 + (user_id % 200) * 65536 + (event_id % 250) * 256 + 1 AS ip_num
+          FROM events
+        )
+        SELECT event_type, count(*) AS n
+        FROM ips
+        WHERE ip_num BETWEEN 171966464 AND 176160767
+          AND event_type IN ('click', 'view', 'error')
+        GROUP BY event_type
+        """,
+        "op_subst": """
+        SELECT doc_id,
+               regexp_replace(text, '[aeiou]', '_', 'g') AS t_global,
+               regexp_replace(text, 'table', 'TABLE') AS t_first
+        FROM documents
+        """,
         "doc_text_profile": oracle.doc_text_profile_sql(),
         "doc_exact_dedup": oracle.doc_exact_dedup_sql(),
         "doc_jaccard_pairs": oracle.doc_jaccard_pairs_sql(100_000),
