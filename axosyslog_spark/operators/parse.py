@@ -127,7 +127,7 @@ def kv_to_map(df: DataFrame, src_col: str, out_col: str = "kv") -> DataFrame:
     reference's NV pairs): str_to_map over 'k=v k=v' text."""
     return df.withColumn(
         out_col,
-        F.str_to_map(F.regexp_replace(F.col(src_col), r"^[^ ]*: ", ""), " ", "="),
+        F.str_to_map(F.regexp_replace(F.col(src_col), r"^[^ ]*: ", ""), F.lit(" "), F.lit("=")),
     )
 
 
