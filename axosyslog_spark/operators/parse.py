@@ -148,6 +148,76 @@ def parse_json_fields(df: DataFrame, src_col: str = "text") -> DataFrame:
     )
 
 
+# BSD syslog: <PRI>MMM dd HH:mm:ss HOST TAG[PID]: MSG
+RFC3164_RE = (
+    r"^<([0-9]{1,3})>([A-Z][a-z]{2} [ 0-9][0-9] [0-9]{2}:[0-9]{2}:[0-9]{2}) "
+    r"([^ ]+) ([^\[ :]+)(?:\[([0-9]+)\])?: (.*)$"
+)
+
+
+def parse_rfc3164(df: DataFrame, text_col: str = "text", year: int = 2024) -> DataFrame:
+    """RFC3164 (BSD) header parse (modules/syslogformat/syslog-format.c
+    legacy branch). The format carries no year — callers supply one
+    (the reference guesses from the receive time)."""
+    text = F.col(text_col)
+    m = text.rlike(RFC3164_RE)
+
+    def g(i: int):
+        return F.regexp_extract(text, RFC3164_RE, i)
+
+    pri = F.when(m & (g(1).cast("int") <= 191), g(1).cast("int")).otherwise(
+        F.lit(DEFAULT_PRI)
+    )
+    return df.withColumns(
+        {
+            "bsd_ok": m,
+            "pri": pri,
+            "severity": (pri % 8).cast("int"),
+            "facility": ((pri - pri % 8) / 8).cast("int"),
+            # RFC3164 days are space-padded ("Jan  5") -> collapse and
+            # parse with single-digit day pattern
+            "msg_ts": F.when(
+                m,
+                F.to_timestamp(
+                    F.concat(
+                        F.lit(str(year)), F.lit(" "),
+                        F.regexp_replace(g(2), "  ", " "),
+                    ),
+                    "yyyy MMM d HH:mm:ss",
+                ),
+            ),
+            "host": F.when(m, g(3)),
+            "appname": F.when(m, g(4)),
+            "procid": F.when(m, F.nullif(g(5), F.lit(""))),
+            "body": F.when(m, g(6)).otherwise(text),
+        }
+    )
+
+
+def format_rfc5424(
+    pri: Column, ts: Column, host: Column, appname: Column, procid: Column,
+    body: Column,
+) -> Column:
+    """Render columns back into an RFC5424 line — the template/
+    $(format-syslog-5424) analog (modules/syslogformat/
+    syslog-format-plugin.c:60). Inverse of parse_header for our header
+    subset; roundtrip is unit-tested (bit-exact output contract)."""
+    return F.concat(
+        F.lit("<"), pri.cast("string"), F.lit(">1 "),
+        F.date_format(ts, TS_FMT_SPARK), F.lit(" "),
+        F.coalesce(host, F.lit("-")), F.lit(" "),
+        F.coalesce(appname, F.lit("-")), F.lit(" "),
+        F.coalesce(procid, F.lit("-")), F.lit(" - - "),
+        F.coalesce(body, F.lit("")),
+    )
+
+
+def tags_parser(df: DataFrame, src_col: str, out_col: str = "tags") -> DataFrame:
+    """tags-parser(): parse a $TAGS-style comma list back into the tags
+    array (modules/tagsparser/)."""
+    return df.withColumn(out_col, F.split(F.col(src_col), ","))
+
+
 def parse_stage(df: DataFrame) -> DataFrame:
     """The full parse stage used by the flagship pipeline."""
     return parse_json_fields(parse_kv(parse_header(df)))

@@ -1,0 +1,66 @@
+"""xml-parser(): XML → dotted name-value pairs.
+
+Reference: modules/xml/xml.c + lib/scanner/xml-scanner/ — element text
+and attributes become dotted keys (`.xml.root.child`, attributes as
+`.xml.root._attr`); repeated elements concatenate/list.
+
+This is one of the few operators where column algebra genuinely can't
+express the semantics, so it runs as an Arrow-batched pandas UDF over
+stdlib xml.etree (no external deps). Per input_hint discipline the UDF
+is vectorized per batch — Python never runs row-at-a-time through the
+serializer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: F401  (callers compose)
+from pyspark.sql.types import MapType, StringType
+
+
+def _flatten_xml(text: str, prefix: str = "xml") -> dict[str, str]:
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(text)
+    except ET.ParseError:
+        return {}
+    out: dict[str, str] = {}
+
+    def walk(el, path: str) -> None:
+        key = f"{path}.{el.tag}"
+        for aname, aval in el.attrib.items():
+            out[f"{key}._{aname}"] = aval
+        txt = (el.text or "").strip()
+        if txt:
+            # repeated elements concatenate (xml.c list handling)
+            out[key] = out.get(key, "") + txt if key in out else txt
+        for child in el:
+            walk(child, key)
+
+    walk(root, prefix)
+    return out
+
+
+def xml_parser(
+    df: DataFrame, src_col: str = "text", out_col: str = "xml", prefix: str = "xml"
+) -> DataFrame:
+    """Adds a map<string,string> column of dotted XML fields (empty map
+    on parse failure — pair with a filter for drop-invalid)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(MapType(StringType(), StringType()))
+    def parse_batch(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _flatten_xml(t or "", prefix))
+
+    return df.withColumn(out_col, parse_batch(df[src_col]))
+
+
+def xml_parser_stream(
+    df: DataFrame, src_col: str = "text", out_col: str = "xml", prefix: str = "xml"
+) -> Iterator:  # pragma: no cover - thin alias
+    """mapInPandas variant kept for API symmetry with multimodal."""
+    return xml_parser(df, src_col, out_col, prefix)

@@ -1,0 +1,95 @@
+"""XML parser, multi-line assembly, RFC3164 parse, RFC5424 roundtrip."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from axosyslog_spark.operators import multiline
+from axosyslog_spark.operators.parse import (
+    format_rfc5424,
+    parse_header,
+    parse_rfc3164,
+    tags_parser,
+)
+from axosyslog_spark.operators.xmlparse import xml_parser
+
+
+def test_xml_parser(spark):
+    xml = '<event id="7"><src ip="1.2.3.4">fw1</src><msg>denied</msg></event>'
+    df = spark.createDataFrame([(xml,), ("not xml",)], "text string")
+    rows = {r.text: r.xml for r in xml_parser(df).collect()}
+    got = rows[xml]
+    assert got["xml.event._id"] == "7"
+    assert got["xml.event.src._ip"] == "1.2.3.4"
+    assert got["xml.event.src"] == "fw1"
+    assert got["xml.event.msg"] == "denied"
+    assert rows["not xml"] == {}
+
+
+def test_indented_multiline(spark):
+    rows = [
+        ("c1", 0, "Traceback (most recent call last):"),
+        ("c1", 1, "  File \"x.py\", line 1"),
+        ("c1", 2, "  ValueError: boom"),
+        ("c1", 3, "next message"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = sorted(
+        multiline.indented(df).collect(), key=lambda r: r.turn_idx
+    )
+    assert len(out) == 2
+    assert out[0].n_lines == 3 and out[0].assembled.endswith("ValueError: boom")
+    assert out[1].assembled == "next message"
+
+
+def test_regexp_prefix_multiline(spark):
+    rows = [
+        ("c1", 0, "2024-01-01 start of A"),
+        ("c1", 1, "continuation of A"),
+        ("c1", 2, "2024-01-02 start of B"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = sorted(
+        multiline.regexp_prefix(df, r"^[0-9]{4}-").collect(),
+        key=lambda r: r.turn_idx,
+    )
+    assert [r.n_lines for r in out] == [2, 1]
+
+
+def test_rfc3164_parse(spark):
+    line = "<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed"
+    df = spark.createDataFrame([(line,)], "text string")
+    r = parse_rfc3164(df, year=2003).collect()[0]
+    assert r.bsd_ok is True
+    assert r.pri == 34 and r.facility == 4 and r.severity == 2
+    assert r.host == "mymachine" and r.appname == "su" and r.procid == "230"
+    assert r.msg_ts == dt.datetime(2003, 10, 11, 22, 14, 15)
+    assert r.body == "'su root' failed"
+
+
+def test_rfc3164_no_pid(spark):
+    line = "<13>Jan  5 01:02:03 h app: hello"
+    r = parse_rfc3164(spark.createDataFrame([(line,)], "text string")).collect()[0]
+    assert r.bsd_ok is True and r.procid is None and r.body == "hello"
+
+
+def test_rfc5424_roundtrip(spark):
+    line = "<165>1 2024-03-05T07:09:11 host-1 proc_x 42 - - status=ok latency_ms=5 path=/v1/y"
+    df = spark.createDataFrame(
+        [("c", 0, line)], "conv_id string, turn_idx int, text string"
+    )
+    p = parse_header(df)
+    rendered = p.select(
+        format_rfc5424(
+            F.col("pri"), F.col("msg_ts"), F.col("host"), F.col("appname"),
+            F.col("procid"), F.col("body"),
+        ).alias("out")
+    ).collect()[0].out
+    assert rendered == line  # bit-exact roundtrip
+
+
+def test_tags_parser(spark):
+    df = spark.createDataFrame([("a,b,c",)], "raw string")
+    assert tags_parser(df, "raw").collect()[0].tags == ["a", "b", "c"]
