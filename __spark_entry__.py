@@ -321,6 +321,38 @@ def q_op_subst(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_op_cef_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """CEF parser over lines synthesized from events (escape-free, so
+    the DuckDB oracle can mirror with plain split)."""
+    from axosyslog_spark.operators.cef import parse_cef
+
+    ev = _utc(spark).read.parquet(f"{sf}/events.parquet")
+    line = F.concat(
+        F.lit("CEF:0|AxoCorp|engine|4.26|"), F.col("event_type"),
+        F.lit("|User activity|"), (F.col("event_id") % 10).cast("string"),
+        F.lit("|src=10.0.0."), (F.col("user_id") % 250).cast("string"),
+        F.lit(" act="), F.col("event_type"),
+    )
+    df = ev.select("event_id", line.alias("text"))
+    out = parse_cef(df)
+    return out.select(
+        "event_id", "cef_ok", "vendor", "product", "event_class",
+        "cef_severity",
+        F.col("cef_ext")["src"].alias("src"),
+        F.col("cef_ext")["act"].alias("act"),
+    )
+
+
+def q_pipe_multiline(spark: SparkSession, sf: str) -> DataFrame:
+    """regexp-prefix multi-line assembly over transcripts: syslog-
+    headed turns start a message, everything else continues it."""
+    from axosyslog_spark.operators import multiline
+
+    t = _transcripts(spark, sf)
+    out = multiline.regexp_prefix(t, r"^<[0-9]", sep=" // ")
+    return out.select("conv_id", "segment_id", "turn_idx", "assembled", "n_lines")
+
+
 # ---------------------------------------------------------------------------
 # training-data ops over documents / embeddings
 # ---------------------------------------------------------------------------
@@ -439,6 +471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_template_funcs": q_op_template_funcs,
         "op_netmask_inlist": q_op_netmask_inlist,
         "op_subst": q_op_subst,
+        "op_cef_parse": q_op_cef_parse,
+        "pipe_multiline": q_pipe_multiline,
         "doc_text_profile": q_doc_text_profile,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
@@ -637,6 +671,39 @@ def oracle_sql() -> dict[str, str]:
                regexp_replace(text, 'table', 'TABLE') AS t_first
         FROM documents
         """,
+        "op_cef_parse": """
+        WITH lines AS (
+          SELECT event_id,
+                 'CEF:0|AxoCorp|engine|4.26|' || event_type || '|User activity|' ||
+                 CAST(event_id % 10 AS VARCHAR) || '|src=10.0.0.' ||
+                 CAST(user_id % 250 AS VARCHAR) || ' act=' || event_type AS text
+          FROM events
+        ), split_up AS (
+          SELECT event_id, string_split(regexp_replace(text, '^CEF:', ''), '|') AS p
+          FROM lines
+        )
+        SELECT event_id,
+               TRUE AS cef_ok,
+               p[2] AS vendor, p[3] AS product, p[5] AS event_class,
+               p[7] AS cef_severity,
+               regexp_extract(p[8], 'src=([^ ]+)', 1) AS src,
+               regexp_extract(p[8], 'act=([^ ]+)', 1) AS act
+        FROM split_up
+        """,
+        "pipe_multiline": W(
+            """
+            SELECT conv_id, segment_id, min(turn_idx) AS turn_idx,
+                   string_agg(text, ' // ' ORDER BY turn_idx) AS assembled,
+                   count(*) AS n_lines
+            FROM (
+              SELECT conv_id, turn_idx, text,
+                     CAST(sum(CASE WHEN regexp_matches(text, '^<[0-9]') THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segment_id
+              FROM transcripts
+            ) GROUP BY conv_id, segment_id
+            """
+        ),
         "doc_text_profile": oracle.doc_text_profile_sql(),
         "doc_exact_dedup": oracle.doc_exact_dedup_sql(),
         "doc_jaccard_pairs": oracle.doc_jaccard_pairs_sql(100_000),
