@@ -84,6 +84,58 @@ def enrich(df: DataFrame, db: DataFrame, spec: LookupSpec) -> DataFrame:
     return out
 
 
+def load_context_db(spark: SparkSession, path: str) -> DataFrame:
+    """Load an add-contextual-data CSV database.
+
+    The reference's format (modules/add-contextual-data/
+    context-info-db.c) is long-form rows `selector,name,value` — many
+    NV pairs per selector. Pivoted here to (selector, nv: map) so one
+    broadcast join injects the whole record.
+    """
+    raw = spark.read.csv(path, schema="selector string, name string, value string")
+    return raw.groupBy("selector").agg(
+        F.map_from_entries(F.collect_list(F.struct("name", "value"))).alias("nv")
+    )
+
+
+def enrich_with_context_db(
+    df: DataFrame,
+    db: DataFrame,
+    selector: str,
+    default_selector: str | None = None,
+    prefix: str = "",
+    out_col: str = "ctx",
+) -> DataFrame:
+    """add-contextual-data(): broadcast join on the selector template;
+    rows whose selector misses get the default-selector record
+    (add-contextual-data.c:111-137); injected pairs live under
+    ``out_col`` with optional key prefix."""
+    dim = db.select(F.col("selector").alias("__sel"), F.col("nv").alias("__nv"))
+    out = df.join(F.broadcast(dim), df[selector] == dim["__sel"], "left")
+    empty_map = F.expr("map()").cast("map<string,string>")
+    if default_selector is not None:
+        # the db is small by contract — resolve the default record at
+        # plan time and inline it as a map literal (no extra join)
+        rows = db.filter(F.col("selector") == default_selector).collect()
+        dflt = rows[0]["nv"] if rows else {}
+        dflt_lit = (
+            F.map_from_entries(
+                F.array(*[
+                    F.struct(F.lit(k).alias("key"), F.lit(v).alias("value"))
+                    for k, v in sorted(dflt.items())
+                ])
+            )
+            if dflt
+            else empty_map
+        )
+        nv = F.coalesce(F.col("__nv"), dflt_lit)
+    else:
+        nv = F.coalesce(F.col("__nv"), empty_map)
+    if prefix:
+        nv = F.transform_keys(nv, lambda k, _v: F.concat(F.lit(prefix), k))
+    return out.withColumn(out_col, nv).drop("__sel", "__nv")
+
+
 def enrich_tools(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Flagship enrichment: tool registry join with default record."""
     spec = LookupSpec(

@@ -219,6 +219,41 @@ def format_rfc5424(
     )
 
 
+def parse_sdata(df: DataFrame, sd_col: str, out_col: str = "sdata") -> DataFrame:
+    """RFC5424 STRUCTURED-DATA -> map with dotted keys.
+
+    `[id k="v" k2="v2"][id2 a="b"]` becomes
+    `{.SDATA.id.k: v, .SDATA.id.k2: v2, .SDATA.id2.a: b}` — the
+    reference's SDATA NV naming (modules/syslogformat/
+    syslog-format.c:591-706). '-' or unparsable -> empty map.
+    Pure column algebra: nested regexp_extract_all + transform.
+    """
+    src = F.col(sd_col)
+    blocks = F.regexp_extract_all(src, F.lit(r"\[([^\]]+)\]"), 1)
+    entries = F.flatten(
+        F.transform(
+            blocks,
+            lambda b: F.transform(
+                F.regexp_extract_all(b, F.lit(r'([\w.@-]+)="([^"]*)"'), 0),
+                lambda p: F.struct(
+                    F.concat(
+                        F.lit(".SDATA."),
+                        F.substring_index(b, " ", 1),
+                        F.lit("."),
+                        F.substring_index(p, "=", 1),
+                    ).alias("key"),
+                    F.regexp_extract(p, '"(.*)"', 1).alias("value"),
+                ),
+            ),
+        )
+    )
+    return df.withColumn(
+        out_col,
+        F.when(src.isNull() | (src == "-"), F.expr("map()").cast("map<string,string>"))
+        .otherwise(F.map_from_entries(entries)),
+    )
+
+
 def tags_parser(df: DataFrame, src_col: str, out_col: str = "tags") -> DataFrame:
     """tags-parser(): parse a $TAGS-style comma list back into the tags
     array (modules/tagsparser/)."""

@@ -1,0 +1,76 @@
+"""RFC5424 SDATA parsing + add-contextual-data CSV db semantics."""
+
+from __future__ import annotations
+
+from axosyslog_spark.operators.enrich import enrich_with_context_db, load_context_db
+from axosyslog_spark.operators.parse import parse_sdata
+
+
+def test_parse_sdata(spark):
+    rows = [
+        (0, '[exampleSDID@32473 iut="3" eventSource="Application"][origin ip="1.2.3.4"]'),
+        (1, "-"),
+        (2, None),
+        (3, "[empty]"),
+    ]
+    df = spark.createDataFrame(rows, "id int, sd string")
+    got = {r.id: r.sdata for r in parse_sdata(df, "sd").collect()}
+    assert got[0] == {
+        ".SDATA.exampleSDID@32473.iut": "3",
+        ".SDATA.exampleSDID@32473.eventSource": "Application",
+        ".SDATA.origin.ip": "1.2.3.4",
+    }
+    assert got[1] == {} and got[2] == {} and got[3] == {}
+
+
+def test_sdata_escaped_value_chars(spark):
+    df = spark.createDataFrame(
+        [(0, '[m k="a b c" n="x=y"]')], "id int, sd string"
+    )
+    got = parse_sdata(df, "sd").collect()[0].sdata
+    assert got[".SDATA.m.k"] == "a b c"
+    assert got[".SDATA.m.n"] == "x=y"
+
+
+def _db(spark, tmp_path):
+    csv = tmp_path / "db.csv"
+    csv.write_text(
+        "web1,role,frontend\n"
+        "web1,dc,us-east\n"
+        "db1,role,database\n"
+        "DEFAULT,role,unknown\n"
+        "DEFAULT,dc,none\n"
+    )
+    return load_context_db(spark, str(csv))
+
+
+def test_context_db_pivot(spark, tmp_path):
+    db = _db(spark, tmp_path)
+    got = {r.selector: r.nv for r in db.collect()}
+    assert got["web1"] == {"role": "frontend", "dc": "us-east"}
+    assert got["db1"] == {"role": "database"}
+
+
+def test_enrich_with_default_selector(spark, tmp_path):
+    db = _db(spark, tmp_path)
+    df = spark.createDataFrame(
+        [("web1",), ("db1",), ("mystery",)], "host string"
+    )
+    out = {r.host: r.ctx for r in enrich_with_context_db(
+        df, db, "host", default_selector="DEFAULT").collect()}
+    assert out["web1"] == {"role": "frontend", "dc": "us-east"}
+    assert out["mystery"] == {"role": "unknown", "dc": "none"}   # default record
+
+
+def test_enrich_without_default(spark, tmp_path):
+    db = _db(spark, tmp_path)
+    df = spark.createDataFrame([("mystery",)], "host string")
+    out = enrich_with_context_db(df, db, "host", prefix="ctx.").collect()[0]
+    assert out.ctx == {}
+
+
+def test_enrich_prefix(spark, tmp_path):
+    db = _db(spark, tmp_path)
+    df = spark.createDataFrame([("db1",)], "host string")
+    out = enrich_with_context_db(df, db, "host", prefix="ctx.").collect()[0]
+    assert out.ctx == {"ctx.role": "database"}
