@@ -1,0 +1,223 @@
+"""Property-based tests (hypothesis): random cases checked against
+independent Python models of the reference semantics."""
+
+from __future__ import annotations
+
+import math
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from axosyslog_spark.operators import filters as flt
+from axosyslog_spark.operators.patterndb import PdbRule, compile_rule
+from axosyslog_spark.operators.route import RouteBranch, RouteSpec, route_flags
+
+# ---------------------------------------------------------------------------
+# routing contract vs a direct Python interpreter of logmpx.c semantics
+# ---------------------------------------------------------------------------
+
+branch_strategy = st.tuples(
+    st.one_of(st.none(), st.integers(0, 4)),  # threshold or unconditional
+    st.booleans(),                            # final
+    st.booleans(),                            # fallback
+)
+
+
+def python_route(rows, branches):
+    out = []
+    for row in rows:
+        eligible = True
+        matched_any = False
+        delivered = []
+        for i, (thr, final, fallback) in enumerate(branches):
+            if fallback:
+                continue
+            m = True if thr is None else row[i] >= thr
+            d = eligible and m
+            if d:
+                delivered.append(f"s{i}")
+                matched_any = True
+                if final:
+                    eligible = False
+        for i, (thr, final, fallback) in enumerate(branches):
+            if not fallback:
+                continue
+            m = True if thr is None else row[i] >= thr
+            if eligible and not matched_any and m:
+                delivered.append(f"s{i}")
+        out.append(delivered)
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    branches=st.lists(branch_strategy, min_size=1, max_size=4),
+    rows=st.lists(st.integers(0, 4), min_size=4, max_size=4).flatmap(
+        lambda proto: st.lists(
+            st.tuples(*[st.integers(0, 4)] * 4), min_size=1, max_size=12
+        )
+    ),
+)
+def test_route_matches_python_model(spark, branches, rows):
+    spec = RouteSpec(
+        branches=tuple(
+            RouteBranch(
+                f"s{i}",
+                None if thr is None else F.col(f"a{i}") >= thr,
+                final=final,
+                fallback=fallback,
+            )
+            for i, (thr, final, fallback) in enumerate(branches)
+        )
+    )
+    n = len(branches)
+    data = [(j,) + row[:n] + (0,) * (n - len(row[:n])) for j, row in enumerate(rows)]
+    schema = "id int, " + ", ".join(f"a{i} int" for i in range(n))
+    df = spark.createDataFrame(data, schema)
+    got = {
+        r.id: list(r.routes)
+        for r in route_flags(df, spec).select("id", "routes").collect()
+    }
+    expected = python_route([row[1:] for row in data], branches)
+    for j in range(len(data)):
+        assert got[j] == expected[j], (branches, data[j])
+
+
+# ---------------------------------------------------------------------------
+# typed comparison vs a Python model of filter-cmp.c
+# ---------------------------------------------------------------------------
+
+VALUES = st.one_of(
+    st.integers(-100, 100),
+    st.floats(allow_infinity=False, width=32),
+    st.sampled_from(["", "abc", "10", "7", "-3.5", "korte", "nan"]),
+    st.none(),
+    st.booleans(),
+)
+OPS = st.sampled_from(["==", "!=", "<", "<=", ">", ">=", "===", "!=="])
+
+
+def _pytype(v):
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "double"
+    return "string"
+
+
+def _to_num_py(v, t):
+    if t == "null":
+        return 0.0
+    if t == "bool":
+        return float(v)
+    if t in ("int", "double"):
+        return float(v)
+    try:
+        return float(v)  # Spark try_cast accepts the same decimal forms here
+    except ValueError:
+        return math.nan
+
+
+def _cmp_py(a, b, op):
+    return {
+        "==": a == b, "!=": a != b, "<": a < b,
+        "<=": a <= b, ">": a > b, ">=": a >= b,
+    }[op]
+
+
+def python_typed_cmp(l, r, op):
+    lt, rt = _pytype(l), _pytype(r)
+    if op in ("===", "!=="):
+        if lt != rt:
+            return op == "!=="
+        return python_typed_cmp(l, r, "==" if op == "===" else "!=")
+    if lt == rt == "string":
+        return _cmp_py(l, r, op)
+    if (lt == "null" or rt == "null") and op in ("==", "!="):
+        return (lt == rt) == (op == "==")
+    ln, rn = _to_num_py(l, lt), _to_num_py(r, rt)
+    if math.isnan(ln) or math.isnan(rn):
+        return op == "!="
+    return _cmp_py(ln, rn, op)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(cases=st.lists(st.tuples(VALUES, VALUES, OPS), min_size=1, max_size=40))
+def test_typed_cmp_matches_python_model(spark, cases):
+    def lit(v):
+        if v is None:
+            return F.lit(None).cast("string")
+        return F.lit(v)
+
+    cols = [
+        flt.typed_cmp(lit(l), _pytype(l), lit(r), _pytype(r), op).alias(f"c{i}")
+        for i, (l, r, op) in enumerate(cases)
+    ]
+    row = spark.range(1).select(*cols).collect()[0]
+    for i, (l, r, op) in enumerate(cases):
+        assert row[f"c{i}"] is python_typed_cmp(l, r, op), (l, r, op)
+
+
+# ---------------------------------------------------------------------------
+# PatternDB compiler vs Python re (no Spark needed — pure compile check)
+# ---------------------------------------------------------------------------
+
+LITERAL = st.text(
+    alphabet="abcdefghij XYZ.:/-", min_size=1, max_size=8
+).filter(lambda s: "@" not in s)
+NAME = st.sampled_from(["f1", "f2", "f3", "val", "num"])
+
+
+@st.composite
+def pattern_and_input(draw):
+    """Build a pattern and an input line that must match it, plus the
+    expected extracted values."""
+    parts = []
+    line = []
+    expected = {}
+    n_segs = draw(st.integers(1, 4))
+    used = set()
+    for i in range(n_segs):
+        lit = draw(LITERAL)
+        parts.append(lit.replace("@", "@@"))
+        line.append(lit)
+        cls = draw(st.sampled_from(["NUMBER", "STRING", "IPv4", None]))
+        if cls is None:
+            continue
+        name = draw(NAME.filter(lambda n: n not in used))
+        used.add(name)
+        if cls == "NUMBER":
+            val = str(draw(st.integers(-999, 9999)))
+        elif cls == "IPv4":
+            val = ".".join(
+                str(draw(st.integers(0, 255))) for _ in range(4)
+            )
+        else:
+            val = draw(st.text(alphabet="abcXYZ123", min_size=1, max_size=6))
+        parts.append(f"@{cls}:{name}@")
+        line.append(val)
+        expected[name] = val
+        # STRING consumes until whitespace: ensure a space separator next
+        if i < n_segs - 1:
+            parts.append(" ")
+            line.append(" ")
+    return "".join(parts), "".join(line), expected
+
+
+@settings(max_examples=200, deadline=None)
+@given(case=pattern_and_input())
+def test_patterndb_compile_matches_re(case):
+    pattern, line, expected = case
+    compiled = compile_rule(PdbRule("r", pattern))
+    m = re.match(compiled.regex, line)
+    assert m is not None, (pattern, line, compiled.regex)
+    for i, f in enumerate(compiled.fields):
+        if f.name in expected:
+            assert m.group(i + 1) == expected[f.name], (pattern, line)
+    assert line.startswith(compiled.literal_prefix)
