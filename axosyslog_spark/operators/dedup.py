@@ -61,15 +61,44 @@ def drop_exact_dups(
 # shingles + n-gram Jaccard
 # ---------------------------------------------------------------------------
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text."""
-    toks = tokens(normalize_text(text))
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token array.
+
+    Formulated as zip_with over shifted slices — NOT as a transform
+    whose lambda indexes into ``toks`` — because outer expressions
+    referenced inside a higher-order-function lambda are re-evaluated
+    PER ELEMENT: the naive `transform(sequence(...), i ->
+    element_at(toks, i+j))` form re-ran the whole tokenization
+    (3 regex passes over the text) for every shingle, ~75x slower at
+    5k docs. zip_with arguments evaluate once per row.
+    """
     k = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    parts = [F.slice(toks, j + 1, F.greatest(k, F.lit(0))) for j in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(F.when(k >= 1, grams).otherwise(F.array().cast("array<string>")))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Inline variant for tests/small frames — see shingles_from_tokens
+    for why real tables must materialize the token array first."""
+    return shingles_from_tokens(tokens(normalize_text(text)), n)
+
+
+def shingle_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, __sh) with tokenization and shingling materialized as
+    separate projections — the linear-cost shape used by every dedup
+    operator below."""
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        tokens(normalize_text(F.col(text_col))).alias("__toks"),
     )
-    return F.array_distinct(grams)
+    return toked.select(
+        "id", shingles_from_tokens(F.col("__toks"), n).alias("__sh")
+    )
 
 
 def jaccard_pairs(
@@ -83,8 +112,8 @@ def jaccard_pairs(
     (explode -> self-equi-join -> count intersections). Quadratic in
     per-shingle bucket size: use on candidate sets, not whole corpora.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    sh = shingle_table(df, id_col, text_col, n).withColumnRenamed(
+        "__sh", "sh"
     ).withColumn("n_sh", F.size("sh"))
     inv = sh.select("id", "n_sh", F.explode("sh").alias("g"))
     a, b = inv.alias("a"), inv.alias("b")
@@ -117,11 +146,16 @@ def jaccard_pairs(
 # MinHash + LSH (md5-based, engine-portable)
 # ---------------------------------------------------------------------------
 
-def minhash_signature(text: Column, k: int = 8, n: int = 3) -> Column:
-    """k-component MinHash: component j = min(md5(shingle || '#j')).
-    min over hex digests == min-hash permutation j. Deterministic and
-    reproducible in any engine with md5."""
-    sh = shingles(text, n)
+def minhash_components(sh: Column, k: int) -> list[Column]:
+    """k MinHash components over an ALREADY-MATERIALIZED shingle array
+    column: component j = min(md5(shingle || '#j')). min over hex
+    digests == min-hash permutation j; md5 makes the signature
+    reproducible in any engine.
+
+    Callers must pass ``sh`` as a plain column reference — passing the
+    shingles() expression inline duplicates its regex/split subtree
+    into every component (codegen does not CSE across array lambdas;
+    measured ~50x slower at 5k docs)."""
 
     def hasher(j: int):
         # NOTE: a `lambda g, j=j:` default-arg closure would NOT work —
@@ -130,8 +164,13 @@ def minhash_signature(text: Column, k: int = 8, n: int = 3) -> Column:
         salt = f"#{j}"
         return lambda g: F.md5(F.concat(g, F.lit(salt)).cast("binary"))
 
-    comps = [F.array_min(F.transform(sh, hasher(j))) for j in range(k)]
-    return F.array(*comps)
+    return [F.array_min(F.transform(sh, hasher(j))) for j in range(k)]
+
+
+def minhash_signature(text: Column, k: int = 8, n: int = 3) -> Column:
+    """Inline-signature variant (small inputs/tests); for real tables
+    use minhash_bands which materializes the shingle column first."""
+    return F.array(*minhash_components(shingles(text, n), k))
 
 
 def minhash_bands(
@@ -143,16 +182,20 @@ def minhash_bands(
     n: int = 3,
 ) -> DataFrame:
     """Wide per-doc band digests: (id, band_0..band_{bands-1}).
-    Docs without shingles (fewer than n tokens) are excluded."""
+    Docs without shingles (fewer than n tokens) are excluded.
+
+    Three-step projection: shingles -> signature components -> band
+    digests, each materialized so no expression subtree is duplicated
+    (the linear, 100 TB-safe shape)."""
     rpb = k // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), k, n).alias("sig"),
-        F.size(shingles(F.col(text_col), n)).alias("__nsh"),
-    ).filter(F.col("__nsh") > 0)
+    sh = shingle_table(df, id_col, text_col, n).filter(F.size("__sh") > 0)
+    sig = sh.select(
+        "id",
+        *[c.alias(f"sig_{j}") for j, c in enumerate(minhash_components(F.col("__sh"), k))],
+    )
     band_cols = [
         F.md5(
-            F.concat_ws("|", *[F.element_at(F.col("sig"), b * rpb + j + 1) for j in range(rpb)]).cast("binary")
+            F.concat_ws("|", *[F.col(f"sig_{b * rpb + j}") for j in range(rpb)]).cast("binary")
         ).alias(f"band_{b}")
         for b in range(bands)
     ]
@@ -224,9 +267,12 @@ def simhash(text: Column, bits: int = 32, n: int = 3) -> Column:
     Bit i of the digest = sign of sum over shingles of (+1/-1) from
     bit i of xxhash64(shingle). 32 bits keeps the per-bit transforms
     compact; columnar, no UDF."""
-    sh = shingles(text, n)
-    h = F.transform(sh, lambda g: F.xxhash64(g))
+    return _simhash_from_hashes(
+        F.transform(shingles(text, n), lambda g: F.xxhash64(g)), bits
+    )
 
+
+def _simhash_from_hashes(h: Column, bits: int) -> Column:
     def voter(mask: int):
         return lambda acc, x: acc + F.when(
             x.bitwiseAND(F.lit(mask)) != 0, 1
@@ -240,6 +286,19 @@ def simhash(text: Column, bits: int = 32, n: int = 3) -> Column:
     for e in bit_exprs[1:]:
         out = out + e
     return out.cast("long")
+
+
+def simhash_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = 32, n: int = 3,
+) -> DataFrame:
+    """(id, sh) simhash digests with the shingle-hash array
+    materialized first (the 32 per-bit votes read an attribute, not 32
+    copies of the shingle expression tree)."""
+    hashed = shingle_table(df, id_col, text_col, n).select(
+        "id", F.transform(F.col("__sh"), lambda g: F.xxhash64(g)).alias("__h")
+    )
+    return hashed.select("id", _simhash_from_hashes(F.col("__h"), bits).alias("sh"))
 
 
 def simhash_near_dups(
@@ -256,9 +315,7 @@ def simhash_near_dups(
     any pair within hamming <= (bands-1) shares at least one exact
     band -> equi-join on (band_idx, band_value), then verify distance.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh")
-    )
+    sh = simhash_df(df, id_col, text_col, bits)
     n_bands = bits // band_bits
     stacked = sh.select(
         "id",

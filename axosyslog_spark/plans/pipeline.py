@@ -82,6 +82,23 @@ def run_pipeline_observed(
     return routed.observe(obs, *aggs), obs
 
 
+def partition_and_sort(
+    df: DataFrame, n_partitions: int | None = None
+) -> DataFrame:
+    """The parallelize() analog + stable-order contract: hash-partition
+    by conv_id (lib/logscheduler.c:278-281 hash(key)%N) and sort each
+    partition by (conv_id, turn_idx). Use before sink writes so output
+    files are clustered by conversation in turn order — the layout the
+    per-turn-text-equality gate reads back. sortWithinPartitions is a
+    local sort: no extra shuffle beyond the repartition itself."""
+    out = (
+        df.repartition(n_partitions, "conv_id")
+        if n_partitions
+        else df.repartition("conv_id")
+    )
+    return out.sortWithinPartitions("conv_id", "turn_idx")
+
+
 def routed_output(routed: DataFrame) -> DataFrame:
     """The canonical routed-row output: stable (sink, conv_id, turn_idx)
     identity plus the formatted per-turn text — the routed-row equality

@@ -73,6 +73,21 @@ def main() -> None:
     timed("pipe_histogram", lambda: run_pipeline(spark, t_sf).histogram.collect())
     timed("pipe_grouping", lambda: _consume(grouping.grouped_ordered_agg(t_sf)))
 
+    # --- training-data ops at sf_dir scale ---
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from axosyslog_spark.operators.dedup import minhash_bands  # noqa: PLC0415
+    from axosyslog_spark.operators.similarity import brute_force_topk  # noqa: PLC0415
+    from axosyslog_spark.operators.textstats import text_profile  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timed("doc_text_profile", lambda: _consume(text_profile(docs)))
+    timed("doc_minhash_bands", lambda: _consume(minhash_bands(docs)))
+    timed("emb_topk", lambda: _consume(
+        brute_force_topk(embs, embs.filter(F.col("vec_id") < 10), k=5)
+    ))
+
     # --- 5M-turn generated transcripts (north-star measure) ---
     gen = generate_transcripts(
         spark, bench_rows, max(bench_rows // 200, 1), skew_hot_convs=5,
