@@ -109,6 +109,32 @@ def tf_iterate(c: Column, fn, init: Column) -> Column: return F.aggregate(c, ini
 
 
 # ---------------------------------------------------------------------------
+# context funcs (modules/basicfuncs/context-funcs.c) — operate on a
+# collected-context array column (the correlation context analog)
+# ---------------------------------------------------------------------------
+
+def tf_context_length(ctx: Column) -> Column:
+    """$(context-length) — number of messages in the context."""
+    return F.size(ctx)
+
+
+def tf_context_values(ctx: Column) -> Column:
+    """$(context-values) — all values as a list."""
+    return ctx
+
+
+def tf_context_lookup(ctx: Column, cond) -> Column:
+    """$(context-lookup filter) — values matching the condition."""
+    return F.filter(ctx, cond)
+
+
+def tf_grep(ctx: Column, cond, value_fn=None) -> Column:
+    """$(grep cond value) — extract value from matching context rows."""
+    hits = F.filter(ctx, cond)
+    return F.transform(hits, value_fn) if value_fn else hits
+
+
+# ---------------------------------------------------------------------------
 # path funcs (fname-funcs.c)
 # ---------------------------------------------------------------------------
 

@@ -115,6 +115,47 @@ def salted_ordered_agg(
     return out
 
 
+def correlate(
+    df: DataFrame,
+    key: str = "conv_id",
+    sort_key: str = "turn_idx",
+    value: str = "text",
+    trigger: Column | None = None,
+    synthetic_template: dict[str, Column] | None = None,
+    inject_mode: str = "pass-through",
+) -> DataFrame:
+    """PatternDB correlation / grouping-by trigger analog: contexts
+    (groupBy key) that satisfy ``trigger`` emit ONE synthetic message
+    built from ``synthetic_template`` (columns over the aggregated
+    context — n_turns, first_ts, last_ts, agg_values are in scope).
+
+    inject_mode (stateful-parser.h:31-33):
+      - 'pass-through': original rows + synthetic rows (unionByName)
+      - 'aggregate-only': only the synthetic rows
+    Reference: modules/correlation/pdb-action.c, synthetic-message.c,
+    groupingby.c trigger().
+    """
+    ctx = grouped_ordered_agg(df, key, sort_key, value)
+    if trigger is not None:
+        ctx = ctx.filter(trigger)
+    template = synthetic_template or {
+        "text": F.concat(
+            F.lit("context "), F.col(key), F.lit(" closed: "),
+            F.col("n_turns").cast("string"), F.lit(" messages"),
+        )
+    }
+    synth = ctx.select(
+        F.col(key),
+        F.lit(-1).cast("int").alias(sort_key),  # synthetic marker position
+        *[c.alias(name) for name, c in template.items()],
+    ).withColumn("synthetic", F.lit(True))
+    if inject_mode == "aggregate-only":
+        return synth
+    return df.withColumn("synthetic", F.lit(False)).unionByName(
+        synth, allowMissingColumns=True
+    )
+
+
 def sessionize(
     df: DataFrame,
     key: str = "conv_id",

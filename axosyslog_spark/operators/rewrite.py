@@ -137,20 +137,35 @@ def set_timezone(df: DataFrame, ts_col: str, tz: str) -> DataFrame:
     return df.withColumn(ts_col, F.from_utc_timestamp(F.col(ts_col), tz))
 
 
+# value-pairs scopes (lib/value-pairs/value-pairs.c:126-137): named
+# column sets over our fixed schema
+VALUE_PAIRS_SCOPES: dict[str, list[str]] = {
+    "rfc3164": ["pri", "msg_ts", "host", "appname", "procid", "body"],
+    "rfc5424": ["pri", "msg_ts", "host", "appname", "procid", "sdata", "body"],
+    "core": ["conv_id", "turn_idx", "role", "tool", "ts", "text"],
+    "selected-macros": ["severity", "facility", "tags"],
+    "everything": ["*"],
+}
+
+
 def value_pairs_select(
     df: DataFrame,
-    include_globs: list[str],
+    include_globs: list[str] | None = None,
     exclude_globs: list[str] | None = None,
     add_prefix: str = "",
+    scope: str | None = None,
 ) -> DataFrame:
-    """value-pairs projection: select column sets by glob with
-    include/exclude and add-prefix rekey transforms
+    """value-pairs projection: select column sets by scope name and/or
+    glob with include/exclude and add-prefix rekey transforms
     (lib/value-pairs/value-pairs.c:126-137, transforms.c)."""
     import fnmatch
 
+    globs = list(include_globs or [])
+    if scope:
+        globs += VALUE_PAIRS_SCOPES[scope]
     cols = []
     for c in df.columns:
-        if any(fnmatch.fnmatch(c, g) for g in include_globs) and not any(
+        if any(fnmatch.fnmatch(c, g) for g in globs) and not any(
             fnmatch.fnmatch(c, g) for g in (exclude_globs or [])
         ):
             cols.append(F.col(c).alias(add_prefix + c))
