@@ -133,6 +133,24 @@ def q_pipe_rate_limit(spark: SparkSession, sf: str) -> DataFrame:
     return r.select("conv_id", "turn_idx", "role")
 
 
+def q_pipe_correlate(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlation trigger: one synthetic alert row per conversation
+    with >= 80 turns (aggregate-only inject mode)."""
+    s = grouping.correlate(
+        _transcripts(spark, sf),
+        value="role",
+        trigger=F.col("n_turns") >= 80,
+        synthetic_template={
+            "text": F.concat(
+                F.lit("ALERT conv "), F.col("conv_id"),
+                F.lit(" turns="), F.col("n_turns").cast("string"),
+            )
+        },
+        inject_mode="aggregate-only",
+    )
+    return s.select("conv_id", "turn_idx", "text")
+
+
 def q_pipe_group_lines(spark: SparkSession, sf: str) -> DataFrame:
     g = grouping.group_lines(_transcripts(spark, sf), sep=" | ")
     return g.select("conv_id", "assembled", "n_lines")
@@ -463,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_suppress": q_pipe_suppress,
         "pipe_rate_limit": q_pipe_rate_limit,
         "pipe_group_lines": q_pipe_group_lines,
+        "pipe_correlate": q_pipe_correlate,
         "pipe_patterndb": q_pipe_patterndb,
         "op_csv_parse": q_op_csv_parse,
         "op_date_parse": q_op_date_parse,
@@ -671,6 +690,13 @@ def oracle_sql() -> dict[str, str]:
                regexp_replace(text, 'table', 'TABLE') AS t_first
         FROM documents
         """,
+        "pipe_correlate": W(
+            """
+            SELECT conv_id, CAST(-1 AS INT) AS turn_idx,
+                   'ALERT conv ' || conv_id || ' turns=' || CAST(count(*) AS VARCHAR) AS text
+            FROM transcripts GROUP BY conv_id HAVING count(*) >= 80
+            """
+        ),
         "op_cef_parse": """
         WITH lines AS (
           SELECT event_id,

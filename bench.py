@@ -61,11 +61,17 @@ def main() -> None:
     # small generated slice so steady-state throughput is measured, not
     # JVM compilation (same methodology as JMH warm-up iterations) ---
     warm = generate_transcripts(spark, 200_000, 1000, partitions=cpus)
+    from axosyslog_spark.operators.dedup import minhash_bands  # noqa: PLC0415
+    from axosyslog_spark.operators.textstats import text_profile  # noqa: PLC0415
+
+    warm_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
     for _ in range(2):
         _consume(run_pipeline(spark, warm).routed)
         _consume(grouping.salted_ordered_agg(warm, fragment_rows=4096))
         _consume(grouping.sessionize(warm).groupBy("conv_id").count())
         _consume(grouping.grouped_ordered_agg(warm))
+        _consume(text_profile(warm_docs))
+        _consume(minhash_bands(warm_docs))
 
     # --- sf_dir-scale pipeline (events-derived transcripts) ---
     t_sf = synthesize_transcripts(spark, sf_dir)
