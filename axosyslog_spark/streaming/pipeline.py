@@ -156,8 +156,15 @@ def write_sinks(
     routed: DataFrame, out_dir: str, checkpoint_dir: str, trigger_available_now: bool = True
 ):
     """Per-sink streaming writes: one foreachBatch pass partitioning by
-    sink (the multi-destination fan-out; exactly-once via the stream
-    checkpoint)."""
+    sink (the multi-destination fan-out).
+
+    Delivery contract: the stream checkpoint makes batch REPLAY
+    at-least-once; the plain append inside foreachBatch is not
+    idempotent, so a crash between write and checkpoint commit can
+    duplicate one epoch. For exactly-once, point the batch write at a
+    transactional table format or dedup on (conv_id, turn_idx, sink)
+    downstream — the batch path's bucket checkpoints (checkpoint.py)
+    are the exactly-once story in this repo."""
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
         (

@@ -53,9 +53,14 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def timed(name, fn):
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # min-of-2 everywhere: hypervisor steal arrives in bursts and a
+        # single sample can be 5-10x the steady state
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     # --- JIT/codegen warm-up (untimed): run the full pipeline once on a
     # small generated slice so steady-state throughput is measured, not
