@@ -170,6 +170,59 @@ def netmask(ip_col: Column, cidr: str) -> Column:
     return ip_to_long(ip_col).between(lo, lo + span - 1)
 
 
+def ipv6_to_words(ip: Column) -> Column:
+    """IPv6 string -> struct of four 32-bit words (as bigints), pure
+    column algebra. Struct comparison is lexicographic, which equals
+    unsigned 128-bit ordering — Decimal(38) cannot hold 2^128 and a
+    single bigint would sign-wrap, so words it is.
+
+    Handles '::' zero-compression by splitting into left/right group
+    lists and padding the middle. (No zone-ids/embedded-IPv4 forms —
+    the reference's filter-netmask6.c normalizes those upstream too.)
+    """
+    halves = F.split(ip, "::", 2)
+    left = F.filter(F.split(F.element_at(halves, 1), ":"), lambda x: x != "")
+    has_comp = F.size(halves) == 2
+    right_raw = F.when(has_comp, F.split(F.element_at(halves, 2), ":")).otherwise(
+        F.array().cast("array<string>")
+    )
+    right = F.filter(right_raw, lambda x: x != "")
+    nl, nr = F.size(left), F.size(right)
+
+    def group(i: int) -> Column:
+        # slot i comes from left when i < nl, from right when
+        # i >= 8 - nr, else it is a compressed zero
+        g = (
+            F.when(F.lit(i) < nl, F.element_at(left, i + 1))
+            .when(F.lit(i) >= 8 - nr, F.element_at(right, i - 8 + nr + 1))
+            .otherwise(F.lit("0"))
+        )
+        return F.conv(g, 16, 10).cast("bigint")
+
+    words = [
+        (group(2 * j) * 65536 + group(2 * j + 1)).alias(f"w{j}") for j in range(4)
+    ]
+    return F.struct(*words)
+
+
+def _ipv6_words_lit(value: int) -> Column:
+    words = [(value >> (96 - 32 * j)) & 0xFFFFFFFF for j in range(4)]
+    return F.struct(*[F.lit(w).cast("bigint").alias(f"w{j}") for j, w in enumerate(words)])
+
+
+def netmask6(ip_col: Column, cidr: str) -> Column:
+    """netmask6() filter: IPv6 CIDR containment as a lexicographic
+    word-struct range check (lib/filter/filter-netmask6.c) — the CIDR
+    bounds fold to plan-time literals via stdlib ipaddress."""
+    import ipaddress
+
+    net = ipaddress.ip_network(cidr, strict=False)
+    v = ipv6_to_words(ip_col)
+    return (v >= _ipv6_words_lit(int(net.network_address))) & (
+        v <= _ipv6_words_lit(int(net.broadcast_address))
+    )
+
+
 def in_list(col: Column, values: list[str]) -> Column:
     """in-list() filter: membership in a file-loaded set
     (lib/filter/filter-in-list.c). Small sets inline to isin (codegen);

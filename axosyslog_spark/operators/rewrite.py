@@ -137,6 +137,40 @@ def set_timezone(df: DataFrame, ts_col: str, tz: str) -> DataFrame:
     return df.withColumn(ts_col, F.from_utc_timestamp(F.col(ts_col), tz))
 
 
+def guess_timezone(
+    df: DataFrame,
+    ts_col: str,
+    recvd_col: str,
+    candidate_tzs: list[str] | None = None,
+    out_col: str = "guessed_tz",
+) -> DataFrame:
+    """guess-timezone() — modules/timestamp/rewrite-guess-timezone.c:
+    pick the timezone whose UTC reinterpretation of the (naively
+    parsed) stamp lands closest to the receive time. Pure column
+    algebra: one |delta| per candidate + an argmin when-chain, all in
+    one projection."""
+    tzs = candidate_tzs or [
+        "UTC", "America/New_York", "America/Los_Angeles",
+        "Europe/London", "Europe/Budapest", "Asia/Tokyo",
+    ]
+    deltas = {
+        tz: F.abs(
+            F.unix_timestamp(F.to_utc_timestamp(F.col(ts_col), tz))
+            - F.unix_timestamp(F.col(recvd_col))
+        )
+        for tz in tzs
+    }
+    best = F.least(*deltas.values())
+    pick = F.lit(tzs[0])
+    for tz in reversed(tzs):
+        pick = F.when(deltas[tz] == best, F.lit(tz)).otherwise(pick)
+    out = df.withColumn(out_col, pick)
+    return out.withColumn(
+        ts_col + "_fixed",
+        F.to_utc_timestamp(F.col(ts_col), F.col(out_col)),
+    )
+
+
 # value-pairs scopes (lib/value-pairs/value-pairs.c:126-137): named
 # column sets over our fixed schema
 VALUE_PAIRS_SCOPES: dict[str, list[str]] = {

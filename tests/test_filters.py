@@ -161,3 +161,24 @@ def test_match_store_groups(spark):
     assert by_text["err code=42"]["__matched"] is True
     assert by_text["err code=42"]["__m1"] == "42"
     assert by_text["nothing"]["__matched"] is False
+
+
+def test_netmask6(spark):
+    df = spark.createDataFrame(
+        [("2001:db8::1",), ("2001:db9::1",), ("fe80::",), ("::1",)], "ip string"
+    )
+    assert sorted(
+        r.ip for r in df.filter(flt.netmask6(F.col("ip"), "2001:db8::/32")).collect()
+    ) == ["2001:db8::1"]
+    assert df.filter(flt.netmask6(F.col("ip"), "::/0")).count() == 4
+
+
+def test_ipv6_to_words_roundtrip(spark):
+    import ipaddress
+
+    addrs = ["::", "::1", "fe80::", "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff",
+             "2001:db8:85a3::8a2e:370:7334"]
+    df = spark.createDataFrame([(a,) for a in addrs], "ip string")
+    for r in df.select("ip", flt.ipv6_to_words(F.col("ip")).alias("w")).collect():
+        got = (r.w.w0 << 96) | (r.w.w1 << 64) | (r.w.w2 << 32) | r.w.w3
+        assert got == int(ipaddress.ip_address(r.ip)), r.ip
