@@ -133,6 +133,20 @@ def q_pipe_rate_limit(spark: SparkSession, sf: str) -> DataFrame:
     return r.select("conv_id", "turn_idx", "role")
 
 
+def q_pipe_format_output(spark: SparkSession, sf: str) -> DataFrame:
+    """Bit-exact sink formatting: every routed row re-rendered as an
+    RFC5424 line (the template-output contract — per-turn text
+    equality under stable (conv_id, turn_idx) order)."""
+    from axosyslog_spark.operators.parse import format_rfc5424
+
+    res = run_pipeline(spark, _transcripts(spark, sf))
+    line = format_rfc5424(
+        F.col("pri"), F.coalesce("msg_ts", "ts"), F.col("host"),
+        F.col("appname"), F.col("procid"), F.col("body"),
+    )
+    return res.routed.select("sink", "conv_id", "turn_idx", line.alias("line"))
+
+
 def q_pipe_correlate(spark: SparkSession, sf: str) -> DataFrame:
     """Correlation trigger: one synthetic alert row per conversation
     with >= 80 turns (aggregate-only inject mode)."""
@@ -482,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_rate_limit": q_pipe_rate_limit,
         "pipe_group_lines": q_pipe_group_lines,
         "pipe_correlate": q_pipe_correlate,
+        "pipe_format_output": q_pipe_format_output,
         "pipe_patterndb": q_pipe_patterndb,
         "op_csv_parse": q_op_csv_parse,
         "op_date_parse": q_op_date_parse,
@@ -689,6 +704,19 @@ def oracle_sql() -> dict[str, str]:
                regexp_replace(text, '[aeiou]', '_', 'g') AS t_global,
                regexp_replace(text, 'table', 'TABLE') AS t_first
         FROM documents
+        """,
+        "pipe_format_output": P
+        + f"""
+        SELECT sink, conv_id, turn_idx,
+               '<' || CAST(pri AS VARCHAR) || '>1 '
+               || coalesce(CASE WHEN kind = 'syslog'
+                                THEN regexp_extract(text, '{oracle.RFC5424_RE_SQL}', 3) END,
+                           strftime(ts, '{TS_FMT_DUCK}'))
+               || ' ' || coalesce(host, '-')
+               || ' ' || coalesce(appname, '-')
+               || ' ' || coalesce(procid, '-')
+               || ' - - ' || coalesce(body, '') AS line
+        FROM routed
         """,
         "pipe_correlate": W(
             """
