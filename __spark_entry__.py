@@ -313,7 +313,7 @@ def q_op_template_funcs(spark: SparkSession, sf: str) -> DataFrame:
     return d.select(
         "doc_id",
         tf.tf_length(F.col("text")).alias("len"),
-        tf.tf_substr(F.col("text"), 1, 16).alias("head16"),
+        tf.tf_substr(F.col("text"), 0, 16).alias("head16"),
         tf.tf_uppercase(F.col("lang")).alias("lang_up"),
         tf.tf_padding(F.col("doc_id").cast("string"), 6, "0").alias("padded"),
         tf.tf_basename(path).alias("base"),

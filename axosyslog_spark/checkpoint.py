@@ -93,6 +93,21 @@ def stage_input(
     staged = os.path.join(out_dir, "_staged")
     marker = os.path.join(staged, "_STAGED_OK")
     if os.path.exists(marker):
+        # a resume with a different n_buckets would silently skip (or
+        # double-process) buckets — the marker records the staging
+        # geometry and a mismatch is a hard error, never a resume
+        with open(marker) as f:
+            raw = f.read()
+        try:
+            meta = json.loads(raw or "{}")
+        except ValueError:  # pre-versioned marker ("ok"): geometry unknown
+            meta = {}
+        if meta.get("n_buckets") != n_buckets:
+            raise ValueError(
+                f"staged input at {staged} was built with "
+                f"n_buckets={meta.get('n_buckets')}, refusing to resume "
+                f"with n_buckets={n_buckets}; use a fresh out_dir"
+            )
         return staged
     (
         transcripts.withColumn(
@@ -104,7 +119,7 @@ def stage_input(
         .parquet(staged)
     )
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(json.dumps({"n_buckets": n_buckets}))
     return staged
 
 

@@ -33,7 +33,27 @@ def tf_or(*cols: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 def tf_length(c: Column) -> Column: return F.length(c)                    # $(length)
-def tf_substr(c: Column, pos: int, n: int) -> Column: return F.substring(c, pos, n)  # $(substr)
+
+
+def tf_substr(c: Column, pos: int, n: int | None = None) -> Column:
+    """$(substr msg offset [length]) — 0-based like the reference
+    (modules/basicfuncs/str-funcs.c tf_substr): negative offset counts
+    from the end, negative length truncates from the end, out-of-range
+    clamps to the string."""
+    ln = F.length(c)
+    start0 = (
+        F.greatest(ln + F.lit(pos), F.lit(0)) if pos < 0 else F.least(F.lit(pos), ln)
+    )
+    avail = ln - start0
+    if n is None:
+        eff = avail
+    elif n < 0:
+        eff = F.greatest(avail + F.lit(n), F.lit(0))
+    else:
+        eff = F.least(F.lit(n), avail)
+    return F.substring(c, start0 + 1, eff)
+
+
 def tf_strip(c: Column) -> Column: return F.trim(c)                       # $(strip)
 def tf_lowercase(c: Column) -> Column: return F.lower(c)                  # $(lowercase)
 def tf_uppercase(c: Column) -> Column: return F.upper(c)                  # $(uppercase)

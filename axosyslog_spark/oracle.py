@@ -41,7 +41,8 @@ parsed2 AS (
   SELECT *,
     (kind <> 'free') AS parse_ok,
     CASE WHEN kind = 'syslog'
-         THEN CAST(regexp_extract(text, '{RFC5424_RE_SQL}', 1) AS INT)
+              AND TRY_CAST(regexp_extract(text, '{RFC5424_RE_SQL}', 1) AS INT) <= 191
+         THEN TRY_CAST(regexp_extract(text, '{RFC5424_RE_SQL}', 1) AS INT)
          ELSE 13 END AS pri,
     CASE WHEN kind = 'syslog' THEN regexp_extract(text, '{RFC5424_RE_SQL}', 4) END AS host,
     CASE WHEN kind = 'syslog' THEN regexp_extract(text, '{RFC5424_RE_SQL}', 5) END AS appname,

@@ -48,7 +48,7 @@ from pyspark.sql.window import Window
 #   path      = '/v1/' || event_type
 #   kjson     = regexp_extract(props, '([0-9]+)', 1)
 #   shape     = event_id % 10   (0-3 syslog | 4-6 kv | 7-8 json | 9 free)
-#   malformed = shape <= 3 AND event_id % 50 == 49
+#   malformed = shape <= 3 AND event_id % 50 == 3
 #   role      = 0-2 user | 3-5 assistant | 6 system | 7-9 tool   (event_id % 10)
 #   tool      = '' unless role == 'tool';
 #               'tool_unknown_<event_id%3>' if event_id % 20 == 19
@@ -82,7 +82,9 @@ def _build_from_events(ev: DataFrame) -> DataFrame:
     kjson = F.regexp_extract(F.col("props"), "([0-9]+)", 1)
     ts_str = F.date_format(F.col("ts"), TS_FMT_SPARK)
     shape = (eid % 10).cast("int")
-    malformed = (eid % 10 <= 3) & (eid % 50 == 49)
+    # eid%50==3 implies eid%10==3 (a syslog-shaped row), so ~2% of all
+    # rows / 5% of syslog rows carry a stripped BADHDR header
+    malformed = (eid % 10 <= 3) & (eid % 50 == 3)
 
     syslog_line = F.concat(
         F.lit("<"), pri.cast("string"), F.lit(">1 "), ts_str,
@@ -197,7 +199,7 @@ transcripts AS (
          WHEN event_id % 10 = 6 THEN 'system'
          ELSE 'tool' END AS role,
     CASE
-      WHEN event_id % 10 <= 3 AND event_id % 50 = 49 THEN
+      WHEN event_id % 10 <= 3 AND event_id % 50 = 3 THEN
         'BADHDR ' || strftime(ts, '%Y-%m-%dT%H:%M:%S') || ' host-' || CAST(user_id % 5 AS VARCHAR)
         || ' status=' || (CASE WHEN event_id % 8 <= 3 THEN 'error' ELSE 'ok' END)
         || ' latency_ms=' || CAST(CAST(floor(value * 37) AS BIGINT) + 1 AS VARCHAR)
