@@ -200,6 +200,24 @@ def q_pipe_patterndb(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pipe_patterndb_xml(spark: SparkSession, sf: str) -> DataFrame:
+    """db-parser() with an XML ruleset: load the packaged pdb document
+    (pdb-load.c analog), classify bodies, extract typed fields, render
+    <values> templates, surface rule class."""
+    from axosyslog_spark.operators.parse import parse_header
+    from axosyslog_spark.operators.pdb_load import load_fixture
+
+    [rs] = load_fixture()
+    pdb = rs.pattern_db()
+    p = parse_header(_transcripts(spark, sf))
+    out = pdb.apply(p, text_col="body", with_class=True)
+    return out.select(
+        "conv_id", "turn_idx", "rule_id", "rule_class",
+        "status", "latency_ms", "path", "retry", "topic", "bts", "bhost",
+        "status_up", "kv_key", "note",
+    )
+
+
 # ---------------------------------------------------------------------------
 # classic operator families over events / documents (oracle-checked)
 # ---------------------------------------------------------------------------
@@ -498,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_correlate": q_pipe_correlate,
         "pipe_format_output": q_pipe_format_output,
         "pipe_patterndb": q_pipe_patterndb,
+        "pipe_patterndb_xml": q_pipe_patterndb_xml,
         "op_csv_parse": q_op_csv_parse,
         "op_date_parse": q_op_date_parse,
         "op_geoip_range": q_op_geoip_range,
@@ -522,6 +541,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+
+def _patterndb_xml_oracle() -> str:
+    """Mirror of q_pipe_patterndb_xml: the XML-loaded rule set compiled
+    into the same two-tier regex CASE; <values> templates hand-mirrored
+    in SQL (uppercase / concat)."""
+    from axosyslog_spark.operators.pdb_load import load_fixture
+
+    [rs] = load_fixture()
+    inner = oracle.patterndb_select_sql(
+        rs.pattern_db(), "body", "FROM parsed2", "conv_id, turn_idx"
+    )
+    return (
+        "WITH "
+        + oracle.TRANSCRIPTS_ORACLE_CTE.strip()
+        + ",\n"
+        + oracle.PARSED_CTE.strip()
+        + f"""
+        SELECT conv_id, turn_idx, rule_id, rule_class,
+               status, latency_ms, path, retry, topic, bts, bhost,
+               CASE WHEN rule_id IN ('kv_retry', 'kv_plain')
+                    THEN upper(status) END AS status_up,
+               CASE WHEN rule_id = 'kv_retry'
+                    THEN status || '/' || CAST(retry AS VARCHAR) END AS kv_key,
+               CASE WHEN rule_id = 'badhdr'
+                    THEN 'badhdr at ' || bts || ' on ' || bhost END AS note
+        FROM ({inner})
+        """
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -621,6 +669,7 @@ def oracle_sql() -> dict[str, str]:
                 PatternDB(PDB_RULES), "body", "FROM parsed2", "conv_id, turn_idx"
             )
         ),
+        "pipe_patterndb_xml": _patterndb_xml_oracle(),
         "op_csv_parse": """
         WITH lines AS (
           SELECT event_id,

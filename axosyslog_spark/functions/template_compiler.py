@@ -1,0 +1,613 @@
+"""Template-string compiler: ``"${HOST} $(sha256 ${MSG})"`` -> Column.
+
+Reference: lib/template/compiler.c:1-461 (tokenizer), macros
+lib/template/macros.c:50-230, simple template functions
+modules/basicfuncs/*.c. Behaviors mirrored from
+lib/template/tests/test_template_compile.c:
+
+  - ``$NAME``      unbraced ref, name chars = [A-Za-z0-9_]
+  - ``${NAME}``    braced ref (any chars except ':'/'}'), with
+                   ``${NAME:-default}`` default-value syntax
+  - ``$1``..``$n`` regexp match group refs, ``$0`` = whole match,
+                   ``$*`` = all matches comma-joined
+  - ``$(fn a b)``  template function; args split on top-level spaces,
+                   single/double quotes group (and are stripped at the
+                   top level), nested parens stay in one arg,
+                   backslash escapes the next char
+  - ``$$`` -> literal '$'; ``$`` + other char -> literal
+  - ``${X}@N`` / ``$(fn)@N`` correlation msg_ref suffix: parsed and
+    carried, but batch evaluation addresses the current row only
+    (context rows are a grouping-stage concern); ``@@`` -> '@'
+
+Spark-first: compilation happens ONCE at plan time on the driver; the
+output is a single Column expression (concat of parts), so rendering
+stays inside whole-stage codegen — no Python per row.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from axosyslog_spark.functions import templates as tf
+from axosyslog_spark.operators.filters import typed_cmp
+
+
+class TemplateError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# tokenizer (compiler.c:log_template_compiler_compile)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Lit:
+    text: str
+
+
+@dataclass(frozen=True)
+class ValueRef:
+    name: str
+    default: str | None = None
+    msg_ref: int = 0
+
+
+@dataclass(frozen=True)
+class FuncCall:
+    argv: tuple[str, ...]
+    msg_ref: int = 0
+
+
+_NAME_CHARS = re.compile(r"[A-Za-z0-9_]")
+
+
+def _parse_msg_ref(s: str, i: int) -> tuple[int, int]:
+    """compiler.c:parse_msg_ref — optional ``@N`` / ``@@`` suffix."""
+    if i < len(s) and s[i] == "@":
+        j = i + 1
+        if j < len(s) and s[j].isdigit():
+            n = 0
+            while j < len(s) and s[j].isdigit():
+                n += n * 10 + int(s[j])
+                j += 1
+            return n + 1, j
+        if j < len(s) and s[j] == "@":
+            return 0, j  # '@@' collapses to one literal '@'
+    return 0, i
+
+
+def _parse_arg_list(s: str, i: int) -> tuple[list[str], int]:
+    """compiler.c:log_template_compiler_process_arg_list. ``i`` points
+    at '('; returns (argv, index after ')')."""
+    argv: list[str] = []
+    buf: list[str] = []
+    has_value = False
+    parens = 1
+    i += 1
+    while i < len(s) and s[i].isspace():
+        i += 1
+    while i < len(s):
+        c = s[i]
+        if c == "\\":
+            i += 1
+            if i < len(s):
+                buf.append(s[i])
+                has_value = True
+                i += 1
+            continue
+        if c == "(":
+            parens += 1
+        elif c == ")":
+            parens -= 1
+            if parens == 0:
+                break
+        elif c in "\"'":
+            end = s.find(c, i + 1)
+            if end < 0:
+                raise TemplateError(f"unterminated quote in arg list: {s!r}")
+            if parens == 1:
+                buf.append(s[i + 1 : end])  # top level: strip quotes
+            else:
+                buf.append(s[i : end + 1])  # nested: keep them
+            has_value = True
+            i = end + 1
+            continue
+        elif parens == 1 and c.isspace():
+            argv.append("".join(buf))
+            buf.clear()
+            has_value = False
+            while i < len(s) and s[i].isspace():
+                i += 1
+            continue
+        buf.append(c)
+        has_value = True
+        i += 1
+    if parens != 0:
+        raise TemplateError(f"imbalanced parens in template function: {s!r}")
+    if has_value:
+        argv.append("".join(buf))
+    return argv, i + 1
+
+
+def tokenize(template: str) -> list[Lit | ValueRef | FuncCall]:
+    elems: list[Lit | ValueRef | FuncCall] = []
+    text: list[str] = []
+
+    def flush() -> None:
+        if text:
+            elems.append(Lit("".join(text)))
+            text.clear()
+
+    i = 0
+    n = len(template)
+    while i < n:
+        c = template[i]
+        if c != "$":
+            text.append(c)
+            i += 1
+            continue
+        i += 1
+        p = template[i] if i < n else ""
+        if p == "{":
+            end = template.find("}", i)
+            if end < 0:
+                raise TemplateError("invalid macro, '}' is missing")
+            inner = template[i + 1 : end]
+            i = end + 1
+            name, default = inner, None
+            colon = inner.find(":")
+            if colon >= 0:
+                token = inner[colon + 1 :]
+                if not token.startswith("-"):
+                    raise TemplateError(
+                        f"unknown substitution function in ${{{inner}}}"
+                    )
+                name, default = inner[:colon], token[1:]
+            msg_ref, i = _parse_msg_ref(template, i)
+            flush()
+            elems.append(ValueRef(name, default, msg_ref))
+        elif p == "(":
+            argv, i = _parse_arg_list(template, i)
+            msg_ref, i = _parse_msg_ref(template, i)
+            flush()
+            if argv:
+                elems.append(FuncCall(tuple(argv), msg_ref))
+        elif p == "*":
+            i += 1
+            flush()
+            elems.append(ValueRef("*"))
+        elif _NAME_CHARS.match(p or " "):
+            j = i
+            while j < n and _NAME_CHARS.match(template[j]):
+                j += 1
+            flush()
+            elems.append(ValueRef(template[i:j]))
+            i = j
+        else:
+            # '$$' -> '$'; '$x' -> literal '$x'; trailing '$' -> '$'
+            if p != "$":
+                text.append("$")
+            if p:
+                text.append(p)
+            i += 1
+    flush()
+    return elems
+
+
+# ---------------------------------------------------------------------------
+# evaluation context
+# ---------------------------------------------------------------------------
+
+_DATE_MACROS = frozenset(
+    list(tf._MACRO_FMT) + ["UNIXTIME", "MSEC", "STAMP", "R_STAMP", "C_STAMP"]
+)
+_PRI_MACROS = frozenset(
+    ["PRI", "SEVERITY", "SEVERITY_NUM", "LEVEL", "LEVEL_NUM", "FACILITY", "FACILITY_NUM"]
+)
+
+
+@dataclass
+class TemplateContext:
+    """Name -> Column resolution for one frame.
+
+    columns:   explicit bindings (builtin macros HOST/PROGRAM/... and
+               any promoted field)
+    stamp:     event timestamp (S_* + unprefixed date macros)
+    recvd:     receive timestamp (R_*)
+    now:       processing timestamp (C_*); defaults to recvd for
+               deterministic batch output (document: the reference's
+               C_* reads the wall clock)
+    matches:   array<string> of the last match's groups ($0 = whole)
+    extras:    map<string,string> fallback for open-schema names
+    strict:    raise on unresolvable names instead of empty-string
+    """
+
+    columns: dict[str, Column] = field(default_factory=dict)
+    stamp: Column | None = None
+    recvd: Column | None = None
+    now: Column | None = None
+    matches: Column | None = None
+    extras: Column | None = None
+    strict: bool = False
+
+    def _ts_for(self, name: str) -> tuple[str, Column | None]:
+        if name.startswith("S_"):
+            return name[2:], self.stamp
+        if name.startswith("R_"):
+            return name[2:], self.recvd
+        if name.startswith("C_"):
+            return name[2:], self.now if self.now is not None else self.recvd
+        return name, self.stamp
+
+    def resolve_raw(self, name: str) -> Column | None:
+        """Column for a value/macro name, or None when unknown."""
+        if name == "*":
+            if self.matches is None:
+                return None
+            # $* = matches joined by ',' (macros.c M__ASTERISK)
+            return F.array_join(F.slice(self.matches, 2, 255), ",")
+        if name.isdigit():
+            if self.matches is None:
+                return None
+            return F.element_at(self.matches, int(name) + 1)
+        if name in self.columns:
+            return self.columns[name]
+        base, ts = self._ts_for(name)
+        if base in _DATE_MACROS and ts is not None:
+            if base == "STAMP":
+                base = "ISODATE"
+            return tf.macro(base, ts)
+        if base in _PRI_MACROS:
+            sev, fac = self.columns.get("SEVERITY_NUM"), self.columns.get("FACILITY_NUM")
+            if sev is not None or fac is not None:
+                return tf.macro(base, None, severity=sev, facility=fac)
+        if name == "TAGS" and "TAGS" in self.columns:
+            return self.columns["TAGS"]
+        if self.extras is not None:
+            return F.element_at(self.extras, F.lit(name))
+        return None
+
+    def resolve(self, name: str, default: str | None = None) -> Column:
+        raw = self.resolve_raw(name)
+        if raw is None:
+            if self.strict:
+                raise TemplateError(f"unresolvable template name {name!r}")
+            raw = F.lit(None).cast("string")
+        return F.coalesce(raw.cast("string"), F.lit(default if default is not None else ""))
+
+
+# ---------------------------------------------------------------------------
+# template functions adapted to the string-arg calling convention
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Arg:
+    raw: str
+    col: Column
+    lit: str | None  # set when the raw arg held no template refs
+
+    def as_int(self, what: str) -> int:
+        if self.lit is None:
+            raise TemplateError(f"{what} must be a literal, got {self.raw!r}")
+        return int(self.lit)
+
+
+def _num(c: Column) -> Column:
+    return c.cast("string").try_cast("double")
+
+
+def _int64(c: Column) -> Column:
+    return c.cast("string").try_cast("bigint")
+
+
+def _fmt_num(d: Column) -> Column:
+    """Render a double like the reference's %g-ish integer fast path:
+    whole numbers print without a trailing .0."""
+    i = d.cast("bigint")
+    return F.when(d.isNull(), F.lit("NaN")).otherwise(
+        F.when(d == i.cast("double"), i.cast("string")).otherwise(d.cast("string"))
+    )
+
+
+def _arith(op: str, args: list[Arg]) -> Column:
+    """$(+ a b) family — gint64 arithmetic (numeric-funcs.c), 'NaN' on
+    parse failure, integer division like the reference."""
+    a, b = _int64(args[0].col), _int64(args[1].col)
+    if op == "+":
+        r = a + b
+    elif op == "-":
+        r = a - b
+    elif op == "*":
+        r = a * b
+    elif op == "/":
+        # gint64 division truncates toward zero (numeric-funcs.c)
+        r = F.when(b != 0, F.try_divide(a, b).cast("bigint"))
+    else:  # %
+        r = F.when(b != 0, a % b)
+    return F.when(a.isNull() | b.isNull(), F.lit("NaN")).otherwise(r.cast("string"))
+
+
+_CMP_OPS = ("<=", ">=", "==", "!=", "<", ">", "eq", "ne", "lt", "le", "gt", "ge")
+
+
+def _parse_condition(cond: str, ctx: TemplateContext) -> Column:
+    """Minimal $(if) condition: one comparison, operands are templates
+    (usually quoted). Type-aware ops use the string/bytewise rule the
+    reference applies to two string-typed values (filter-cmp.c rule 1);
+    eq/ne/lt/... are the classic string operators."""
+    s = cond.strip()
+    if s.startswith("(") and s.endswith(")"):
+        s = s[1:-1].strip()
+    for op in _CMP_OPS:
+        # operators are space-delimited in the filter grammar
+        m = re.search(rf"\s({re.escape(op)})\s", s)
+        if m:
+            lhs, rhs = s[: m.start()].strip(), s[m.end() :].strip()
+            lq = lhs[1:-1] if lhs[:1] in "\"'" and lhs[-1:] == lhs[:1] else lhs
+            rq = rhs[1:-1] if rhs[:1] in "\"'" and rhs[-1:] == rhs[:1] else rhs
+            lcol = compile_template(lq, ctx)
+            rcol = compile_template(rq, ctx)
+            classic = {"eq": "==", "ne": "!=", "lt": "<", "le": "<=", "gt": ">", "ge": ">="}
+            if op in classic:
+                from axosyslog_spark.operators.filters import string_cmp
+
+                return string_cmp(lcol, rcol, classic[op])
+            return typed_cmp(lcol, "string", rcol, "string", op)
+    raise TemplateError(f"unsupported $(if) condition: {cond!r}")
+
+
+# strftime -> Java SimpleDateFormat-ish conversion for $(format-date)
+_STRFTIME_MAP = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "e": "d", "H": "HH",
+    "I": "hh", "M": "mm", "S": "ss", "b": "MMM", "B": "MMMM", "a": "EEE",
+    "A": "EEEE", "j": "DDD", "p": "a", "z": "XX", "Z": "zz",
+    "F": "yyyy-MM-dd", "T": "HH:mm:ss", "%": "%",
+}
+
+
+def strftime_to_java(fmt: str) -> str:
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush_lit() -> None:
+        if lit:
+            chunk = "".join(lit)
+            if re.search(r"[A-Za-z']", chunk):
+                out.append("'" + chunk.replace("'", "''") + "'")
+            else:
+                out.append(chunk)
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%" and i + 1 < len(fmt):
+            key = fmt[i + 1]
+            if key in _STRFTIME_MAP:
+                flush_lit()
+                out.append(_STRFTIME_MAP[key])
+                i += 2
+                continue
+        lit.append(c)
+        i += 1
+    flush_lit()
+    return "".join(out)
+
+
+def _apply_func(call: FuncCall, ctx: TemplateContext) -> Column:
+    name = call.argv[0]
+    raw_args = list(call.argv[1:])
+    args = [
+        Arg(a, compile_template(a, ctx), a if "$" not in a else None)
+        for a in raw_args
+    ]
+
+    def one() -> Column:
+        if len(args) != 1:
+            raise TemplateError(f"$({name}) takes exactly one argument")
+        return args[0].col
+
+    if name == "echo":
+        return F.concat_ws(" ", *[a.col for a in args]) if args else F.lit("")
+    if name == "length":
+        return F.length(one()).cast("string")
+    if name == "substr":
+        if len(args) < 2:
+            raise TemplateError("$(substr msg offset [length])")
+        n = args[2].as_int("substr length") if len(args) > 2 else None
+        return tf.tf_substr(args[0].col, args[1].as_int("substr offset"), n)
+    if name == "strip":
+        return F.concat_ws(" ", *[F.trim(a.col) for a in args])
+    if name == "lowercase":
+        return F.lower(one())
+    if name == "uppercase":
+        return F.upper(one())
+    if name == "sanitize":
+        return F.concat_ws("/", *[tf.tf_sanitize(a.col) for a in args])
+    if name == "padding":
+        if len(args) < 2:
+            raise TemplateError("$(padding msg width [pad])")
+        pad = args[2].lit if len(args) > 2 and args[2].lit else " "
+        return F.lpad(args[0].col, args[1].as_int("padding width"), pad)
+    if name == "replace-delimiter":
+        if len(args) != 3:
+            raise TemplateError("$(replace-delimiter from to msg)")
+        return tf.tf_replace_delimiter(
+            args[2].col, args[0].lit or "", (args[1].lit or " ")[0]
+        )
+    if name == "if":
+        if len(args) != 3:
+            raise TemplateError("$(if cond then else)")
+        return F.when(_parse_condition(raw_args[0], ctx), args[1].col).otherwise(
+            args[2].col
+        )
+    if name == "or":
+        return F.coalesce(*[F.nullif(a.col, F.lit("")) for a in args], F.lit(""))
+    if name == "grep":
+        raise TemplateError(
+            "$(grep)/context functions need a correlation context; use "
+            "grouping.grouped_ordered_agg + functions.templates.tf_grep"
+        )
+    if name in ("+", "-", "*", "/", "%"):
+        if len(args) != 2:
+            raise TemplateError(f"$({name} a b) takes two arguments")
+        return _arith(name, args)
+    if name in ("sum", "min", "max", "average"):
+        nums = [_num(a.col) for a in args]
+        if name == "sum":
+            out = nums[0]
+            for x in nums[1:]:
+                out = out + x
+        elif name == "min":
+            out = F.least(*nums) if len(nums) > 1 else nums[0]
+        elif name == "max":
+            out = F.greatest(*nums) if len(nums) > 1 else nums[0]
+        else:
+            out = sum(nums[1:], nums[0]) / F.lit(len(nums))
+        return _fmt_num(out)
+    if name == "round":
+        digits = args[1].as_int("round digits") if len(args) > 1 else 0
+        return _fmt_num(F.round(_num(args[0].col), digits))
+    if name == "ceil":
+        return _fmt_num(F.ceil(_num(args[0].col)).cast("double"))
+    if name == "floor":
+        return _fmt_num(F.floor(_num(args[0].col)).cast("double"))
+    if name == "list-concat":
+        return F.concat_ws(",", *[F.nullif(a.col, F.lit("")) for a in args])
+    if name == "list-head":
+        return F.element_at(F.split(one(), ","), 1)
+    if name == "list-nth":
+        if len(args) != 2:
+            raise TemplateError("$(list-nth n list)")
+        return F.element_at(F.split(args[1].col, ","), args[0].as_int("list-nth") + 1)
+    if name == "list-tail":
+        return F.array_join(F.slice(F.split(one(), ","), 2, 1_000_000), ",")
+    if name == "list-count":
+        c = one()
+        return F.when(c == "", F.lit("0")).otherwise(
+            F.size(F.split(c, ",")).cast("string")
+        )
+    if name == "implode":
+        if len(args) != 2:
+            raise TemplateError("$(implode sep list)")
+        return F.array_join(F.split(args[1].col, ","), args[0].lit or "")
+    if name == "explode":
+        if len(args) != 2:
+            raise TemplateError("$(explode sep str)")
+        return F.array_join(
+            F.split(args[1].col, re.escape(args[0].lit or " ")), ","
+        )
+    if name == "basename":
+        return tf.tf_basename(one())
+    if name == "dirname":
+        return tf.tf_dirname(one())
+    if name == "ipv4-to-int":
+        return tf.tf_ipv4_to_int(one()).cast("string")
+    if name == "url-encode":
+        return F.url_encode(one())
+    if name == "url-decode":
+        return F.url_decode(one())
+    if name == "base64-encode":
+        return F.base64(one().cast("binary"))
+    if name in ("sha256", "sha1", "md5", "hash"):
+        length = None
+        if raw_args and raw_args[0] == "--length":
+            length = args[1].as_int("--length")
+            args = args[2:]
+        payload = F.concat(*[a.col for a in args]) if args else F.lit("")
+        h = {
+            "sha256": lambda c: F.sha2(c.cast("binary"), 256),
+            "hash": lambda c: F.sha2(c.cast("binary"), 256),
+            "sha1": lambda c: F.sha1(c.cast("binary")),
+            "md5": lambda c: F.md5(c.cast("binary")),
+        }[name](payload)
+        return F.substring(h, 1, length) if length else h
+    if name == "uuid":
+        return F.expr("uuid()")
+    if name == "format-date":
+        if not args:
+            raise TemplateError("$(format-date fmt [ts])")
+        if args[0].lit is None:
+            raise TemplateError("$(format-date) format must be literal")
+        ts = (
+            F.timestamp_seconds(_int64(args[1].col))
+            if len(args) > 1
+            else ctx.stamp
+        )
+        if ts is None:
+            raise TemplateError("$(format-date) needs a stamp in the context")
+        return F.date_format(ts, strftime_to_java(args[0].lit))
+    if name == "format-welf":
+        pairs = []
+        for a in raw_args:
+            k, _, v = a.partition("=")
+            pairs.append((k, compile_template(v, ctx)))
+        return tf.format_welf(dict(pairs))
+    if name == "format-json":
+        pairs = []
+        for a in raw_args:
+            k, _, v = a.partition("=")
+            pairs.append((k, compile_template(v, ctx)))
+        return tf.format_json(dict(pairs))
+    raise TemplateError(f"unknown template function $({name})")
+
+
+# ---------------------------------------------------------------------------
+# the compiler entry point
+# ---------------------------------------------------------------------------
+
+
+def compile_template(template: str, ctx: TemplateContext) -> Column:
+    """Template string -> ONE string Column (plan-time compilation)."""
+    parts: list[Column] = []
+    for elem in tokenize(template):
+        if isinstance(elem, Lit):
+            parts.append(F.lit(elem.text))
+        elif isinstance(elem, ValueRef):
+            parts.append(ctx.resolve(elem.name, elem.default))
+        else:
+            parts.append(F.coalesce(_apply_func(elem, ctx).cast("string"), F.lit("")))
+    if not parts:
+        return F.lit("")
+    if len(parts) == 1:
+        return parts[0]
+    return F.concat(*parts)
+
+
+def is_trivial(template: str) -> bool:
+    """log_template_is_trivial analog: a single bare value ref compiles
+    to a plain column reference (no concat)."""
+    elems = tokenize(template)
+    return len(elems) == 1 and isinstance(elems[0], ValueRef)
+
+
+def parsed_template_context(include_fields: list[str] | None = None) -> TemplateContext:
+    """Context for the flagship parsed frame (parse.parse_stage output):
+    builtin macros bound to the header columns, S_=msg_ts, R_=ts."""
+    cols = {
+        "HOST": F.col("host"),
+        "PROGRAM": F.col("appname"),
+        "PID": F.col("procid"),
+        "MSG": F.col("body"),
+        "MESSAGE": F.col("body"),
+        "PRI": F.col("pri").cast("string"),
+        "SEVERITY_NUM": F.col("severity"),
+        "FACILITY_NUM": F.col("facility"),
+        "TAGS": F.array_join(F.col("tags"), ","),
+        "LOGHOST": F.lit("spark-pipeline"),
+        "SEQNUM": F.col("turn_idx").cast("string"),
+        "UNIQID": F.concat(F.col("conv_id"), F.lit("@"), F.col("turn_idx").cast("string")),
+    }
+    for f in include_fields or []:
+        cols[f] = F.col(f)
+    return TemplateContext(
+        columns=cols,
+        stamp=F.coalesce(F.col("msg_ts"), F.col("ts")),
+        recvd=F.col("ts"),
+    )

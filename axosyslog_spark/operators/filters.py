@@ -144,15 +144,26 @@ def facility_in(names_or_nums: list, col: str = "facility") -> Column:
     return F.col(col).isin(nums)
 
 
+# strict dotted-quad octet: 0-255, no leading zeros (inet_pton rules —
+# the reference's filter-netmask.c fails the parse on invalid input)
+_IPV4_OCTET = r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+IPV4_STRICT_RE = rf"^{_IPV4_OCTET}(?:\.{_IPV4_OCTET}){{3}}$"
+
+
 def ip_to_long(ip: Column) -> Column:
-    """Dotted IPv4 -> int64 (for netmask/geoip range logic)."""
+    """Dotted IPv4 -> int64 (for netmask/geoip range logic).
+
+    Invalid addresses (out-of-range octets like 999.0.0.1, too few
+    parts) yield NULL so CIDR containment is never falsely true.
+    """
     parts = F.split(ip, r"\.")
-    return (
+    num = (
         F.element_at(parts, 1).cast("bigint") * 16777216
         + F.element_at(parts, 2).cast("bigint") * 65536
         + F.element_at(parts, 3).cast("bigint") * 256
         + F.element_at(parts, 4).cast("bigint")
     )
+    return F.when(ip.rlike(IPV4_STRICT_RE), num)
 
 
 def netmask(ip_col: Column, cidr: str) -> Column:

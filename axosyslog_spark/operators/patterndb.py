@@ -7,29 +7,44 @@ the parser classes, patterndb.c, dbparser.c). Pattern syntax:
 
     literal@CLASS:name:param@literal...      ('@@' escapes a literal @)
 
-Supported classes (radix.c:277-860):
-  ESTRING:name:terminator  — consume up to (and incl.) terminator;
+Parser classes (radix.c:277-860) — all 17:
+  ESTRING:name:terminator  — consume up to terminator (excl.);
                              empty terminator = rest of line
-  QSTRING:name:q           — quoted string between q...q
+  NLSTRING:name            — up to (excl.) \\r?\\n or end of input
+  QSTRING:name:q           — quoted string; CAPTURES WITHOUT quotes
   STRING:name              — one whitespace-delimited word
   NUMBER:name              — integer (-> bigint)
   FLOAT:name               — decimal (-> double)
   IPv4/IPv6/IPvANY:name    — address literal
-  MACADDR:name             — aa:bb:cc:dd:ee:ff
-  EMAIL:name               — user@host
+  MACADDR:name             — up to 6 colon-separated hex pairs
+  LLADDR:name:k            — up to k colon-separated hex pairs
+  EMAIL:name:brackets      — user@host, optional bracket chars around
+                             (consumed, not captured)
   HOSTNAME:name            — dotted name
-  SET:name:chars           — run of the given characters
-  PCRE:name:regex          — embedded regex
+  SET:name:chars           — non-empty run of the given characters
+  OPTIONALSET:name:chars   — possibly-empty run (always matches)
+  PCRE:name:regex          — embedded regex (its groups de-captured)
   ANYSTRING:name           — rest of line
 
-Spark-first execution: each rule compiles to ONE anchored Java regex;
-the rule set is evaluated as a single projection — a `when` chain
-ordered by longest-literal-prefix-first (the radix-trie preference:
-more specific literal prefixes win, radix.c longest-match), with a
-cheap `startswith` guard short-circuiting rules whose literal prefix
-can't match. Everything stays inside whole-stage codegen; no Python
-runs per row. Matched output: (rule_id, one column per named field,
-typed).
+Match semantics mirror radix.c _find_node_with_state: a COMPLETE
+match (entire message consumed) is preferred; when no rule matches
+completely, a PARTIAL match (pattern fully consumed, message remainder
+ignored) is accepted — see the `@MACADDR@` + trailing ".iii" cases in
+modules/correlation/tests/test_radix.c. Within a tier, the rule with
+the longest literal prefix wins (the radix longest-match preference),
+declaration order breaking ties.
+
+Spark-first execution: each pattern compiles to ONE anchored Java
+regex. Classification is a `when` chain over the two tiers (cheap
+`startswith` guards short-circuit rules whose literal prefix can't
+match); extraction materializes ALL capture groups of the winning
+pattern in ONE regex execution via regexp_replace into a separator-
+joined string (the ``__pdb_groups`` array) — field columns then just
+`element_at` from it. A row therefore pays at most (guards + winning
+regex twice: classify + group-materialize), never 1+F regex runs like
+a per-field regexp_extract would (Catalyst does not CSE across
+withColumn projections). Everything stays inside whole-stage codegen;
+no Python runs per row.
 
 This composition is the scale path: at 10^12 rows a pandas-UDF trie
 would move every text through Arrow; the `when` chain moves nothing
@@ -39,10 +54,15 @@ and lets Catalyst prune unreferenced field columns.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# group values are joined with this control char by the single-pass
+# extractor; message text containing it would garble extraction
+# (syslog payloads never carry \x01 — the reference's NVTable would)
+_GROUP_SEP = "\x01"
 
 # class -> (regex fragment WITHOUT capture group, spark cast type or None)
 _CLASS_FRAGMENTS: dict[str, tuple[str, str | None]] = {
@@ -52,11 +72,38 @@ _CLASS_FRAGMENTS: dict[str, tuple[str, str | None]] = {
     "IPv4": (r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}", None),
     "IPv6": (r"[0-9A-Fa-f:]+:[0-9A-Fa-f:]+", None),
     "IPvANY": (r"(?:(?:[0-9]{1,3}\.){3}[0-9]{1,3}|[0-9A-Fa-f:]+:[0-9A-Fa-f:]+)", None),
-    "MACADDR": (r"(?:[0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}", None),
-    "EMAIL": (r"[^\s@]+@[^\s@]+", None),
+    # _r_parser_lladdr(parts=6): 1..6 colon-separated hex pairs
+    "MACADDR": (r"(?:[0-9A-Fa-f]{2}:){0,5}[0-9A-Fa-f]{2}", None),
     "HOSTNAME": (r"[0-9A-Za-z][0-9A-Za-z._-]*", None),
     "ANYSTRING": (r".*", None),
+    # r_parser_nlstring: up to \n (or end), a \r before the \n dropped
+    "NLSTRING": (r"[^\n]*?(?=\r?\n|$)", None),
 }
+
+# r_parser_email: local part = alnum + "!#$%&'*+-/=?^_`{|}~.",
+# host part = hostname chars — brackets/spaces never leak in
+_EMAIL_CORE = r"[0-9A-Za-z!#$%&'*+/=?^_`{|}~.-]+@[0-9A-Za-z._-]+"
+
+
+def _decapture(pattern: str) -> str:
+    """Turn capturing groups of an embedded PCRE param into
+    non-capturing ones so they don't shift our field numbering
+    (the reference stores only the whole PCRE match)."""
+    out: list[str] = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            out.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if c == "(" and not pattern.startswith("(?", i):
+            out.append("(?:")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 @dataclass(frozen=True)
@@ -66,17 +113,45 @@ class PdbField:
 
 
 @dataclass(frozen=True)
-class CompiledRule:
+class PdbRule:
+    """One <rule>: id, one or more patterns, optional class/tags/values.
+
+    ``values`` entries are (name, template-string) pairs rendered with
+    functions.template_compiler when the rule wins (pdb-rule.c values;
+    templates resolve extracted fields and any context columns).
+    """
+
     rule_id: str
-    regex: str                      # anchored Java/RE2-compatible regex
-    fields: tuple[PdbField, ...]    # in capture-group order (1-based)
-    literal_prefix: str             # for the radix-style fast guard
+    pattern: str | tuple[str, ...]
+    rule_class: str = ""
+    tags: tuple[str, ...] = ()
+    values: tuple[tuple[str, str], ...] = ()
+
+    @property
+    def patterns(self) -> tuple[str, ...]:
+        return (self.pattern,) if isinstance(self.pattern, str) else tuple(self.pattern)
 
 
 @dataclass(frozen=True)
-class PdbRule:
-    rule_id: str
-    pattern: str
+class CompiledPattern:
+    rule: PdbRule
+    body: str                       # regex body WITHOUT ^/$ anchors
+    fields: tuple[PdbField, ...]    # in capture-group order (1-based)
+    literal_prefix: str             # for the radix-style fast guard
+    ordinal: int = -1               # position after longest-prefix sort
+
+    @property
+    def regex(self) -> str:
+        """Complete-match regex (round-1 API)."""
+        return f"^{self.body}$"
+
+    @property
+    def rule_id(self) -> str:
+        return self.rule.rule_id
+
+
+# back-compat alias (round-1 API)
+CompiledRule = CompiledPattern
 
 
 def _split_pattern(pattern: str) -> list[tuple[str, str]]:
@@ -105,13 +180,13 @@ def _split_pattern(pattern: str) -> list[tuple[str, str]]:
     return [(k, v) for k, v in segs if v != "" or k == "class"]
 
 
-def compile_rule(rule: PdbRule) -> CompiledRule:
-    """Pattern string -> one anchored regex with ordered capture groups."""
-    parts: list[str] = ["^"]
+def compile_pattern(rule: PdbRule, pattern: str) -> CompiledPattern:
+    """Pattern string -> regex body with ordered capture groups."""
+    parts: list[str] = []
     fields: list[PdbField] = []
     prefix = ""
     prefix_open = True
-    for kind, val in _split_pattern(rule.pattern):
+    for kind, val in _split_pattern(pattern):
         if kind == "lit":
             parts.append(re.escape(val))
             if prefix_open:
@@ -122,100 +197,250 @@ def compile_rule(rule: PdbRule) -> CompiledRule:
         cls = spec[0]
         name = spec[1] if len(spec) > 1 and spec[1] else None
         param = spec[2] if len(spec) > 2 else None
+        pre = post = tail = ""
+        cast = None
         if cls == "ESTRING":
             if param:
-                frag, tail = f"[^{re.escape(param[0])}]*" if len(param) == 1 else f"(?:(?!{re.escape(param)}).)*", re.escape(param)
+                frag = (
+                    f"[^{re.escape(param[0])}]*"
+                    if len(param) == 1
+                    else f"(?:(?!{re.escape(param)}).)*"
+                )
+                tail = re.escape(param)
             else:
-                frag, tail = ".*", ""
-            cast = None
+                frag = ".*"
         elif cls == "QSTRING":
             q = param or '"'
             lq, rq = (q[0], q[-1])
-            frag, tail = f"{re.escape(lq)}[^{re.escape(rq)}]*{re.escape(rq)}", ""
-            cast = None
+            # radix.c r_parser_qstring: the quotes are consumed but the
+            # stored value excludes them (match ofs+1, len-2)
+            pre, frag, post = re.escape(lq), f"[^{re.escape(rq)}]*", re.escape(rq)
         elif cls == "SET":
-            frag, tail = f"[{re.escape(param or ' ')}]+", ""
-            cast = None
+            frag = f"[{re.escape(param or ' ')}]+"
+        elif cls == "OPTIONALSET":
+            # r_parser_optionalset: like SET but zero-length matches too
+            frag = f"[{re.escape(param or ' ')}]*"
+        elif cls == "LLADDR":
+            k = int(param) if param else 20
+            frag = rf"(?:[0-9A-Fa-f]{{2}}:){{0,{k - 1}}}[0-9A-Fa-f]{{2}}"
+        elif cls == "EMAIL":
+            # param chars are consumed around the address, not captured
+            if param:
+                bracket = f"[{re.escape(param)}]*"
+                pre, frag, post = bracket, _EMAIL_CORE, bracket
+            else:
+                frag = _EMAIL_CORE
         elif cls == "PCRE":
-            frag, tail = f"(?:{param})", ""
-            cast = None
+            if param is None:
+                raise ValueError(f"PCRE needs a regex param in {pattern!r}")
+            frag = f"(?:{_decapture(param)})"
         elif cls in _CLASS_FRAGMENTS:
             frag, cast = _CLASS_FRAGMENTS[cls]
-            tail = ""
         else:
-            raise ValueError(f"unknown parser class {cls!r} in {rule.pattern!r}")
+            raise ValueError(f"unknown parser class {cls!r} in {pattern!r}")
+        parts.append(pre)
         if name:
             parts.append(f"({frag})")
             fields.append(PdbField(name, cast))
         else:
             parts.append(f"(?:{frag})")
+        parts.append(post)
         parts.append(tail)
-    parts.append("$")
-    return CompiledRule(rule.rule_id, "".join(parts), tuple(fields), prefix)
+    return CompiledPattern(rule, "".join(parts), tuple(fields), prefix)
+
+
+def compile_rule(rule: PdbRule) -> CompiledPattern:
+    """Back-compat: compile the rule's first pattern."""
+    return compile_pattern(rule, rule.patterns[0])
 
 
 class PatternDB:
     """A compiled rule set applicable to a DataFrame text column."""
 
     def __init__(self, rules: list[PdbRule]):
-        compiled = [compile_rule(r) for r in rules]
+        compiled = [
+            compile_pattern(r, p) for r in rules for p in r.patterns
+        ]
         # radix preference: longest literal prefix first (more specific
         # rules win), declaration order as tiebreak — mirrors the
         # trie's longest-match walk without building a trie
-        self.rules = sorted(
-            compiled,
-            key=lambda c: -len(c.literal_prefix),
-        )
+        ordered = sorted(compiled, key=lambda c: -len(c.literal_prefix))
+        self.patterns = [
+            CompiledPattern(c.rule, c.body, c.fields, c.literal_prefix, i)
+            for i, c in enumerate(ordered)
+        ]
         self.field_names = sorted(
-            {f.name for c in self.rules for f in c.fields}
+            {f.name for c in self.patterns for f in c.fields}
         )
-        self._casts = {}
-        for c in self.rules:
+        self._casts: dict[str, str | None] = {}
+        for c in self.patterns:
             for f in c.fields:
                 self._casts.setdefault(f.name, f.cast)
+        self.value_names = sorted(
+            {name for r in rules for name, _ in r.values}
+        )
 
-    def _rule_match(self, text: Column, c: CompiledRule) -> Column:
-        m = text.rlike(c.regex)
+    # round-1 API: `rules` was the compiled list
+    @property
+    def rules(self) -> list[CompiledPattern]:
+        return self.patterns
+
+    def _guarded(self, text: Column, c: CompiledPattern, regex: str) -> Column:
+        m = text.rlike(regex)
         if c.literal_prefix:
             m = text.startswith(c.literal_prefix) & m
         return m
 
+    def match_idx(self, text: Column) -> Column:
+        """Winning compiled-pattern ordinal; ordinal+N encodes a
+        partial (pattern-consumed, message-remainder) match; NULL if
+        unmatched. Mirrors radix.c's complete-then-partial two-pass."""
+        n = len(self.patterns)
+        expr = None
+        for c in self.patterns:
+            cond = self._guarded(text, c, f"^{c.body}$")
+            branch = (expr.when if expr is not None else F.when)(cond, F.lit(c.ordinal))
+            expr = branch
+        for c in self.patterns:
+            cond = self._guarded(text, c, f"^{c.body}")
+            expr = expr.when(cond, F.lit(c.ordinal + n))
+        return expr.otherwise(F.lit(None).cast("int")) if expr is not None else F.lit(None).cast("int")
+
     def classify(self, text: Column) -> Column:
         """rule_id of the winning rule, NULL if unclassified."""
-        out = F.lit(None).cast("string")
-        expr = None
-        for c in self.rules:
-            branch = F.when(self._rule_match(text, c), F.lit(c.rule_id))
-            expr = branch if expr is None else expr.when(
-                self._rule_match(text, c), F.lit(c.rule_id)
+        idx = self.match_idx(text)
+        return self._rule_id_for(idx)
+
+    def _rule_id_for(self, idx: Column) -> Column:
+        n = len(self.patterns)
+        expr = F.lit(None).cast("string")
+        for c in reversed(self.patterns):
+            expr = F.when(
+                (idx == c.ordinal) | (idx == c.ordinal + n), F.lit(c.rule.rule_id)
+            ).otherwise(expr)
+        return expr
+
+    def _groups_for(self, text: Column, idx: Column) -> Column:
+        """ONE regex execution per row: the winning pattern's groups,
+        materialized as an array. The replacement renders $1..$F
+        joined by a separator; a trailing separator isolates any
+        message remainder in the (ignored) last element for the
+        partial-match tier."""
+        n = len(self.patterns)
+        expr = F.lit(None).cast("array<string>")
+        for c in reversed(self.patterns):
+            if not c.fields:
+                continue
+            repl = "".join(f"${i + 1}{_GROUP_SEP}" for i in range(len(c.fields)))
+            full = F.split(F.regexp_replace(text, f"^{c.body}$", repl), _GROUP_SEP)
+            part = F.split(F.regexp_replace(text, f"^{c.body}", repl), _GROUP_SEP)
+            expr = (
+                F.when(idx == c.ordinal, full)
+                .when(idx == c.ordinal + n, part)
+                .otherwise(expr)
             )
-        return expr.otherwise(out) if expr is not None else out
+        return expr
 
     def apply(
-        self, df: DataFrame, text_col: str = "text", prefix: str = ""
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        prefix: str = "",
+        values_ctx=None,
+        with_class: bool = False,
+        with_tags: bool = False,
     ) -> DataFrame:
-        """Adds rule_id + one typed column per named field.
+        """Adds rule_id + one typed column per named field (+ optional
+        rule_class / pdb_tags / rendered <values> columns).
 
-        Field value comes from the winning rule only (NULL elsewhere),
-        so rules sharing a field name compose like the reference's
-        unified NV namespace.
+        Field values come from the winning pattern only (NULL
+        elsewhere), so rules sharing a field name compose like the
+        reference's unified NV namespace.
+
+        Three deliberate projections (match_idx | rule_id+groups |
+        fields) so every heavy subtree is materialized once as a plain
+        attribute reference — folding them into one select would
+        re-evaluate the regexes per referencing column.
         """
         text = F.col(text_col)
-        df = df.withColumn(f"{prefix}rule_id", self.classify(text))
-        rid = F.col(f"{prefix}rule_id")
+        n = len(self.patterns)
+        idx_col, groups_col = f"__pdb_idx{prefix}", f"__pdb_groups{prefix}"
+        df = df.withColumn(idx_col, self.match_idx(text))
+        idx = F.col(idx_col)
+        proj2 = {
+            f"{prefix}rule_id": self._rule_id_for(idx),
+            groups_col: self._groups_for(text, idx),
+        }
+        if with_class:
+            cls = F.lit(None).cast("string")
+            for c in reversed(self.patterns):
+                if c.rule.rule_class:
+                    cls = F.when(
+                        (idx == c.ordinal) | (idx == c.ordinal + n),
+                        F.lit(c.rule.rule_class),
+                    ).otherwise(cls)
+            proj2[f"{prefix}rule_class"] = cls
+        if with_tags:
+            tags = F.lit(None).cast("array<string>")
+            for c in reversed(self.patterns):
+                if c.rule.tags:
+                    tags = F.when(
+                        (idx == c.ordinal) | (idx == c.ordinal + n),
+                        F.array(*[F.lit(t) for t in c.rule.tags]),
+                    ).otherwise(tags)
+            proj2[f"{prefix}pdb_tags"] = tags
+        df = df.withColumns(proj2)
+        groups = F.col(groups_col)
+
+        field_cols: dict[str, Column] = {}
         for name in self.field_names:
             expr = F.lit(None).cast("string")
             # build reversed so earlier (higher-precedence) rules win
-            for c in reversed(self.rules):
+            for c in reversed(self.patterns):
                 gi = next(
                     (i + 1 for i, f in enumerate(c.fields) if f.name == name), None
                 )
                 if gi is not None:
                     expr = F.when(
-                        rid == c.rule_id, F.regexp_extract(text, c.regex, gi)
+                        (idx == c.ordinal) | (idx == c.ordinal + n),
+                        F.element_at(groups, gi),
                     ).otherwise(expr)
             cast = self._casts.get(name)
             if cast:
                 expr = F.nullif(expr, F.lit("")).cast(cast)
-            df = df.withColumn(f"{prefix}{name}", expr)
-        return df
+            field_cols[f"{prefix}{name}"] = expr
+        df = df.withColumns(field_cols)
+
+        if self.value_names:
+            from axosyslog_spark.functions.template_compiler import (
+                TemplateContext,
+                compile_template,
+            )
+
+            ctx = values_ctx or TemplateContext()
+            ctx = TemplateContext(
+                columns={
+                    **{f: F.col(f"{prefix}{f}") for f in self.field_names},
+                    **ctx.columns,
+                },
+                stamp=ctx.stamp, recvd=ctx.recvd, now=ctx.now,
+                matches=ctx.matches, extras=ctx.extras,
+            )
+            value_cols: dict[str, Column] = {}
+            for name in self.value_names:
+                expr = (
+                    F.col(f"{prefix}{name}").cast("string")
+                    if f"{prefix}{name}" in df.columns
+                    else F.lit(None).cast("string")
+                )
+                for c in reversed(self.patterns):
+                    tmpl = dict(c.rule.values).get(name)
+                    if tmpl is not None:
+                        expr = F.when(
+                            (idx == c.ordinal) | (idx == c.ordinal + n),
+                            compile_template(tmpl, ctx),
+                        ).otherwise(expr)
+                value_cols[f"{prefix}{name}"] = expr
+            df = df.withColumns(value_cols)
+
+        return df.drop(idx_col, groups_col)

@@ -104,33 +104,62 @@ def _sql_str(s: str) -> str:
 
 def patterndb_select_sql(pdb, src_col: str, from_clause: str, keys: str) -> str:
     """Generate the DuckDB mirror of PatternDB.apply: the same compiled
-    regexes, evaluated in the same precedence order (the compiled rule
-    list is already longest-literal-prefix-first)."""
+    regexes, evaluated in the same precedence order (longest-literal-
+    prefix-first, complete-match tier before partial-match tier —
+    radix.c _find_node_with_state).
+
+    Caveat: DuckDB's RE2 has no lookaround, so patterns using NLSTRING
+    or multi-char ESTRING terminators can't be oracle-mirrored — keep
+    those to unit tests. Rendered <value> columns are the caller's job
+    (wrap the generated select and CASE on rule_id).
+    """
+    n = len(pdb.patterns)
     whens = []
-    for c in pdb.rules:
-        guard = f"regexp_matches({src_col}, {_sql_str(c.regex)})"
+    for c in pdb.patterns:  # complete-match tier
+        guard = f"regexp_matches({src_col}, {_sql_str('^' + c.body + '$')})"
         if c.literal_prefix:
             guard = f"starts_with({src_col}, {_sql_str(c.literal_prefix)}) AND {guard}"
-        whens.append(f"WHEN {guard} THEN '{c.rule_id}'")
-    rule_id = "CASE " + " ".join(whens) + " ELSE NULL END"
+        whens.append(f"WHEN {guard} THEN {c.ordinal}")
+    for c in pdb.patterns:  # partial-match tier
+        guard = f"regexp_matches({src_col}, {_sql_str('^' + c.body)})"
+        if c.literal_prefix:
+            guard = f"starts_with({src_col}, {_sql_str(c.literal_prefix)}) AND {guard}"
+        whens.append(f"WHEN {guard} THEN {c.ordinal + n}")
+    pat_idx = "CASE " + " ".join(whens) + " ELSE NULL END"
+
+    rid_whens = [
+        f"WHEN pat_idx IN ({c.ordinal}, {c.ordinal + n}) THEN '{c.rule.rule_id}'"
+        for c in pdb.patterns
+    ]
+    rule_id = "CASE " + " ".join(rid_whens) + " ELSE NULL END"
+
     cols = [f"{rule_id} AS rule_id"]
+    cls_whens = [
+        f"WHEN pat_idx IN ({c.ordinal}, {c.ordinal + n}) THEN '{c.rule.rule_class}'"
+        for c in pdb.patterns
+        if c.rule.rule_class
+    ]
+    if cls_whens:
+        cols.append("CASE " + " ".join(cls_whens) + " ELSE NULL END AS rule_class")
     for name in pdb.field_names:
         field_whens = []
-        for c in pdb.rules:
+        for c in pdb.patterns:
             gi = next((i + 1 for i, f in enumerate(c.fields) if f.name == name), None)
             if gi is not None:
                 field_whens.append(
-                    f"WHEN rule_id = '{c.rule_id}' THEN "
-                    f"regexp_extract({src_col}, {_sql_str(c.regex)}, {gi})"
+                    f"WHEN pat_idx = {c.ordinal} THEN "
+                    f"regexp_extract({src_col}, {_sql_str('^' + c.body + '$')}, {gi}) "
+                    f"WHEN pat_idx = {c.ordinal + n} THEN "
+                    f"regexp_extract({src_col}, {_sql_str('^' + c.body)}, {gi})"
                 )
         expr = "CASE " + " ".join(field_whens) + " ELSE NULL END"
         cast = pdb._casts.get(name)
         if cast:
             duck_t = {"bigint": "BIGINT", "double": "DOUBLE", "int": "INT"}[cast]
-            expr = f"CAST(nullif({expr}, '') AS {duck_t})"
+            expr = f"TRY_CAST(nullif({expr}, '') AS {duck_t})"
         cols.append(f"{expr} AS {name}")
-    inner = f"SELECT {keys}, {src_col}, {rule_id} AS rule_id {from_clause}"
-    outer_cols = [keys, "rule_id"] + cols[1:]
+    inner = f"SELECT {keys}, {src_col}, {pat_idx} AS pat_idx {from_clause}"
+    outer_cols = [keys] + cols
     return f"SELECT {', '.join(outer_cols)} FROM ({inner})"
 
 

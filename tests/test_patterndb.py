@@ -76,7 +76,8 @@ def test_parser_classes(spark):
         ],
     )
     assert rows[0]["rule_id"] == "num" and rows[0]["n"] == -42 and rows[0]["f"] == 3.14
-    assert rows[1]["rule_id"] == "q" and rows[1]["quote"] == '"hello world"'
+    # QSTRING stores the value WITHOUT quotes (radix.c r_parser_qstring)
+    assert rows[1]["rule_id"] == "q" and rows[1]["quote"] == "hello world"
     assert rows[2]["mac"] == "aa:bb:cc:dd:ee:ff"
     assert rows[3]["addr"] == "bob@example.com"
     assert rows[4]["code"] == "A1B2"
@@ -122,3 +123,121 @@ def test_compile_rejects_bad_patterns():
         compile_rule(PdbRule("x", "open@ESTRING:a"))
     with pytest.raises(ValueError):
         compile_rule(PdbRule("x", "bad @NOCLASS:a@"))
+
+
+# --- classes + match tiers ported from modules/correlation/tests/test_radix.c
+
+
+def test_optionalset(spark):
+    rules = [PdbRule("os", "AAA@OPTIONALSET:set:  @AAA")]
+    rows = _apply(spark, rules, ["AAA  AAA", "AAA AAA", "AAAAAA"])
+    assert [r["set"] for r in rows] == ["  ", " ", ""]
+    assert all(r["rule_id"] == "os" for r in rows)
+
+
+def test_optionalset_at_end_after_qstring(spark):
+    rules = [PdbRule("q", "@QSTRING:q:[]@@OPTIONALSET:s: @")]
+    rows = _apply(spark, rules, ["[AAA]  ", "[AAA]"])
+    assert rows[0]["q"] == "AAA" and rows[0]["s"] == "  "
+    assert rows[1]["q"] == "AAA" and rows[1]["s"] == ""
+
+
+def test_macaddr_partial_match_with_remainder(spark):
+    # radix allows a partial match when no rule consumes the whole
+    # message (test_radix.c test_mcaddr_matches: trailing ".iii")
+    rules = [PdbRule("mac", "@MACADDR:macaddr@")]
+    rows = _apply(spark, rules, ["82:63:25:93:eb:51.iii", "82:63:25:93:EB:51.iii"])
+    assert rows[0]["macaddr"] == "82:63:25:93:eb:51"
+    assert rows[1]["macaddr"] == "82:63:25:93:EB:51"
+
+
+def test_lladdr_caps_parts(spark):
+    rules = [PdbRule("ll", "@LLADDR:lladdr6:6@")]
+    rows = _apply(spark, rules, ["83:63:25:93:eb:51:aa:bb.iii"])
+    assert rows[0]["lladdr6"] == "83:63:25:93:eb:51"
+
+
+def test_email_with_bracket_param(spark):
+    rules = [PdbRule("m", "@EMAIL:email:[<]>@")]
+    rows = _apply(
+        spark,
+        rules,
+        ["blint@balabit.hu", "<blint@balabit.hu>", "[blint@balabit.hu]", "<a@b.c>"],
+    )
+    assert [r["email"] for r in rows] == [
+        "blint@balabit.hu", "blint@balabit.hu", "blint@balabit.hu", "a@b.c",
+    ]
+
+
+def test_hostname_keeps_trailing_dot(spark):
+    rules = [PdbRule("h", "@HOSTNAME:hostname@ kkk")]
+    rows = _apply(spark, rules, ["www.example.org. kkk"])
+    assert rows[0]["hostname"] == "www.example.org."
+
+
+def test_nlstring(spark):
+    rules = [PdbRule("nl", "@NLSTRING:nlstring@")]
+    rows = _apply(
+        spark,
+        rules,
+        ["foobar\r\nbaz", "foobar\nbaz", "\nbaz", "foobar\r\n", "foobar\n", "foobar"],
+    )
+    assert [r["nlstring"] for r in rows] == [
+        "foobar", "foobar", "", "foobar", "foobar", "foobar",
+    ]
+
+
+def test_pcre_with_capturing_group_param(spark):
+    # embedded groups are de-captured so field numbering holds
+    rules = [PdbRule("p", "@PCRE:regexp:(foo|bar)@ @STRING:w@")]
+    rows = _apply(spark, rules, ["foo next"])
+    assert rows[0]["regexp"] == "foo" and rows[0]["w"] == "next"
+
+
+def test_complete_match_beats_partial(spark):
+    # the complete-match tier wins even when a longer-prefix rule
+    # matches partially (radix require_complete_match first pass)
+    rules = [
+        PdbRule("partial_only", "pattern @NUMBER:a@ extra"),
+        PdbRule("complete", "pattern @NUMBER:b@ tail"),
+    ]
+    rows = _apply(spark, rules, ["pattern 42 tail"])
+    assert rows[0]["rule_id"] == "complete" and rows[0]["b"] == 42
+
+
+def test_multi_pattern_rule(spark):
+    rules = [
+        PdbRule("multi", ("alpha id=@NUMBER:n@", "beta id=@NUMBER:n@ x=@STRING:x@")),
+    ]
+    rows = _apply(spark, rules, ["alpha id=1", "beta id=2 x=y"])
+    assert rows[0]["rule_id"] == "multi" and rows[0]["n"] == 1 and rows[0]["x"] is None
+    assert rows[1]["rule_id"] == "multi" and rows[1]["n"] == 2 and rows[1]["x"] == "y"
+
+
+def test_rule_class_tags_and_values(spark):
+    df_rules = [
+        PdbRule(
+            "r1",
+            "login user=@STRING:user@",
+            rule_class="system",
+            tags=("auth", "ok"),
+            values=(("greeting", "hello ${user}"), ("ulen", "$(length ${user})")),
+        ),
+        PdbRule("r2", "logout user=@STRING:user@", rule_class="system"),
+    ]
+    from axosyslog_spark.operators.patterndb import PatternDB
+
+    df = spark.createDataFrame(
+        [(0, "login user=alice"), (1, "logout user=bob"), (2, "nothing")],
+        "id int, text string",
+    )
+    out = {
+        r.id: r.asDict()
+        for r in PatternDB(df_rules)
+        .apply(df, with_class=True, with_tags=True)
+        .collect()
+    }
+    assert out[0]["rule_class"] == "system" and out[0]["pdb_tags"] == ["auth", "ok"]
+    assert out[0]["greeting"] == "hello alice" and out[0]["ulen"] == "5"
+    assert out[1]["rule_class"] == "system" and out[1]["greeting"] is None
+    assert out[2]["rule_class"] is None and out[2]["pdb_tags"] is None

@@ -1,0 +1,110 @@
+"""PatternDB XML ruleset loader tests (pdb-load.c analog), including
+the <examples> self-check replay."""
+
+from __future__ import annotations
+
+import pytest
+
+from axosyslog_spark.operators.pdb_load import (
+    check_examples,
+    load_checked,
+    load_fixture,
+    load_pdb_xml,
+)
+
+
+def test_load_fixture_shape():
+    [rs] = load_fixture()
+    assert rs.name == "transcript_bodies"
+    assert rs.version == "5" and rs.pub_date == "2026-08-16"
+    assert rs.programs == (
+        "proc_click", "proc_view", "proc_error", "proc_run", "proc_purchase"
+    )
+    by_id = {r.rule_id: r for r in rs.rules}
+    assert set(by_id) == {"kv_retry", "kv_plain", "badhdr", "free"}
+    assert by_id["kv_retry"].rule_class == "system"
+    assert by_id["kv_retry"].tags == ("kv", "retryable")
+    assert dict(by_id["kv_retry"].values)["status_up"] == "$(uppercase ${status})"
+    assert by_id["badhdr"].rule_class == "violation"
+    assert len(rs.examples) == 4
+
+
+def test_examples_self_check_green(spark):
+    [rs] = load_fixture()
+    assert check_examples(spark, rs) == []
+
+
+def test_examples_self_check_catches_drift(spark):
+    xml = """
+    <patterndb version='4'>
+      <ruleset name='t' id='1'>
+        <rules>
+          <rule id='r1' class='system'>
+            <patterns><pattern>v=@NUMBER:n@</pattern></patterns>
+            <examples>
+              <example>
+                <test_message program='p'>v=41</test_message>
+                <test_values><test_value name='n'>42</test_value></test_values>
+              </example>
+            </examples>
+          </rule>
+        </rules>
+      </ruleset>
+    </patterndb>
+    """
+    [rs] = load_pdb_xml(xml)
+    problems = check_examples(spark, rs)
+    assert len(problems) == 1 and "expected '42'" in problems[0]
+    with pytest.raises(ValueError, match="self-check failed"):
+        load_checked(spark, xml)
+
+
+def test_multi_pattern_rule_from_xml(spark):
+    xml = """
+    <patterndb version='4'>
+      <ruleset name='t' id='1'>
+        <rules>
+          <rule id='r1'>
+            <patterns>
+              <pattern>up n=@NUMBER:n@</pattern>
+              <pattern>down n=@NUMBER:n@</pattern>
+            </patterns>
+          </rule>
+        </rules>
+      </ruleset>
+    </patterndb>
+    """
+    [rs] = load_pdb_xml(xml)
+    assert rs.rules[0].patterns == ("up n=@NUMBER:n@", "down n=@NUMBER:n@")
+    pdb = rs.pattern_db()
+    df = spark.createDataFrame([("up n=1",), ("down n=2",)], "text string")
+    got = [r["rule_id"] for r in pdb.apply(df).collect()]
+    assert got == ["r1", "r1"]
+
+
+def test_load_rejects_bad_documents():
+    with pytest.raises(ValueError, match="expected <patterndb>"):
+        load_pdb_xml("<notpdb/>")
+    with pytest.raises(ValueError, match="no <pattern>"):
+        load_pdb_xml(
+            "<patterndb version='4'><ruleset name='t' id='1'><rules>"
+            "<rule id='r1'></rule></rules></ruleset></patterndb>"
+        )
+
+
+def test_fixture_values_render(spark):
+    [rs] = load_fixture()
+    pdb = rs.pattern_db()
+    df = spark.createDataFrame(
+        [
+            (0, "status=ok latency_ms=117 path=/v1/run retry=2"),
+            (1, "BADHDR 2024-01-01T00:00:07 host-1 status=error latency_ms=3"),
+        ],
+        "id int, text string",
+    )
+    out = {r.id: r.asDict() for r in pdb.apply(df, with_class=True, with_tags=True).collect()}
+    assert out[0]["rule_id"] == "kv_retry" and out[0]["rule_class"] == "system"
+    assert out[0]["status_up"] == "OK" and out[0]["kv_key"] == "ok/2"
+    assert out[0]["pdb_tags"] == ["kv", "retryable"]
+    assert out[1]["rule_id"] == "badhdr"
+    assert out[1]["note"] == "badhdr at 2024-01-01T00:00:07 on host-1"

@@ -1,0 +1,249 @@
+"""Template-string compiler tests.
+
+Tokenizer cases ported from lib/template/tests/test_template_compile.c;
+rendering cases check golden output strings on tiny frames.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from axosyslog_spark.functions.template_compiler import (
+    FuncCall,
+    Lit,
+    TemplateContext,
+    TemplateError,
+    ValueRef,
+    compile_template,
+    is_trivial,
+    strftime_to_java,
+    tokenize,
+)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer (no Spark needed)
+# ---------------------------------------------------------------------------
+
+
+def test_tokenize_literal():
+    assert tokenize("plain text") == [Lit("plain text")]
+
+
+def test_tokenize_braced_and_unbraced():
+    assert tokenize("${HOST}") == [ValueRef("HOST")]
+    assert tokenize("$HOST") == [ValueRef("HOST")]
+    assert tokenize("$HOST test value") == [ValueRef("HOST"), Lit(" test value")]
+    assert tokenize("${HOST}test value") == [ValueRef("HOST"), Lit("test value")]
+
+
+def test_tokenize_default_value():
+    assert tokenize("${MSGHDR:-default value}") == [
+        ValueRef("MSGHDR", "default value")
+    ]
+    assert tokenize("${MSGHDR:-}") == [ValueRef("MSGHDR", "")]
+
+
+def test_tokenize_unknown_substitution_is_error():
+    with pytest.raises(TemplateError):
+        tokenize("${MSGHDR:1}")
+    with pytest.raises(TemplateError):
+        tokenize("${MSGHDR")
+
+
+def test_tokenize_msg_ref():
+    assert tokenize("${MSGHDR}@0") == [ValueRef("MSGHDR", None, 1)]
+    assert tokenize("${MSGHDR}@1") == [ValueRef("MSGHDR", None, 2)]
+    # non-numeric @ is a literal
+    assert tokenize("${MSGHDR}@gmail.com") == [
+        ValueRef("MSGHDR"),
+        Lit("@gmail.com"),
+    ]
+    # @@ collapses to one literal @
+    assert tokenize("${MSGHDR}@@12") == [ValueRef("MSGHDR"), Lit("@12")]
+
+
+def test_tokenize_dollar_escapes():
+    assert tokenize("$$VALUE_NAME") == [Lit("$VALUE_NAME")]
+    assert tokenize("$${VALUE_NAME}") == [Lit("${VALUE_NAME}")]
+    assert tokenize("$:VALUE_NAME") == [Lit("$:VALUE_NAME")]
+    assert tokenize("$") == [Lit("$")]
+
+
+def test_tokenize_empty_braced_name():
+    assert tokenize("${}") == [ValueRef("")]
+
+
+def test_tokenize_backslash_in_braces_taken_literally():
+    assert tokenize("${VALUE\\}NAME}") == [ValueRef("VALUE\\"), Lit("NAME}")]
+
+
+def test_tokenize_function():
+    assert tokenize("$(hello)") == [FuncCall(("hello",))]
+    assert tokenize("$(hello)test value") == [FuncCall(("hello",)), Lit("test value")]
+    # quotes inside the name token merge (test_qouted_string_in_name)
+    assert tokenize('$(he"ll"o)') == [FuncCall(("hello",))]
+
+
+def test_tokenize_function_args_quoting_and_nesting():
+    [fn] = tokenize(
+        "$( hello \\tes\t\t\t value(xyz) \"value with spaces\" 'test value with spa\"ces')@2"
+    )
+    assert fn == FuncCall(
+        ("hello", "tes", "value(xyz)", "value with spaces", 'test value with spa"ces'),
+        3,
+    )
+
+
+def test_tokenize_function_errors():
+    with pytest.raises(TemplateError):
+        tokenize("$(hello value(xyz)")  # imbalanced
+    with pytest.raises(TemplateError):
+        tokenize('$(hello "unclosed quote)')
+
+
+def test_is_trivial():
+    assert is_trivial("${HOST}")
+    assert is_trivial("$1")
+    assert not is_trivial("${HOST} x")
+    assert not is_trivial("$(echo a)")
+
+
+def test_strftime_to_java():
+    assert strftime_to_java("%Y-%m-%dT%H:%M:%S") == "yyyy-MM-dd'T'HH:mm:ss"
+    assert strftime_to_java("%b %d %H:%M") == "MMM dd HH:mm"
+    assert strftime_to_java("at %H o'clock") == "'at 'HH' o''clock'"
+
+
+# ---------------------------------------------------------------------------
+# rendering (Spark)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def frame(spark):
+    return spark.createDataFrame(
+        [
+            ("h1", "app", "hello world", 3, 2, "2024-03-05 06:07:08"),
+            ("h2", "db", "x=1 y=2", 6, 1, "2024-12-31 23:59:59"),
+        ],
+        "host string, appname string, body string, severity int, facility int, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+
+
+def _ctx(extra=None):
+    cols = {
+        "HOST": F.col("host"),
+        "PROGRAM": F.col("appname"),
+        "MSG": F.col("body"),
+        "SEVERITY_NUM": F.col("severity"),
+        "FACILITY_NUM": F.col("facility"),
+    }
+    cols.update(extra or {})
+    return TemplateContext(columns=cols, stamp=F.col("ts"), recvd=F.col("ts"))
+
+
+def _render(frame, template, ctx=None):
+    return [
+        r[0]
+        for r in frame.select(
+            compile_template(template, ctx or _ctx()).alias("out")
+        ).orderBy("host").collect()
+    ]
+
+
+def test_render_values_and_literals(frame):
+    assert _render(frame, "host=${HOST} prog=$PROGRAM!") == [
+        "host=h1 prog=app!",
+        "host=h2 prog=db!",
+    ]
+
+
+def test_render_default_value(frame):
+    assert _render(frame, "${NOPE:-fallback}") == ["fallback", "fallback"]
+    assert _render(frame, "${NOPE}") == ["", ""]
+
+
+def test_render_date_macros(frame):
+    assert _render(frame, "${YEAR}-${MONTH} ${HOUR}:${MIN}:${SEC}") == [
+        "2024-03 06:07:08",
+        "2024-12 23:59:59",
+    ]
+    assert _render(frame, "$S_UNIXTIME") == ["1709618828", "1735689599"]
+
+
+def test_render_pri_macros(frame):
+    assert _render(frame, "<${PRI}> ${SEVERITY}/${FACILITY}") == [
+        "<19> err/mail",
+        "<14> info/user",
+    ]
+
+
+def test_render_string_funcs(frame):
+    assert _render(frame, "$(length ${MSG})") == ["11", "7"]
+    assert _render(frame, "$(substr ${MSG} 0 5)") == ["hello", "x=1 y"]
+    assert _render(frame, "$(substr ${MSG} -5)") == ["world", "1 y=2"]
+    assert _render(frame, "$(uppercase ${HOST})") == ["H1", "H2"]
+    assert _render(frame, "$(padding ${HOST} 5 0)") == ["000h1", "000h2"]
+
+
+def test_render_crypto_funcs(frame):
+    import hashlib
+
+    exp = [
+        hashlib.sha256(b"hello world").hexdigest()[:8],
+        hashlib.sha256(b"x=1 y=2").hexdigest()[:8],
+    ]
+    assert _render(frame, "$(sha256 --length 8 ${MSG})") == exp
+    assert _render(frame, "$(md5 ${HOST})") == [
+        hashlib.md5(b"h1").hexdigest(),
+        hashlib.md5(b"h2").hexdigest(),
+    ]
+
+
+def test_render_arithmetic(frame):
+    assert _render(frame, "$(+ ${SEVERITY_NUM} 10)") == ["13", "16"]
+    assert _render(frame, "$(* ${SEVERITY_NUM} ${FACILITY_NUM})") == ["6", "6"]
+    assert _render(frame, "$(/ 7 2)") == ["3", "3"]
+    assert _render(frame, "$(% 7 2)") == ["1", "1"]
+    assert _render(frame, "$(+ ${HOST} 1)") == ["NaN", "NaN"]
+
+
+def test_render_if_and_or(frame):
+    got = _render(frame, '$(if ("${HOST}" == "h1") "first" "other")')
+    assert got == ["first", "other"]
+    assert _render(frame, "$(or ${NOPE} ${HOST})") == ["h1", "h2"]
+
+
+def test_render_list_funcs(frame):
+    assert _render(frame, "$(list-head a,b,c)") == ["a", "a"]
+    assert _render(frame, "$(list-nth 1 a,b,c)") == ["b", "b"]
+    assert _render(frame, "$(list-count a,b,c)") == ["3", "3"]
+    assert _render(frame, "$(implode - a,b,c)") == ["a-b-c", "a-b-c"]
+
+
+def test_render_format_date(frame):
+    assert _render(frame, "$(format-date %Y/%m/%d)") == ["2024/03/05", "2024/12/31"]
+
+
+def test_render_format_welf(frame):
+    assert _render(frame, "$(format-welf h=${HOST} s=${SEVERITY_NUM})") == [
+        "h=h1 s=3",
+        "h=h2 s=6",
+    ]
+
+
+def test_render_matches(frame):
+    ctx = _ctx()
+    ctx.matches = F.array(F.lit("whole"), F.lit("g1"), F.lit("g2"))
+    assert _render(frame, "m=$1+$2 all=$0", ctx) == ["m=g1+g2 all=whole"] * 2
+
+
+def test_render_dollar_dollar(frame):
+    assert _render(frame, "$$HOST is ${HOST}") == ["$HOST is h1", "$HOST is h2"]
+
+
+def test_unknown_function_raises(frame):
+    with pytest.raises(TemplateError):
+        compile_template("$(unknown function)", _ctx())
