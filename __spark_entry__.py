@@ -250,6 +250,58 @@ def q_op_csv_parse(spark: SparkSession, sf: str) -> DataFrame:
     return csv_parse(df, spec).select("event_id", "eid", "etype", "uid", "rest", "csv_ok")
 
 
+def q_op_template_compile(spark: SparkSession, sf: str) -> DataFrame:
+    """Template-string compiler end-to-end: a mixed macro + function +
+    default-value template rendered over the parsed transcript frame
+    (lib/template/compiler.c semantics, plan-time compilation)."""
+    from axosyslog_spark.functions.template_compiler import (
+        compile_template,
+        parsed_template_context,
+    )
+    from axosyslog_spark.operators.parse import parse_stage
+
+    p = parse_stage(_transcripts(spark, sf))
+    ctx = parsed_template_context(include_fields=["status", "path"])
+    tmpl = (
+        "<${PRI}> ${HOST:-nohost}/$(uppercase ${PROGRAM:-na}) "
+        "sev+100=$(+ ${SEVERITY_NUM} 100) $$literal "
+        "head=$(substr ${MSG} 0 12) sha=$(sha256 --length 8 ${MSG}) "
+        "st=$(or ${status} unknown) $(if (\"${status}\" == \"error\") BAD OK)"
+    )
+    return p.select(
+        "conv_id", "turn_idx", compile_template(tmpl, ctx).alias("rendered")
+    )
+
+
+def q_op_kv_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """Generic kv-scanner over synthesized lines with double/single
+    quoted values (spaces inside), a ', ' pair separator and plain
+    tokens (lib/scanner/kv-scanner semantics; absorption-free fixture
+    so DuckDB's lookahead-less RE2 can mirror it)."""
+    from axosyslog_spark.operators.kvscan import kv_scan
+
+    ev = _utc(spark).read.parquet(f"{sf}/events.parquet")
+    line = F.concat(
+        F.lit('user="u '), F.col("user_id").cast("string"),
+        F.lit('" action='), F.col("event_type"),
+        F.lit(" path=/v1/"), F.col("event_type"),
+        F.lit(" retry="), (F.col("event_id") % 3).cast("string"),
+        F.lit(", host=h-"), (F.col("user_id") % 5).cast("string"),
+        F.lit(" note='n "), (F.col("event_id") % 7).cast("string"), F.lit("'"),
+    )
+    df = ev.select("event_id", line.alias("text"))
+    pairs = df.select(
+        "event_id", F.posexplode(kv_scan(F.col("text"))).alias("pos", "p")
+    )
+    return pairs.select(
+        "event_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("p.key").alias("key"),
+        F.col("p.value").alias("value"),
+        F.col("p.was_quoted").alias("was_quoted"),
+    )
+
+
 def q_op_date_parse(spark: SparkSession, sf: str) -> DataFrame:
     """date-parser(): multi-format strptime chain."""
     from axosyslog_spark.operators.dateparse import date_parser
@@ -518,6 +570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_patterndb": q_pipe_patterndb,
         "pipe_patterndb_xml": q_pipe_patterndb_xml,
         "op_csv_parse": q_op_csv_parse,
+        "op_kv_parse": q_op_kv_parse,
+        "op_template_compile": q_op_template_compile,
         "op_date_parse": q_op_date_parse,
         "op_geoip_range": q_op_geoip_range,
         "op_metrics_probe": q_op_metrics_probe,
@@ -684,6 +738,42 @@ def oracle_sql() -> dict[str, str]:
                regexp_extract(text, '^[^,]*,[^,]*,[^,]*,(.*)$', 1) AS rest,
                TRUE AS csv_ok
         FROM lines
+        """,
+        "op_template_compile": P
+        + """
+        SELECT conv_id, turn_idx,
+               '<' || CAST(pri AS VARCHAR) || '> '
+               || coalesce(host, 'nohost') || '/' || upper(coalesce(appname, 'na'))
+               || ' sev+100=' || CAST(severity + 100 AS VARCHAR)
+               || ' $literal head=' || substr(body, 1, 12)
+               || ' sha=' || substr(sha256(body), 1, 8)
+               || ' st=' || coalesce(nullif(coalesce(status, ''), ''), 'unknown')
+               || ' ' || CASE WHEN coalesce(status, '') = 'error'
+                              THEN 'BAD' ELSE 'OK' END AS rendered
+        FROM parsed3
+        """,
+        "op_kv_parse": r"""
+        WITH lines AS (
+          SELECT event_id,
+            'user="u ' || CAST(user_id AS VARCHAR) || '" action=' || event_type ||
+            ' path=/v1/' || event_type || ' retry=' || CAST(event_id % 3 AS VARCHAR) ||
+            ', host=h-' || CAST(user_id % 5 AS VARCHAR) ||
+            ' note=''n ' || CAST(event_id % 7 AS VARCHAR) || '''' AS text
+          FROM events
+        ), pairs AS (
+          SELECT event_id,
+                 unnest(regexp_extract_all(text, '[A-Za-z0-9._-]+=("[^"]*"|''[^'']*''|[^ ,]*)')) AS p,
+                 generate_subscripts(regexp_extract_all(text, '[A-Za-z0-9._-]+=("[^"]*"|''[^'']*''|[^ ,]*)'), 1) AS pos
+          FROM lines
+        )
+        SELECT event_id, CAST(pos - 1 AS INT) AS pos,
+               regexp_extract(p, '^([A-Za-z0-9._-]+)', 1) AS key,
+               CASE WHEN regexp_matches(p, '^[A-Za-z0-9._-]+=["'']')
+                    THEN substr(regexp_extract(p, '=(.*)$', 1), 2,
+                                length(regexp_extract(p, '=(.*)$', 1)) - 2)
+                    ELSE regexp_extract(p, '=(.*)$', 1) END AS value,
+               regexp_matches(p, '^[A-Za-z0-9._-]+=["'']') AS was_quoted
+        FROM pairs
         """,
         "op_date_parse": """
         WITH raws AS (

@@ -225,6 +225,9 @@ class TemplateContext:
     matches:   array<string> of the last match's groups ($0 = whole)
     extras:    map<string,string> fallback for open-schema names
     strict:    raise on unresolvable names instead of empty-string
+    field_fallback: resolve unknown names as frame columns F.col(name)
+               (used when templates are compiled against a known frame,
+               e.g. PipelineSpec route conditions / derived columns)
     """
 
     columns: dict[str, Column] = field(default_factory=dict)
@@ -234,6 +237,7 @@ class TemplateContext:
     matches: Column | None = None
     extras: Column | None = None
     strict: bool = False
+    field_fallback: bool = False
 
     def _ts_for(self, name: str) -> tuple[str, Column | None]:
         if name.startswith("S_"):
@@ -268,6 +272,8 @@ class TemplateContext:
                 return tf.macro(base, None, severity=sev, facility=fac)
         if name == "TAGS" and "TAGS" in self.columns:
             return self.columns["TAGS"]
+        if self.field_fallback and name and not name.isdigit():
+            return F.col(name)
         if self.extras is not None:
             return F.element_at(self.extras, F.lit(name))
         return None
@@ -336,7 +342,7 @@ def _arith(op: str, args: list[Arg]) -> Column:
 _CMP_OPS = ("<=", ">=", "==", "!=", "<", ">", "eq", "ne", "lt", "le", "gt", "ge")
 
 
-def _parse_condition(cond: str, ctx: TemplateContext) -> Column:
+def parse_condition(cond: str, ctx: TemplateContext) -> Column:
     """Minimal $(if) condition: one comparison, operands are templates
     (usually quoted). Type-aware ops use the string/bytewise rule the
     reference applies to two string-typed values (filter-cmp.c rule 1);
@@ -444,7 +450,7 @@ def _apply_func(call: FuncCall, ctx: TemplateContext) -> Column:
     if name == "if":
         if len(args) != 3:
             raise TemplateError("$(if cond then else)")
-        return F.when(_parse_condition(raw_args[0], ctx), args[1].col).otherwise(
+        return F.when(parse_condition(raw_args[0], ctx), args[1].col).otherwise(
             args[2].col
         )
     if name == "or":
@@ -587,7 +593,9 @@ def is_trivial(template: str) -> bool:
     return len(elems) == 1 and isinstance(elems[0], ValueRef)
 
 
-def parsed_template_context(include_fields: list[str] | None = None) -> TemplateContext:
+def parsed_template_context(
+    include_fields: list[str] | None = None, field_fallback: bool = False
+) -> TemplateContext:
     """Context for the flagship parsed frame (parse.parse_stage output):
     builtin macros bound to the header columns, S_=msg_ts, R_=ts."""
     cols = {
@@ -610,4 +618,5 @@ def parsed_template_context(include_fields: list[str] | None = None) -> Template
         columns=cols,
         stamp=F.coalesce(F.col("msg_ts"), F.col("ts")),
         recvd=F.col("ts"),
+        field_fallback=field_fallback,
     )

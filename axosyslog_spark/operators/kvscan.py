@@ -1,0 +1,145 @@
+"""Generic kv-scanner: quoted values, configurable separators, stray
+words — pure column algebra.
+
+Reference: lib/scanner/kv-scanner/kv-scanner.c:1-388 (+ kv-parser.c),
+semantics ported from lib/scanner/kv-scanner/tests/test_kv_scanner.c:
+
+  - keys are runs of [A-Za-z0-9._-]; spaces allowed before the value
+    separator ("key = v"); keyless words never start a pair
+  - a value is either a single/double-quoted C string (quotes
+    stripped, escapes decoded, `was_quoted` set) or an unquoted run
+    that ABSORBS spaces and words until a space followed by another
+    `key=`, the pair separator, or end of input ("foo=bar lorem
+    ipsum key=value" -> foo = "bar lorem ipsum")
+  - an unclosed quote is taken literally
+  - the pair separator (default ", ") also terminates values
+  - words before the first pair are stray words (dropped, or
+    collected comma-joined like str_repr via kv_stray_words)
+
+Spark-first: ONE regexp_extract_all pass finds the pair spans; key /
+value / unquote / escape-decode are per-element expressions over the
+short extracted strings. No Python per row; Java regex supports the
+lookahead the value-absorption rule needs (keep kv oracle fixtures
+lookahead-free, DuckDB's RE2 cannot mirror it).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_KEY = r"[A-Za-z0-9._-]+"
+# placeholder for escaped backslash during staged unescape
+_BS = "\x02"
+
+
+def _skip_regex(vs: str, ps: str) -> str:
+    """Leading spaces after the value separator are skipped UNLESS a
+    delimiter follows them (kv-scanner.c _skip_initial_spaces +
+    _match_delimiter): all-or-nothing via the [ ] in the lookahead."""
+    return rf"(?:[ ]+(?![ ]|$|{_KEY}[ ]*{vs}|{ps}))?"
+
+
+def _pair_regex(value_separator: str = "=", pair_separator: str = ", ") -> str:
+    """Group-0 regex matching one key[=]value pair span."""
+    vs = re.escape(value_separator)
+    ps = re.escape(pair_separator)
+    quoted_d = r'"(?:\\.|[^"\\])*"'
+    quoted_s = r"'(?:\\.|[^'\\])*'"
+    # unquoted: non-greedy absorption until pair-sep / space+next-key /
+    # space+pair-sep / trailing spaces / end (kv-scanner.c _match_delimiter)
+    unq = rf".*?(?={ps}|[ ]+(?:$|{_KEY}[ ]*{vs}|{ps})|$)"
+    return rf"{_KEY}[ ]*{vs}{_skip_regex(vs, ps)}(?:{quoted_d}|{quoted_s}|{unq})"
+
+
+def _unescape(v: Column) -> Column:
+    """C-string unquote (str-repr): \\n/\\t/\\r named escapes, \\X -> X,
+    staged so escaped backslashes don't feed later rules."""
+    v = F.regexp_replace(v, r"\\\\", _BS)
+    v = F.regexp_replace(v, r"\\n", "\n")
+    v = F.regexp_replace(v, r"\\t", "\t")
+    v = F.regexp_replace(v, r"\\r", "\r")
+    v = F.regexp_replace(v, r"\\(.)", "$1")
+    return F.replace(v, F.lit(_BS), F.lit("\\"))
+
+
+def kv_scan(
+    text: Column,
+    value_separator: str = "=",
+    pair_separator: str = ", ",
+) -> Column:
+    """text -> array<struct<key, value, was_quoted>> in input order."""
+    vs = re.escape(value_separator)
+    ps = re.escape(pair_separator)
+    spans = F.regexp_extract_all(text, F.lit(_pair_regex(value_separator, pair_separator)), 0)
+
+    def decode(p: Column) -> Column:
+        key = F.regexp_extract(p, f"^({_KEY})", 1)
+        raw = F.regexp_extract(p, f"(?s)^{_KEY}[ ]*{vs}{_skip_regex(vs, ps)}(.*)$", 1)
+        qd = raw.rlike(r'^"(?:\\.|[^"\\])*"$')
+        qs = raw.rlike(r"^'(?:\\.|[^'\\])*'$")
+        body = F.substring(raw, 2, F.length(raw) - 2)
+        value = F.when(qd | qs, _unescape(body)).otherwise(raw)
+        return F.struct(
+            key.alias("key"), value.alias("value"), (qd | qs).alias("was_quoted")
+        )
+
+    return F.transform(spans, decode)
+
+
+def kv_stray_words(
+    text: Column,
+    value_separator: str = "=",
+    pair_separator: str = ", ",
+) -> Column:
+    """KVSSWM_COLLECT analog: input minus the pair spans, leftover
+    words comma-joined (kv-scanner.c _extract_stray_word)."""
+    leftover = F.regexp_replace(
+        text, _pair_regex(value_separator, pair_separator), _BS
+    )
+    words = F.filter(
+        F.split(leftover, rf"(?:{re.escape(pair_separator)}|[ ]|{_BS})+"),
+        lambda w: w != "",
+    )
+    return F.array_join(words, ",")
+
+
+def kv_parse(
+    df: DataFrame,
+    src_col: str = "text",
+    out_col: str = "kv",
+    value_separator: str = "=",
+    pair_separator: str = ", ",
+    prefix: str = "",
+    stray_words_to: str | None = None,
+) -> DataFrame:
+    """kv-parser() analog: MapType column of the scanned pairs
+    (duplicate keys: last wins, matching repeated NV set calls).
+    ``prefix`` namespaces keys like the driver's prefix() option."""
+    pairs = kv_scan(F.col(src_col), value_separator, pair_separator)
+    entries = F.transform(
+        pairs,
+        lambda p: F.struct(
+            F.concat(F.lit(prefix), p["key"]).alias("key"),
+            p["value"].alias("value"),
+        ),
+    )
+    # fold reversed so the LAST occurrence of a duplicate key wins
+    # (repeated NV sets overwrite in the reference); map_from_entries
+    # would throw under the default EXCEPTION dedup policy
+    kv_map = F.aggregate(
+        F.reverse(entries),
+        F.expr("map()").cast("map<string,string>"),
+        lambda acc, e: F.when(
+            F.map_contains_key(acc, e["key"]), acc
+        ).otherwise(F.map_concat(acc, F.create_map(e["key"], e["value"]))),
+    )
+    out = df.withColumn(out_col, kv_map)
+    if stray_words_to:
+        out = out.withColumn(
+            stray_words_to,
+            kv_stray_words(F.col(src_col), value_separator, pair_separator),
+        )
+    return out

@@ -28,12 +28,30 @@ from pyspark.sql import functions as F
 
 @dataclass(frozen=True)
 class RouteBranch:
-    """One log-path branch: predicate -> sink, with logpath flags."""
+    """One log-path branch: predicate -> sink, with logpath flags.
+
+    ``predicate`` may be a Column, a template-condition STRING like
+    '("${status}" == "error")' (compiled via functions/
+    template_compiler.parse_condition, field names resolving to frame
+    columns), or None for pure fallback branches.
+    """
 
     sink: str
-    predicate: Column | None = None   # None for pure fallback branches
+    predicate: Column | str | None = None
     final: bool = False
     fallback: bool = False
+
+    def predicate_column(self) -> Column | None:
+        if isinstance(self.predicate, str):
+            from axosyslog_spark.functions.template_compiler import (
+                TemplateContext,
+                parse_condition,
+            )
+
+            return parse_condition(
+                self.predicate, TemplateContext(field_fallback=True)
+            )
+        return self.predicate
 
 
 @dataclass(frozen=True)
@@ -55,7 +73,8 @@ def route_flags(df: DataFrame, spec: RouteSpec) -> DataFrame:
     for b in spec.branches:
         if b.fallback:
             continue
-        pred = b.predicate if b.predicate is not None else F.lit(True)
+        p = b.predicate_column()
+        pred = p if p is not None else F.lit(True)
         # null predicate result counts as no-match (filter drop semantics,
         # lib/filter/filter-pipe.c:56-87)
         m = F.coalesce(pred, F.lit(False))
@@ -69,7 +88,8 @@ def route_flags(df: DataFrame, spec: RouteSpec) -> DataFrame:
     for b in spec.branches:
         if not b.fallback:
             continue
-        pred = b.predicate if b.predicate is not None else F.lit(True)
+        p = b.predicate_column()
+        pred = p if p is not None else F.lit(True)
         m = F.coalesce(pred, F.lit(False))
         delivered.append((b.sink, eligible & ~matched_any & m))
 

@@ -50,6 +50,9 @@ class PipelineSpec:
     lookups: list[LookupSpec] = field(default_factory=list)
     aggregates: list[AggSpec] = field(default_factory=list)
     header_parse: bool = True
+    # derived columns from template STRINGS ("${HOST} $(fn ...)"),
+    # compiled once at plan time; available to routes and aggregates
+    templates: dict[str, str] = field(default_factory=dict)
 
     def compile(
         self,
@@ -63,6 +66,21 @@ class PipelineSpec:
         for spec in self.lookups:
             db = (lookup_dfs or {})[spec.key]
             df = enrich(df, db, spec)
+        if self.templates:
+            from axosyslog_spark.functions.template_compiler import (
+                TemplateContext,
+                compile_template,
+                parsed_template_context,
+            )
+
+            ctx = (
+                parsed_template_context(field_fallback=True)
+                if self.header_parse
+                else TemplateContext(field_fallback=True)
+            )
+            df = df.withColumns(
+                {name: compile_template(t, ctx) for name, t in self.templates.items()}
+            )
         routed = route_explode(df, self.routes)
         aggs = {
             "_".join(a.labels): metrics_probe(routed, a.labels, counter_name=a.counter_name)

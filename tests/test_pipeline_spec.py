@@ -56,3 +56,33 @@ def test_junction_union(spark):
     rows = {r.id: r.asDict() for r in out.collect()}
     assert rows[1]["a"] == "x" and rows[1]["b"] is None
     assert rows[2]["b"] == "y" and rows[2]["a"] is None
+
+
+def test_pipeline_spec_with_template_strings(spark):
+    """Routes and derived columns declared as TEMPLATE STRINGS — the
+    reference-config shape ("${HOST}", filter conditions) compiles at
+    plan time into the same column algebra."""
+    spec = PipelineSpec(
+        templates={
+            "host_app": "${HOST:-nohost}/$(lowercase ${PROGRAM:-na})",
+            "sev_bucket": '$(if ("${SEVERITY_NUM}" == "0") crit other)',
+        },
+        routes=RouteSpec(
+            branches=(
+                RouteBranch("sink_err", '("${status}" == "error")'),
+                RouteBranch("sink_rest", None, fallback=True),
+            )
+        ),
+        aggregates=[AggSpec(labels=["sink", "sev_bucket"])],
+    )
+    res = spec.compile(spark, synthesize_transcripts(spark, SF))
+    routed = res.routed.select("sink", "host_app", "sev_bucket", "status").collect()
+    assert routed, "routed frame is empty"
+    for r in routed:
+        if r["sink"] == "sink_err":
+            assert r["status"] == "error"
+        else:
+            assert r["status"] != "error"
+        assert "/" in r["host_app"]
+    agg = res.aggregates["sink_sev_bucket"]
+    assert agg.count() > 0
