@@ -250,6 +250,32 @@ def q_op_csv_parse(spark: SparkSession, sf: str) -> DataFrame:
     return csv_parse(df, spec).select("event_id", "eid", "etype", "uid", "rest", "csv_ok")
 
 
+def q_op_json_flatten(spark: SparkSession, sf: str) -> DataFrame:
+    """Generic JSON flatten over nested documents synthesized from
+    events: dotted keys, comma-joined string arrays, depth-3 nesting
+    (modules/json/json-parser.c). Oracle computes the expected pairs
+    independently per key."""
+    from axosyslog_spark.operators.jsonflatten import json_flatten
+
+    ev = _utc(spark).read.parquet(f"{sf}/events.parquet")
+    k = F.regexp_extract(F.col("props"), "([0-9]+)", 1)
+    line = F.concat(
+        F.lit('{"event": {"type": "'), F.col("event_type"),
+        F.lit('", "k": '), k,
+        F.lit('}, "meta": {"retry": '), (F.col("event_id") % 3).cast("string"),
+        F.lit(', "tags": ["t'), (F.col("event_id") % 4).cast("string"),
+        F.lit('", "all"], "deep": {"x": {"y": '), (F.col("user_id") % 7).cast("string"),
+        F.lit('}}}, "plain": "v'), (F.col("user_id") % 5).cast("string"),
+        F.lit('", "ok": true}'),
+    )
+    df = ev.select("event_id", line.alias("text"))
+    out = json_flatten(df)
+    pairs = out.select(
+        "event_id", F.explode(F.col("jsonf")).alias("key", "value")
+    )
+    return pairs.select("event_id", "key", "value")
+
+
 def q_op_template_compile(spark: SparkSession, sf: str) -> DataFrame:
     """Template-string compiler end-to-end: a mixed macro + function +
     default-value template rendered over the parsed transcript frame
@@ -572,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_csv_parse": q_op_csv_parse,
         "op_kv_parse": q_op_kv_parse,
         "op_template_compile": q_op_template_compile,
+        "op_json_flatten": q_op_json_flatten,
         "op_date_parse": q_op_date_parse,
         "op_geoip_range": q_op_geoip_range,
         "op_metrics_probe": q_op_metrics_probe,
@@ -738,6 +765,24 @@ def oracle_sql() -> dict[str, str]:
                regexp_extract(text, '^[^,]*,[^,]*,[^,]*,(.*)$', 1) AS rest,
                TRUE AS csv_ok
         FROM lines
+        """,
+        "op_json_flatten": """
+        WITH expected AS (
+          SELECT event_id, 'event.type' AS key, event_type AS value FROM events
+          UNION ALL
+          SELECT event_id, 'event.k', regexp_extract(props, '([0-9]+)', 1) FROM events
+          UNION ALL
+          SELECT event_id, 'meta.retry', CAST(event_id % 3 AS VARCHAR) FROM events
+          UNION ALL
+          SELECT event_id, 'meta.tags', 't' || CAST(event_id % 4 AS VARCHAR) || ',all' FROM events
+          UNION ALL
+          SELECT event_id, 'meta.deep.x.y', CAST(user_id % 7 AS VARCHAR) FROM events
+          UNION ALL
+          SELECT event_id, 'plain', 'v' || CAST(user_id % 5 AS VARCHAR) FROM events
+          UNION ALL
+          SELECT event_id, 'ok', 'true' FROM events
+        )
+        SELECT event_id, key, value FROM expected
         """,
         "op_template_compile": P
         + """

@@ -125,3 +125,40 @@ def test_resize_and_frames(spark, docs):
     assert resized and all(max(r.width, r.height) <= 100 for r in resized)
     frames = multimodal.sample_frames(media, every_n=2).collect()
     assert frames and all(r.frame_idx % 2 == 0 for r in frames)
+
+
+def test_embedding_near_dups_lsh_equals_exact_fixture(spark):
+    """The default (LSH-bucketed) near-dup path must not lose any pair
+    the exact all-pairs join finds on the driver fixture — the
+    candidates→verify composition is lossless at the planned table
+    count (VERDICT r1 item 2)."""
+    # sf0.01 is the smallest fixture with a qualifying pair at 0.5
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {
+        (r.id1, r.id2): r.cos_e6
+        for r in similarity.embedding_near_dups(
+            embs, threshold=0.5, method="exact"
+        ).collect()
+    }
+    lsh = {
+        (r.id1, r.id2): r.cos_e6
+        for r in similarity.embedding_near_dups(embs, threshold=0.5).collect()
+    }
+    assert exact, "fixture lost its qualifying pair"
+    assert lsh == exact, (len(exact), len(lsh))
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    """Multi-table recall@5 >= 0.9 against brute force on the fixture."""
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = embs.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(embs, qs, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_topk(embs, qs, dim=64, k=5).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.9, recall
