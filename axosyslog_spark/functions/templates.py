@@ -234,13 +234,22 @@ _MACRO_FMT = {
     "ISODATE": "yyyy-MM-dd'T'HH:mm:ssXXX",
     "FULLDATE": "yyyy MMM dd HH:mm:ss",
     "YEAR": "yyyy",
+    "YEAR_DAY": "DDD",
     "MONTH": "MM",
+    "MONTH_WEEK": "W",
+    "MONTH_NAME": "MMMM",
     "DAY": "dd",
     "HOUR": "HH",
+    "HOUR12": "hh",
+    "AMPM": "a",
     "MIN": "mm",
     "SEC": "ss",
     "WEEKDAY": "EEE",
+    "WEEK_DAY_NAME": "EEEE",
+    "WEEK_DAY_ABBREV": "EEE",
     "MONTH_ABBREV": "MMM",
+    "TZOFFSET": "XXX",
+    "TZ": "XXX",
 }
 
 
@@ -259,6 +268,16 @@ def macro(name: str, ts: Column | None = None, **cols: Column) -> Column:
         return F.unix_timestamp(ts)
     if name == "MSEC":
         return (F.unix_millis(ts) % 1000).cast("string")
+    if name == "USEC":
+        return (F.unix_micros(ts) % 1_000_000).cast("string")
+    if name == "WEEK":
+        # macros.c WEEK: week of year, Sunday-start, 0-based
+        return F.lpad(
+            F.floor((F.dayofyear(ts) + 6 - (F.dayofweek(ts) - 1)) / 7).cast("string"),
+            2, "0",
+        )
+    if name == "ISOWEEK":
+        return F.lpad(F.weekofyear(ts).cast("string"), 2, "0")
     if name == "PRI":
         return (cols["facility"] * 8 + cols["severity"]).cast("string")
     if name == "SEVERITY_NUM" or name == "LEVEL_NUM":

@@ -106,6 +106,55 @@ def kv_stray_words(
     return F.array_join(words, ",")
 
 
+# audit fields the kernel hex-encodes when they contain specials
+# (modules/kvformat/linux-audit-parser.c hexcoded_fields)
+AUDIT_HEXCODED_FIELDS = (
+    "name", "proctitle", "path", "dir", "comm", "ocomm", "data", "old", "new",
+)
+
+
+def linux_audit_parse(
+    df: DataFrame, src_col: str = "text", out_col: str = "audit"
+) -> DataFrame:
+    """linux-audit-parser(): audit kv lines into a map, with
+
+      - ``msg=audit(EPOCH.FRAC:SERIAL):`` split into ``audit_ts`` /
+        ``audit_serial`` columns
+      - hex-encoded values of the well-known fields decoded when the
+        decoded bytes contain a char the kernel would have encoded
+        (space/control/quote — linux-audit-parser.c
+        _parse_linux_audit_hexstring)
+
+    Pure column algebra over the generic kv scanner.
+    """
+    df = kv_parse(df, src_col, out_col, pair_separator=" ")
+    m = F.col(out_col)
+
+    def dec(k: Column, v: Column) -> Column:
+        is_hex = v.rlike("^(?:[0-9A-Fa-f]{2})+$") & (F.length(v) >= 2)
+        decoded = F.decode(F.unhex(v), "UTF-8")
+        would_encode = decoded.rlike(r'[^\x21-\x7e]|"')
+        return F.when(
+            k.isin(*AUDIT_HEXCODED_FIELDS) & is_hex & would_encode, decoded
+        ).otherwise(v)
+
+    msg = F.element_at(m, F.lit("msg"))
+    return df.withColumns(
+        {
+            out_col: F.transform_values(m, dec),
+            "audit_ts": F.timestamp_seconds(
+                F.regexp_extract(msg, r"^audit\(([0-9]+\.[0-9]+):", 1).try_cast(
+                    "double"
+                )
+            ),
+            "audit_serial": F.regexp_extract(
+                msg, r"^audit\([0-9.]+:([0-9]+)\)", 1
+            ).try_cast("bigint"),
+            "audit_type": F.element_at(m, F.lit("type")),
+        }
+    )
+
+
 def kv_parse(
     df: DataFrame,
     src_col: str = "text",

@@ -3,16 +3,22 @@
 Reference: lib/multi-line/ — indented-multi-line.c (a line starting
 with whitespace continues the previous), regexp-multi-line.c
 (prefix/garbage patterns mark message starts), smart-multi-line.c
-(FSM; approximated here by the regexp variant with a stack-trace-ish
-default pattern).
+(per-line regex FSM detecting stack traces; .fsm TSV ruleset format).
 
 Spark mapping: per-key event order, `is_start` boolean → running
 `sum()` window assigns a segment id, then group-concat within
 (key, segment). Two shuffles worst case (window + groupBy), both on
-the same key so AQE/bucketing co-locates them.
+the same key so AQE/bucketing co-locates them. The smart FSM is
+inherently sequential per stream, so it runs as ONE applyInPandas
+pass per key (grouped, ordered) emitting the is_start flags — the
+only Python-on-the-hot-path operator in the repo, Arrow-batched and
+linear in group size.
 """
 
 from __future__ import annotations
+
+import re
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -70,3 +76,125 @@ def regexp_prefix(
     return assemble(
         df, F.col(text_col).rlike(prefix_re), key, order, text_col, sep
     )
+
+
+# ---------------------------------------------------------------------------
+# smart-multi-line: per-line regex FSM (lib/multi-line/smart-multi-line.c)
+# ---------------------------------------------------------------------------
+
+# Ruleset in the reference's .fsm TSV format:
+#     comma-separated-from-states <TAB> /regexp/ <TAB> to-state
+# This default table is an ORIGINAL compact ruleset covering the
+# common stack-trace shapes (JVM, Python, Go) — the reference ships a
+# larger Apache-2.0 table derived from fluent-plugin-detect-exceptions
+# (smart-multi-line.fsm); users can load such a file via fsm_text.
+DEFAULT_FSM = """
+# JVM-style: "x.y.FooException: msg" / "\\tat pkg.Cls.run(Cls.java:1)"
+start_state,jexc\t/(?:Exception|Error|Throwable)[:\\s]/\tjexc
+jexc,jtrace\t/^[\\t ]+(?:eval )?at /\tjtrace
+jexc,jtrace\t/^[\\t ]*(?:Caused by|Suppressed):/\tjexc
+jtrace\t/^[\\t ]*\\.\\.\\. \\d+ more/\tjtrace
+# Python tracebacks
+start_state\t/^Traceback \\(most recent call last\\):$/\tpy_trace
+py_trace\t/^[\\t ]+/\tpy_trace
+py_trace\t/^[^\\s:]+(?::| :)/\tstart_state
+# Go panics
+start_state\t/^panic: /\tgo_panic
+go_panic\t/^\\[signal /\tgo_panic
+go_panic\t/^$/\tgo_goroutine
+go_goroutine\t/^goroutine \\d+/\tgo_frame
+go_frame\t/^\\S+\\(|^created by /\tgo_loc
+go_loc\t/^\\s/\tgo_frame
+"""
+
+START_STATE = "start_state"
+
+
+def load_fsm(text: str) -> tuple[tuple[str, str, str], ...]:
+    """Parse an .fsm TSV document into (from_state, regex, to_state)
+    triples, one per from-state (rule order preserved — first match
+    wins within a state, smart-multi-line.c _fsm_transition)."""
+    rules: list[tuple[str, str, str]] = []
+    for line in text.splitlines():
+        line = line.strip("\n")
+        if not line.strip() or line.lstrip().startswith("#"):
+            continue
+        parts = line.split("\t")
+        parts = [p for p in parts if p != ""]
+        if len(parts) != 3:
+            raise ValueError(f"malformed .fsm line: {line!r}")
+        froms, rx, to = parts
+        if not (rx.startswith("/") and rx.endswith("/")):
+            raise ValueError(f".fsm regex must be /…/-delimited: {line!r}")
+        for f in froms.split(","):
+            rules.append((f.strip(), rx[1:-1], to.strip()))
+    return tuple(rules)
+
+
+@lru_cache(maxsize=8)
+def _compiled_by_state(rules: tuple[tuple[str, str, str], ...]):
+    by_state: dict[str, list[tuple[re.Pattern, str]]] = {}
+    for frm, rx, to in rules:
+        by_state.setdefault(frm, []).append((re.compile(rx), to))
+    return by_state
+
+
+def fsm_is_start_flags(lines: list[str], rules: tuple) -> list[bool]:
+    """Run the FSM over one ordered stream; True = line starts a new
+    message. Mirrors _process_segment: a failed transition retries
+    once from start_state (a new trace may begin right after another);
+    non-trace lines are standalone messages."""
+    by_state = _compiled_by_state(rules)
+
+    state = START_STATE
+
+    def transition(line: str) -> bool:
+        nonlocal state
+        for pat, to in by_state.get(state, ()):
+            if pat.search(line):
+                state = to
+                return True
+        state = START_STATE
+        return False
+
+    flags: list[bool] = []
+    for line in lines:
+        last_ended = state == START_STATE
+        part_of_trace = transition(line)
+        starts_new = False
+        if not part_of_trace:
+            part_of_trace = transition(line)  # retry from start_state
+            starts_new = part_of_trace
+        else:
+            starts_new = last_ended
+        flags.append(starts_new or not part_of_trace)
+    return flags
+
+
+def smart(
+    df: DataFrame,
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    text_col: str = "text",
+    sep: str = "\n",
+    fsm_text: str | None = None,
+) -> DataFrame:
+    """smart-multi-line(): FSM-detected stack traces assemble into one
+    message; every other line stands alone. One applyInPandas pass per
+    key computes the start flags (the FSM is sequential by nature),
+    then the shared window/groupBy assembler runs as column algebra.
+    """
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    rules = load_fsm(fsm_text or DEFAULT_FSM)
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("__sml_start", BooleanType())]
+    )
+
+    def per_group(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        pdf["__sml_start"] = fsm_is_start_flags(list(pdf[text_col]), rules)
+        return pdf
+
+    flagged = df.groupBy(key).applyInPandas(per_group, out_schema)
+    return assemble(flagged, F.col("__sml_start"), key, order, text_col, sep)

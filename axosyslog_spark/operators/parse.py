@@ -169,16 +169,42 @@ RFC3164_RE = (
 )
 
 
-def parse_rfc3164(df: DataFrame, text_col: str = "text", year: int = 2024) -> DataFrame:
+def parse_rfc3164(
+    df: DataFrame,
+    text_col: str = "text",
+    year: int | None = 2024,
+    recvd_col: str = "ts",
+) -> DataFrame:
     """RFC3164 (BSD) header parse (modules/syslogformat/syslog-format.c
-    legacy branch). The format carries no year — callers supply one
-    (the reference guesses from the receive time)."""
+    legacy branch). The format carries no year — pass ``year`` to pin
+    one, or ``year=None`` to infer it from the receive-time column
+    like the reference (lib/timeutils/wallclocktime.c
+    determine_year_for_month): a December stamp received in January
+    belongs to LAST year, a January stamp received in December to NEXT
+    year, anything else to the receive year."""
     text = F.col(text_col)
     m = text.rlike(RFC3164_RE)
 
     def g(i: int):
         return F.regexp_extract(text, RFC3164_RE, i)
 
+    # space-padded BSD days ("Jan  5") -> collapse for parsing
+    stamp = F.regexp_replace(g(2), "  ", " ")
+    if year is None:
+        # probe the month with a leap year so Feb 29 survives, then
+        # apply the year-boundary rule against the receive time
+        probe = F.try_to_timestamp(
+            F.concat(F.lit("2000 "), stamp), F.lit("yyyy MMM d HH:mm:ss")
+        )
+        mon, rmon = F.month(probe), F.month(F.col(recvd_col))
+        ryear = F.year(F.col(recvd_col))
+        year_col = (
+            F.when((mon == 12) & (rmon == 1), ryear - 1)
+            .when((mon == 1) & (rmon == 12), ryear + 1)
+            .otherwise(ryear)
+        ).cast("string")
+    else:
+        year_col = F.lit(str(year))
     pri = F.when(m & (g(1).cast("int") <= 191), g(1).cast("int")).otherwise(
         F.lit(DEFAULT_PRI)
     )
@@ -188,16 +214,11 @@ def parse_rfc3164(df: DataFrame, text_col: str = "text", year: int = 2024) -> Da
             "pri": pri,
             "severity": (pri % 8).cast("int"),
             "facility": ((pri - pri % 8) / 8).cast("int"),
-            # RFC3164 days are space-padded ("Jan  5") -> collapse and
-            # parse with single-digit day pattern
             "msg_ts": F.when(
                 m,
-                F.to_timestamp(
-                    F.concat(
-                        F.lit(str(year)), F.lit(" "),
-                        F.regexp_replace(g(2), "  ", " "),
-                    ),
-                    "yyyy MMM d HH:mm:ss",
+                F.try_to_timestamp(
+                    F.concat(year_col, F.lit(" "), stamp),
+                    F.lit("yyyy MMM d HH:mm:ss"),
                 ),
             ),
             "host": F.when(m, g(3)),

@@ -182,25 +182,102 @@ VALUE_PAIRS_SCOPES: dict[str, list[str]] = {
 }
 
 
+def apply_key_transforms(key: str, transforms: list[tuple]) -> str:
+    """The full rekey transform set of lib/value-pairs/transforms.c,
+    applied in order:
+
+      ("add-prefix", p)           — prepend p
+      ("replace-prefix", old,new) — swap a literal prefix (no-op when
+                                    the key doesn't start with old)
+      ("shift", n)                — drop the first n characters
+      ("shift-levels", n)         — drop the first n dot-levels
+      ("upper",) / ("lower",)     — case-fold the key
+    """
+    for t in transforms:
+        kind = t[0]
+        if kind == "add-prefix":
+            key = t[1] + key
+        elif kind == "replace-prefix":
+            if key.startswith(t[1]):
+                key = t[2] + key[len(t[1]):]
+        elif kind == "shift":
+            key = key[t[1]:]
+        elif kind == "shift-levels":
+            # vp_trans_shift_levels: erase up to and incl. the n-th dot
+            parts = key.split(".")
+            if len(parts) > t[1]:
+                key = ".".join(parts[t[1]:])
+        elif kind == "upper":
+            key = key.upper()
+        elif kind == "lower":
+            key = key.lower()
+        else:
+            raise ValueError(f"unknown value-pairs transform {kind!r}")
+    return key
+
+
 def value_pairs_select(
     df: DataFrame,
     include_globs: list[str] | None = None,
     exclude_globs: list[str] | None = None,
     add_prefix: str = "",
     scope: str | None = None,
+    transforms: list[tuple] | None = None,
 ) -> DataFrame:
     """value-pairs projection: select column sets by scope name and/or
-    glob with include/exclude and add-prefix rekey transforms
-    (lib/value-pairs/value-pairs.c:126-137, transforms.c)."""
+    glob with include/exclude and rekey transforms
+    (lib/value-pairs/value-pairs.c:126-137, transforms.c). Static
+    columns rekey at PLAN time; see value_pairs_rekey_map for dynamic
+    map-column keys."""
     import fnmatch
 
     globs = list(include_globs or [])
     if scope:
         globs += VALUE_PAIRS_SCOPES[scope]
+    trans = list(transforms or [])
+    if add_prefix:
+        trans.insert(0, ("add-prefix", add_prefix))
     cols = []
     for c in df.columns:
         if any(fnmatch.fnmatch(c, g) for g in globs) and not any(
             fnmatch.fnmatch(c, g) for g in (exclude_globs or [])
         ):
-            cols.append(F.col(c).alias(add_prefix + c))
+            cols.append(F.col(c).alias(apply_key_transforms(c, trans)))
     return df.select(*cols)
+
+
+def value_pairs_rekey_map(
+    map_col: Column, transforms: list[tuple]
+) -> Column:
+    """The same transform chain over a dynamic map<string,string>
+    column's keys (open-schema NV pairs), as transform_keys column
+    algebra — the runtime twin of apply_key_transforms."""
+    def rekey(k: Column) -> Column:
+        for t in transforms:
+            kind = t[0]
+            if kind == "add-prefix":
+                k = F.concat(F.lit(t[1]), k)
+            elif kind == "replace-prefix":
+                old, new = t[1], t[2]
+                k = F.when(
+                    k.startswith(old),
+                    F.concat(F.lit(new), F.substring(k, len(old) + 1, 2_000_000_000)),
+                ).otherwise(k)
+            elif kind == "shift":
+                k = F.substring(k, t[1] + 1, 2_000_000_000)
+            elif kind == "shift-levels":
+                n = t[1]
+                parts = F.split(k, r"\.")
+                k = F.when(
+                    F.size(parts) > n,
+                    F.array_join(F.slice(parts, n + 1, 1_000_000), "."),
+                ).otherwise(k)
+            elif kind == "upper":
+                k = F.upper(k)
+            elif kind == "lower":
+                k = F.lower(k)
+            else:
+                raise ValueError(f"unknown value-pairs transform {kind!r}")
+        return k
+
+    return F.transform_keys(map_col, lambda k, _v: rekey(k))

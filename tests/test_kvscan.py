@@ -149,3 +149,29 @@ def test_kv_parse_stray_words_column(spark):
     df = spark.createDataFrame([("hello a=1",)], "text string")
     out = kv_parse(df, stray_words_to="strays").collect()[0]
     assert out["kv"] == {"a": "1"} and out["strays"] == "hello"
+
+
+def test_linux_audit_parse(spark):
+    """linux-audit-parser: msg=audit(...) split + hex-decoded fields
+    (modules/kvformat/linux-audit-parser.c)."""
+    from axosyslog_spark.operators.kvscan import linux_audit_parse
+
+    # proctitle hex = '/sbin/foo -a b' (contains spaces -> decoded);
+    # a0 is hex-shaped but NOT a hexcoded field -> kept;
+    # comm hex decodes to 'cat' (no specials) -> kept as hex
+    line = (
+        "type=SYSCALL msg=audit(1364481363.243:24287): arch=c000003e "
+        'a0=636174 comm="cat" exe="/bin/cat" '
+        "proctitle=2F7362696E2F666F6F202D612062"
+    )
+    df = spark.createDataFrame([(line,)], "text string")
+    row = linux_audit_parse(df).collect()[0]
+    audit = row["audit"]
+    assert row["audit_type"] == "SYSCALL"
+    assert row["audit_serial"] == 24287
+    assert str(row["audit_ts"]).startswith("2013-03-28")
+    assert audit["arch"] == "c000003e"
+    assert audit["a0"] == "636174"                       # not a hexcoded field
+    assert audit["comm"] == "cat"                        # was quoted
+    assert audit["exe"] == "/bin/cat"
+    assert audit["proctitle"] == "/sbin/foo -a b"        # hex-decoded

@@ -148,3 +148,63 @@ def test_macros(spark):
     ).collect()[0]
     assert (r.y, r.m, r.h) == ("2024", "03", "07")
     assert r.pri == "35" and r.sev == "err" and r.fac == "auth"
+
+
+def test_value_pairs_transforms(spark):
+    """rekey transform chain (lib/value-pairs/transforms.c)."""
+    from axosyslog_spark.operators.rewrite import (
+        apply_key_transforms,
+        value_pairs_rekey_map,
+        value_pairs_select,
+    )
+
+    # plan-time string transforms
+    assert apply_key_transforms(".SDATA.meta.seq", [("shift-levels", 2)]) == "meta.seq"
+    assert apply_key_transforms(".SDATA.meta.seq", [("shift", 7)]) == "meta.seq"
+    assert (
+        apply_key_transforms(".cee.foo", [("replace-prefix", ".cee.", ".json.")])
+        == ".json.foo"
+    )
+    assert apply_key_transforms("k", [("replace-prefix", "x.", "y.")]) == "k"
+    assert apply_key_transforms("aB", [("upper",)]) == "AB"
+    assert apply_key_transforms("aB", [("lower",), ("add-prefix", "p.")]) == "p.ab"
+
+    df = spark.createDataFrame([(1, 2, 3)], "host int, hx int, other int")
+    out = value_pairs_select(
+        df, include_globs=["h*"], transforms=[("add-prefix", "vp."), ("upper",)]
+    )
+    assert sorted(out.columns) == ["VP.HOST", "VP.HX"]
+
+    # runtime map-key transforms
+    m = spark.createDataFrame([(1,)], "id int").select(
+        F.create_map(
+            F.lit(".SDATA.a.b"), F.lit("1"), F.lit(".cee.k"), F.lit("2")
+        ).alias("m")
+    )
+    [row] = m.select(
+        value_pairs_rekey_map(
+            F.col("m"), [("replace-prefix", ".cee.", ".json."), ("upper",)]
+        ).alias("m")
+    ).collect()
+    assert row["m"] == {".SDATA.A.B": "1", ".JSON.K": "2"}
+
+
+def test_extended_date_macros(spark):
+    from axosyslog_spark.functions.templates import macro
+
+    df = spark.createDataFrame([("2024-03-05 14:07:08",)], "s string").select(
+        F.to_timestamp("s").alias("ts")
+    )
+    got = df.select(
+        macro("HOUR12", F.col("ts")).alias("h12"),
+        macro("AMPM", F.col("ts")).alias("ampm"),
+        macro("YEAR_DAY", F.col("ts")).alias("doy"),
+        macro("USEC", F.col("ts")).alias("usec"),
+        macro("ISOWEEK", F.col("ts")).alias("isoweek"),
+        macro("WEEK", F.col("ts")).alias("week"),
+    ).collect()[0]
+    assert got["h12"] == "02" and got["ampm"] == "PM"
+    assert got["doy"] == "065" and got["usec"] == "0"
+    assert got["isoweek"] == "10"
+    # 2024-03-05 is a Tuesday; Sunday-start 0-based week = floor((65+6-2)/7)=9
+    assert got["week"] == "09"

@@ -93,3 +93,25 @@ def test_rfc5424_roundtrip(spark):
 def test_tags_parser(spark):
     df = spark.createDataFrame([("a,b,c",)], "raw string")
     assert tags_parser(df, "raw").collect()[0].tags == ["a", "b", "c"]
+
+
+def test_rfc3164_year_inference_boundaries(spark):
+    """determine_year_for_month (wallclocktime.c:919-967): Dec stamp
+    received in Jan -> last year; Jan stamp in Dec -> next year."""
+    from axosyslog_spark.operators.parse import parse_rfc3164
+
+    rows = [
+        ("<13>Dec 31 23:59:58 h1 app: tail of last year", "2025-01-01 00:00:05"),
+        ("<13>Jan  1 00:00:02 h1 app: clock skew ahead", "2024-12-31 23:59:59"),
+        ("<13>Jun 15 12:00:00 h1 app: midyear", "2024-06-15 12:00:30"),
+    ]
+    df = spark.createDataFrame(rows, "text string, recvd string").select(
+        "text", F.to_timestamp("recvd").alias("ts")
+    )
+    out = parse_rfc3164(df, year=None).select("msg_ts").collect()
+    got = [str(r.msg_ts) for r in out]
+    assert got == [
+        "2024-12-31 23:59:58",
+        "2025-01-01 00:00:02",
+        "2024-06-15 12:00:00",
+    ]
