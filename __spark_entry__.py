@@ -250,6 +250,88 @@ def q_op_csv_parse(spark: SparkSession, sf: str) -> DataFrame:
     return csv_parse(df, spec).select("event_id", "eid", "etype", "uid", "rest", "csv_ok")
 
 
+def q_pipe_smart_multiline(spark: SparkSession, sf: str) -> DataFrame:
+    """smart-multi-line(): FSM stack-trace assembly over synthesized
+    JVM-trace-shaped turn streams. The oracle derives the expected
+    segments independently from the generating rule (lines at
+    event_id%5 in {0,3,4} start messages; %5 in {1,2} are frames)."""
+    from axosyslog_spark.operators import multiline
+
+    ev = _utc(spark).read.parquet(f"{sf}/events.parquet")
+    eid = F.col("event_id")
+    line = (
+        F.when(eid % 5 == 0, F.concat(F.lit("java.lang.RuntimeException: boom-"),
+                                      (eid % 17).cast("string")))
+        .when(eid % 5 == 1, F.concat(F.lit("\tat com.example.App.run(App.java:"),
+                                     (eid % 97).cast("string"), F.lit(")")))
+        .when(eid % 5 == 2, F.concat(F.lit("\tat com.example.Main.main(Main.java:"),
+                                     (eid % 89).cast("string"), F.lit(")")))
+        .when(eid % 5 == 3, F.concat(F.lit("plain turn "), (eid % 13).cast("string")))
+        .otherwise(F.concat(F.lit("another plain "), (eid % 11).cast("string")))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    df = ev.select(
+        F.concat(F.lit("conv-"), F.lpad(F.col("user_id").cast("string"), 8, "0")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        line.alias("text"),
+    )
+    out = multiline.smart(df, sep=" // ")
+    return out.select("conv_id", "segment_id", "turn_idx", "assembled", "n_lines")
+
+
+def q_op_sdata_rekey(spark: SparkSession, sf: str) -> DataFrame:
+    """RFC5424 SDATA parse + value-pairs rekey transforms over the
+    dynamic map (replace-prefix + upper), exploded to rows."""
+    from axosyslog_spark.operators.parse import parse_sdata
+    from axosyslog_spark.operators.rewrite import value_pairs_rekey_map
+
+    ev = _utc(spark).read.parquet(f"{sf}/events.parquet")
+    sd = F.concat(
+        F.lit('[meta seq="'), (F.col("event_id") % 1000).cast("string"),
+        F.lit('" et="'), F.col("event_type"),
+        F.lit('"][origin ip="10.0.0.'), (F.col("user_id") % 250).cast("string"),
+        F.lit('"]'),
+    )
+    df = ev.select("event_id", sd.alias("sd"))
+    parsed = parse_sdata(df, "sd")
+    rekeyed = value_pairs_rekey_map(
+        F.col("sdata"), [("replace-prefix", ".SDATA.", ".sd."), ("upper",)]
+    )
+    pairs = parsed.select("event_id", F.explode(rekeyed).alias("key", "value"))
+    return pairs.select("event_id", "key", "value")
+
+
+def q_op_audit_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """linux-audit-parser over synthesized audit lines: kv map +
+    audit(ts:serial) split + hex decode of a hexcoded field."""
+    from axosyslog_spark.operators.kvscan import linux_audit_parse
+
+    ev = _utc(spark).read.parquet(f"{sf}/events.parquet")
+    # proctitle hex for '/bin/tool -N' (contains a space -> decodes)
+    hexpt = F.upper(
+        F.hex(F.concat(F.lit("/bin/tool "), (F.col("event_id") % 7).cast("string")).cast("binary"))
+    )
+    line = F.concat(
+        F.lit("type=SYSCALL msg=audit(1700000000."),
+        F.lpad((F.col("event_id") % 1000).cast("string"), 3, "0"),
+        F.lit(":"), (F.col("event_id") % 100000).cast("string"),
+        F.lit('): arch=c000003e comm="tool" proctitle='), hexpt,
+    )
+    df = ev.select("event_id", line.alias("text"))
+    out = linux_audit_parse(df)
+    return out.select(
+        "event_id",
+        "audit_type",
+        "audit_serial",
+        F.date_format("audit_ts", "yyyy-MM-dd'T'HH:mm:ss").alias("audit_ts_str"),
+        F.element_at(F.col("audit"), F.lit("arch")).alias("arch"),
+        F.element_at(F.col("audit"), F.lit("comm")).alias("comm"),
+        F.element_at(F.col("audit"), F.lit("proctitle")).alias("proctitle"),
+    )
+
+
 def q_op_json_flatten(spark: SparkSession, sf: str) -> DataFrame:
     """Generic JSON flatten over nested documents synthesized from
     events: dotted keys, comma-joined string arrays, depth-3 nesting
@@ -607,6 +689,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_subst": q_op_subst,
         "op_cef_parse": q_op_cef_parse,
         "pipe_multiline": q_pipe_multiline,
+        "pipe_smart_multiline": q_pipe_smart_multiline,
+        "op_sdata_rekey": q_op_sdata_rekey,
+        "op_audit_parse": q_op_audit_parse,
         "doc_text_profile": q_doc_text_profile,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
@@ -942,6 +1027,68 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY conv_id, segment_id
             """
         ),
+        "pipe_smart_multiline": """
+        WITH t AS (
+          SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+                 CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS turn_idx,
+                 CAST(event_id % 5 AS INT) AS m,
+                 CASE CAST(event_id % 5 AS INT)
+                   WHEN 0 THEN 'java.lang.RuntimeException: boom-' || CAST(event_id % 17 AS VARCHAR)
+                   WHEN 1 THEN chr(9) || 'at com.example.App.run(App.java:' || CAST(event_id % 97 AS VARCHAR) || ')'
+                   WHEN 2 THEN chr(9) || 'at com.example.Main.main(Main.java:' || CAST(event_id % 89 AS VARCHAR) || ')'
+                   WHEN 3 THEN 'plain turn ' || CAST(event_id % 13 AS VARCHAR)
+                   ELSE 'another plain ' || CAST(event_id % 11 AS VARCHAR)
+                 END AS text
+          FROM events
+        ), fsm AS (
+          -- FSM outcome derived from the generating rule:
+          --   plain lines (3,4) always start; an exception line (0)
+          --   continues only straight after another exception line
+          --   (jexc state); a frame line (1,2) continues iff the
+          --   nearest preceding non-frame line was an exception
+          SELECT conv_id, turn_idx, text, m,
+                 lag(m) OVER w AS prev_m,
+                 last_value(CASE WHEN m IN (0, 3, 4) THEN m END IGNORE NULLS)
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS anchor
+          FROM t
+          WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        ), seg AS (
+          SELECT conv_id, turn_idx, text,
+                 CAST(sum(CASE WHEN m IN (3, 4) THEN 1
+                               WHEN m = 0 THEN CASE WHEN coalesce(prev_m, -1) = 0 THEN 0 ELSE 1 END
+                               ELSE CASE WHEN coalesce(anchor, -1) = 0 THEN 0 ELSE 1 END END)
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segment_id
+          FROM fsm
+        )
+        SELECT conv_id, segment_id, min(turn_idx) AS turn_idx,
+               string_agg(text, ' // ' ORDER BY turn_idx) AS assembled,
+               count(*) AS n_lines
+        FROM seg GROUP BY conv_id, segment_id
+        """,
+        "op_sdata_rekey": """
+        WITH expected AS (
+          SELECT event_id, '.SD.META.SEQ' AS key,
+                 CAST(event_id % 1000 AS VARCHAR) AS value FROM events
+          UNION ALL
+          SELECT event_id, '.SD.META.ET', event_type FROM events
+          UNION ALL
+          SELECT event_id, '.SD.ORIGIN.IP',
+                 '10.0.0.' || CAST(user_id % 250 AS VARCHAR) FROM events
+        )
+        SELECT event_id, key, value FROM expected
+        """,
+        "op_audit_parse": """
+        SELECT event_id,
+               'SYSCALL' AS audit_type,
+               CAST(event_id % 100000 AS BIGINT) AS audit_serial,
+               '2023-11-14T22:13:20' AS audit_ts_str,
+               'c000003e' AS arch,
+               'tool' AS comm,
+               '/bin/tool ' || CAST(event_id % 7 AS VARCHAR) AS proctitle
+        FROM events
+        """,
         "doc_text_profile": oracle.doc_text_profile_sql(),
         "doc_exact_dedup": oracle.doc_exact_dedup_sql(),
         "doc_jaccard_pairs": oracle.doc_jaccard_pairs_sql(100_000),

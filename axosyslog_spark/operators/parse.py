@@ -38,9 +38,11 @@ def classify_kind(text: Column) -> Column:
     malformed header (garbage prefix) does NOT leak into the kv path.
     """
     return (
-        F.when(text.rlike(RFC5424_RE), F.lit("syslog"))
+        # cheap first-byte guard: only '<'-led lines can be RFC5424, so
+        # the 9-group header regex never runs on kv/json/free rows
+        F.when(text.startswith("<") & text.rlike(RFC5424_RE), F.lit("syslog"))
         .when(text.startswith("{"), F.lit("json"))
-        .when(text.rlike(r"^status="), F.lit("kv"))
+        .when(text.startswith("status="), F.lit("kv"))
         .otherwise(F.lit("free"))
     )
 
@@ -65,13 +67,11 @@ def parse_header(df: DataFrame, text_col: str = "text") -> DataFrame:
     # into one withColumns repeats the split/classify subtrees per
     # column and whole-stage codegen does NOT reliably CSE them —
     # measured 2x slower at 5M rows.
-    df = df.withColumns(
-        {
-            "kind": classify_kind(text),
-            "__toks": F.split(text, " ", 8),
-        }
-    )
+    df = df.withColumn("kind", classify_kind(text))
     kind = F.col("kind")
+    # tokenize ONLY syslog rows (null array otherwise — element_at on
+    # null stays null and every consumer is already kind-gated)
+    df = df.withColumn("__toks", F.when(kind == "syslog", F.split(text, " ", 8)))
     toks = F.col("__toks")
 
     def g(i: int) -> Column:
