@@ -99,6 +99,37 @@ def partition_and_sort(
     return out.sortWithinPartitions("conv_id", "turn_idx")
 
 
+def write_sinks(
+    routed: DataFrame,
+    target: str,
+    iceberg: bool = False,
+    mode: str = "overwrite",
+    n_partitions: int | None = None,
+) -> None:
+    """Per-sink fan-out write in ONE job: the routed frame is clustered
+    by conversation (stable (conv_id, turn_idx) order inside every
+    file) and split by sink at the file level — no per-sink re-scan,
+    no extra shuffle beyond the single conv_id repartition.
+
+    ``iceberg=True`` writes to an Iceberg table identifier via the v2
+    writeTo API (partitioned by sink) — the production path of the
+    north_star; this sandbox ships no Iceberg catalog, so the default
+    is a sink-partitioned parquet directory with identical layout
+    semantics (partition column = sink, files ordered per turn).
+    """
+    ordered = partition_and_sort(routed, n_partitions)
+    if iceberg:
+        writer = ordered.writeTo(target).using("iceberg").partitionedBy(
+            F.col("sink")
+        )
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            writer.append()
+    else:
+        ordered.write.mode(mode).partitionBy("sink").parquet(target)
+
+
 def routed_output(routed: DataFrame) -> DataFrame:
     """The canonical routed-row output: stable (sink, conv_id, turn_idx)
     identity plus the formatted per-turn text — the routed-row equality

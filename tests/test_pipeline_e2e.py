@@ -8,6 +8,7 @@ import json
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from axosyslog_spark.operators.enrich import TOOL_DEFAULT, tool_lookup_rows
 from axosyslog_spark.plans.pipeline import routed_output, run_pipeline
@@ -107,3 +108,33 @@ def test_json_rows_parse(result):
     assert json_rows
     for r in json_rows[:50]:
         json.loads(r["text"])  # synthesized JSON shape is valid JSON
+
+
+def test_write_sinks_layout(spark, tmp_path):
+    """write_sinks: one job, sink-partitioned files, per-turn order
+    preserved inside each conversation cluster."""
+    from axosyslog_spark.plans.pipeline import run_pipeline, write_sinks
+    from axosyslog_spark.sources.transcripts import synthesize_transcripts
+
+    t = synthesize_transcripts(spark, "/root/testdata/sf0.001")
+    res = run_pipeline(spark, t)
+    out = str(tmp_path / "sinks")
+    write_sinks(res.routed, out, n_partitions=4)
+
+    back = spark.read.parquet(out)
+    want = {r["sink"]: r["n"] for r in res.counts.collect()}
+    got = {
+        r["sink"]: r["n"]
+        for r in back.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+    # routed-row equality: identical (sink, conv, turn, text) multiset
+    a = sorted(
+        (r["sink"], r["conv_id"], r["turn_idx"], r["text"])
+        for r in res.routed.select("sink", "conv_id", "turn_idx", "text").collect()
+    )
+    b = sorted(
+        (r["sink"], r["conv_id"], r["turn_idx"], r["text"])
+        for r in back.select("sink", "conv_id", "turn_idx", "text").collect()
+    )
+    assert a == b
