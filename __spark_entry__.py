@@ -250,6 +250,31 @@ def q_op_csv_parse(spark: SparkSession, sf: str) -> DataFrame:
     return csv_parse(df, spec).select("event_id", "eid", "etype", "uid", "rest", "csv_ok")
 
 
+def q_pipe_filterx(spark: SparkSession, sf: str) -> DataFrame:
+    """FilterX language block (lib/filterx grammar subset) compiled to
+    column algebra and applied to the parsed frame: declare/if/elif/
+    else, field writes, builtin call, bare-expression filter."""
+    from axosyslog_spark.functions.filterx_lang import filterx
+
+    p = parse_stage(_transcripts(spark, sf))
+    out = filterx(
+        p,
+        """
+        declare slow_ms = 40;
+        if ($severity <= 3) {
+          $class = "err";
+        } elif ($latency_ms > slow_ms) {
+          $class = "slow";
+        } else {
+          $class = "norm";
+        };
+        $digest = sha256($conv_id);
+        $kind != "free";
+        """,
+    )
+    return out.select("conv_id", "turn_idx", "class", "digest")
+
+
 def q_pipe_smart_multiline(spark: SparkSession, sf: str) -> DataFrame:
     """smart-multi-line(): FSM stack-trace assembly over synthesized
     JVM-trace-shaped turn streams. The oracle derives the expected
@@ -689,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_subst": q_op_subst,
         "op_cef_parse": q_op_cef_parse,
         "pipe_multiline": q_pipe_multiline,
+        "pipe_filterx": q_pipe_filterx,
         "pipe_smart_multiline": q_pipe_smart_multiline,
         "op_sdata_rekey": q_op_sdata_rekey,
         "op_audit_parse": q_op_audit_parse,
@@ -1027,6 +1053,16 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY conv_id, segment_id
             """
         ),
+        "pipe_filterx": P
+        + """
+        SELECT conv_id, turn_idx,
+               CASE WHEN severity <= 3 THEN 'err'
+                    WHEN coalesce(latency_ms > 40, FALSE) THEN 'slow'
+                    ELSE 'norm' END AS class,
+               sha256(conv_id) AS digest
+        FROM parsed3
+        WHERE kind <> 'free'
+        """,
         "pipe_smart_multiline": """
         WITH t AS (
           SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,

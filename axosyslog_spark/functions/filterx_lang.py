@@ -1,0 +1,552 @@
+"""FilterX language front-end: a filterx {} block compiled to
+DataFrame transformations.
+
+Reference: lib/filterx/ — grammar lib/filterx/filterx-grammar.ym,
+evaluation lib/filterx/filterx-eval.c (FXE_SUCCESS/FAILURE/DROP),
+expressions expr-*.c. The supported subset covers the statement forms
+the functional tests exercise most:
+
+    declare threshold = 1000;                 # block-local variable
+    $latency = int($latency_ms) ?? 0;         # field assignment
+    if ($latency > threshold) {
+      $slow = true;
+    } elif ($status == "error") {
+      drop;                                   # FXE_DROP
+    } else {
+      $slow = false;
+    };
+    $status == "ok" or $retry < 3;            # falsy => FAILURE (drop
+                                              # from this branch)
+    done;                                     # accept, stop the block
+
+Expressions: literals (string/number/bool/null), $field refs
+(``${dotted.name}`` for dotted columns), locals, ``?? ``, ternary
+``a ? b : c``, and/or/not, comparisons (type-aware ``==``/``!=`` plus
+``<`` family on the natural column types, ``=~``/``!~`` regex),
+arithmetic ``+ - * / %``, ``in [..]`` membership, list literals, and
+a builtin function registry (string/int/double/bool casts, lower,
+upper, strip, len, startswith/endswith/includes, md5/sha1/sha256,
+parse_kv, parse_json, format_kv, isset, unset marker via ``null``).
+
+Compilation model (the whole point): a FilterX block is a per-message
+imperative program, but its effect on a row is a pure function of
+that row — so the compiler SYMBOLICALLY executes the block once at
+plan time, tracking
+
+    env      locals        name -> Column
+    updates  field writes  name -> Column (merged via when/otherwise
+                                           at branch joins)
+    keep     Column        FXE_DROP/FAILURE accumulated predicate
+    active   Column        'done' short-circuit state
+
+and emits ONE withColumns + ONE filter — whole-stage codegen'd, no
+Python per row (the reference grew an LLVM JIT for the same reason;
+Catalyst is ours).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class FilterXSyntaxError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# lexer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+|\#[^\n]*)
+  | (?P<string>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
+  | (?P<regex>/(?:\\.|[^/\\])+/)
+  | (?P<number>-?\d+\.\d+|-?\d+)
+  | (?P<field>\$\{[^}]+\}|\$[A-Za-z_][A-Za-z0-9_.]*)
+  | (?P<op>\?\?|===|!==|==|!=|<=|>=|=~|!~|&&|\|\||[-+*/%<>=(){}\[\],;?:!])
+  | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass(frozen=True)
+class Tok:
+    kind: str
+    text: str
+    pos: int
+
+
+def _lex(src: str) -> list[Tok]:
+    toks: list[Tok] = []
+    i = 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise FilterXSyntaxError(f"lex error at {src[i:i+20]!r}")
+        kind = m.lastgroup
+        if kind != "ws":
+            toks.append(Tok(kind, m.group(), i))
+        i = m.end()
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# symbolic machine state
+# ---------------------------------------------------------------------------
+
+
+def _truthy(c: Column) -> Column:
+    """FilterX statement truthiness: errors/false/null drop the message
+    (filterx-eval.h FXE_FAILURE). Booleans stand; anything else is
+    truthy when non-null and not '' / 'false' / 0."""
+    s = c.cast("string")
+    return F.coalesce(
+        (s != "") & (s != "false") & (s != "0") & (s != "0.0"), F.lit(False)
+    )
+
+
+@dataclass
+class _State:
+    env: dict[str, Column] = field(default_factory=dict)
+    updates: dict[str, Column] = field(default_factory=dict)
+    keep: Column = None     # None = lit(True) (avoids useless AND chains)
+    active: Column = None   # None = lit(True)
+
+    def fork(self) -> "_State":
+        return _State(dict(self.env), dict(self.updates), self.keep, self.active)
+
+
+def _and(a: Column | None, b: Column) -> Column:
+    return b if a is None else a & b
+
+
+def _merge(cond: Column, then: _State, other: _State, base: _State, ref) -> _State:
+    """Join the two branch states back into one (phi nodes); ``ref``
+    resolves a field name not written on some path to its prior value
+    (frame column, or NULL for unknown open-schema names)."""
+    out = base.fork()
+    names = set(then.updates) | set(other.updates)
+    for n in names:
+        t = then.updates.get(n, base.updates.get(n))
+        e = other.updates.get(n, base.updates.get(n))
+        t = t if t is not None else ref(n)
+        e = e if e is not None else ref(n)
+        out.updates[n] = F.when(cond, t).otherwise(e)
+    for n in set(then.env) | set(other.env):
+        t, e = then.env.get(n), other.env.get(n)
+        if t is not None and e is not None:
+            out.env[n] = F.when(cond, t).otherwise(e)
+        elif t is not None:
+            out.env[n] = t
+        else:
+            out.env[n] = e
+    tk = then.keep if then.keep is not None else F.lit(True)
+    ek = other.keep if other.keep is not None else F.lit(True)
+    if then.keep is not None or other.keep is not None:
+        out.keep = F.when(cond, tk).otherwise(ek)
+    ta = then.active if then.active is not None else F.lit(True)
+    ea = other.active if other.active is not None else F.lit(True)
+    if then.active is not None or other.active is not None:
+        out.active = F.when(cond, ta).otherwise(ea)
+    return out
+
+
+def _field_col(name: str) -> Column:
+    # dotted open-schema names need backtick quoting
+    return F.col(f"`{name}`") if "." in name else F.col(name)
+
+
+# ---------------------------------------------------------------------------
+# parser / compiler
+# ---------------------------------------------------------------------------
+
+
+class _Compiler:
+    def __init__(self, toks: list[Tok], known_fields: set[str] | None):
+        self.toks = toks
+        self.i = 0
+        self.known = known_fields
+
+    # --- token helpers ---
+    def peek(self, k: int = 0) -> Tok | None:
+        return self.toks[self.i + k] if self.i + k < len(self.toks) else None
+
+    def next(self) -> Tok:
+        t = self.peek()
+        if t is None:
+            raise FilterXSyntaxError("unexpected end of block")
+        self.i += 1
+        return t
+
+    def eat(self, text: str) -> None:
+        t = self.next()
+        if t.text != text:
+            raise FilterXSyntaxError(f"expected {text!r}, got {t.text!r}")
+
+    def at(self, text: str) -> bool:
+        t = self.peek()
+        return t is not None and t.text == text
+
+    # --- statements ---
+    def block(self, st: _State) -> _State:
+        while self.peek() is not None and not self.at("}"):
+            st = self.stmt(st)
+        return st
+
+    def stmt(self, st: _State) -> _State:
+        t = self.peek()
+        if t.text == ";":
+            self.next()
+            return st
+        if t.text == "drop":
+            self.next()
+            self.eat(";")
+            # drop applies where this path is live
+            live = st.active if st.active is not None else F.lit(True)
+            st = st.fork()
+            st.keep = _and(st.keep, ~live)
+            return st
+        if t.text == "done":
+            self.next()
+            self.eat(";")
+            st = st.fork()
+            st.active = F.lit(False)
+            return st
+        if t.text == "if":
+            return self.if_stmt(st)
+        if t.text == "declare":
+            self.next()
+            name = self.next()
+            if name.kind != "name":
+                raise FilterXSyntaxError(f"bad declare target {name.text!r}")
+            self.eat("=")
+            val = self.expr(st)
+            self.eat(";")
+            st = st.fork()
+            st.env[name.text] = val
+            return st
+        if t.text == "unset":
+            self.next()
+            self.eat("(")
+            tgt = self.next()
+            if tgt.kind != "field":
+                raise FilterXSyntaxError("unset() takes a $field")
+            self.eat(")")
+            self.eat(";")
+            st = st.fork()
+            st.updates[self._field_name(tgt.text)] = F.lit(None)
+            return st
+        if t.kind == "field" and self.peek(1) is not None and self.peek(1).text == "=":
+            self.next()
+            self.eat("=")
+            val = self.expr(st)
+            self.eat(";")
+            st = st.fork()
+            name = self._field_name(t.text)
+            live = st.active
+            if live is not None:
+                prev = st.updates.get(name)
+                prev = prev if prev is not None else self._field_ref(name)
+                val = F.when(live, val).otherwise(prev)
+            st.updates[name] = val
+            return st
+        if t.kind == "name" and self.peek(1) is not None and self.peek(1).text == "=":
+            # re-assignment of a declared local
+            self.next()
+            self.eat("=")
+            val = self.expr(st)
+            self.eat(";")
+            st = st.fork()
+            st.env[t.text] = val
+            return st
+        # bare expression statement: falsy => FAILURE (drop)
+        val = self.expr(st)
+        self.eat(";")
+        st = st.fork()
+        live = st.active if st.active is not None else F.lit(True)
+        st.keep = _and(st.keep, ~live | _truthy(val))
+        return st
+
+    def if_stmt(self, st: _State) -> _State:
+        self.eat("if")
+        self.eat("(")
+        cond = self.expr(st)
+        self.eat(")")
+        self.eat("{")
+        then = self.block(st.fork())
+        self.eat("}")
+        other = st.fork()
+        if self.at("elif"):
+            self.toks[self.i] = Tok("name", "if", self.peek().pos)
+            other = self.if_stmt(other)
+        elif self.at("else"):
+            self.next()
+            self.eat("{")
+            other = self.block(other)
+            self.eat("}")
+        if self.at(";"):
+            self.next()
+        cond = F.coalesce(cond, F.lit(False))
+        return _merge(cond, then, other, st, self._field_ref)
+
+    # --- expressions (precedence climbing) ---
+    def expr(self, st: _State) -> Column:
+        return self.coalesce_expr(st)
+
+    def coalesce_expr(self, st: _State) -> Column:
+        left = self.ternary_expr(st)
+        if self.at("??"):
+            self.next()
+            right = self.coalesce_expr(st)
+            return F.coalesce(left, right)
+        return left
+
+    def ternary_expr(self, st: _State) -> Column:
+        cond = self.or_expr(st)
+        if self.at("?"):
+            self.next()
+            a = self.expr(st)
+            self.eat(":")
+            b = self.expr(st)
+            return F.when(F.coalesce(cond, F.lit(False)), a).otherwise(b)
+        return cond
+
+    def or_expr(self, st: _State) -> Column:
+        left = self.and_expr(st)
+        while self.at("or") or self.at("||"):
+            self.next()
+            left = _truthy(left) | _truthy(self.and_expr(st))
+        return left
+
+    def and_expr(self, st: _State) -> Column:
+        left = self.not_expr(st)
+        while self.at("and") or self.at("&&"):
+            self.next()
+            left = _truthy(left) & _truthy(self.not_expr(st))
+        return left
+
+    def not_expr(self, st: _State) -> Column:
+        if self.at("not") or self.at("!"):
+            self.next()
+            return ~_truthy(self.not_expr(st))
+        return self.cmp_expr(st)
+
+    def cmp_expr(self, st: _State) -> Column:
+        left = self.add_expr(st)
+        t = self.peek()
+        if t is None:
+            return left
+        if t.text in ("==", "==="):
+            self.next()
+            return left.eqNullSafe(self.add_expr(st))
+        if t.text in ("!=", "!=="):
+            self.next()
+            return ~left.eqNullSafe(self.add_expr(st))
+        if t.text in ("<", "<=", ">", ">="):
+            op = self.next().text
+            right = self.add_expr(st)
+            res = {
+                "<": left < right, "<=": left <= right,
+                ">": left > right, ">=": left >= right,
+            }[op]
+            return F.coalesce(res, F.lit(False))
+        if t.text in ("=~", "!~"):
+            self.next()
+            rx = self.next()
+            if rx.kind == "regex":
+                pat = rx.text[1:-1]
+            elif rx.kind == "string":
+                pat = _unquote(rx.text)
+            else:
+                raise FilterXSyntaxError(f"{t.text} needs a /regex/ or string")
+            m = left.rlike(pat)
+            return m if t.text == "=~" else ~F.coalesce(m, F.lit(False))
+        if t.text == "in":
+            self.next()
+            self.eat("[")
+            vals = []
+            while not self.at("]"):
+                lit = self.next()
+                if lit.kind == "string":
+                    vals.append(_unquote(lit.text))
+                elif lit.kind == "number":
+                    vals.append(float(lit.text) if "." in lit.text else int(lit.text))
+                else:
+                    raise FilterXSyntaxError("in [...] takes literals")
+                if self.at(","):
+                    self.next()
+            self.eat("]")
+            return left.isin(vals)
+        return left
+
+    def add_expr(self, st: _State) -> Column:
+        left = self.mul_expr(st)
+        while True:
+            t = self.peek()
+            if t is not None and t.kind == "number" and t.text.startswith("-"):
+                # '3-2' lexes the '-2' as a negative literal: subtraction
+                self.next()
+                num = float(t.text) if "." in t.text else int(t.text)
+                left = left + F.lit(num)
+                continue
+            if self.at("+") or self.at("-"):
+                op = self.next().text
+                right = self.mul_expr(st)
+                left = left + right if op == "+" else left - right
+                continue
+            return left
+
+    def mul_expr(self, st: _State) -> Column:
+        left = self.primary(st)
+        while self.at("*") or self.at("/") or self.at("%"):
+            op = self.next().text
+            right = self.primary(st)
+            left = {"*": left * right, "/": left / right, "%": left % right}[op]
+        return left
+
+    def primary(self, st: _State) -> Column:
+        t = self.next()
+        if t.kind == "string":
+            return F.lit(_unquote(t.text))
+        if t.kind == "number":
+            return F.lit(float(t.text) if "." in t.text else int(t.text))
+        if t.kind == "field":
+            name = self._field_name(t.text)
+            if name in st.updates and st.updates[name] is not None:
+                return st.updates[name]
+            return self._field_ref(name)
+        if t.text == "(":
+            e = self.expr(st)
+            self.eat(")")
+            return e
+        if t.text == "true":
+            return F.lit(True)
+        if t.text == "false":
+            return F.lit(False)
+        if t.text == "null":
+            return F.lit(None)
+        if t.kind == "name":
+            if self.at("("):
+                return self.call(t.text, st)
+            if t.text in st.env:
+                return st.env[t.text]
+            raise FilterXSyntaxError(f"unknown name {t.text!r} (declare it?)")
+        raise FilterXSyntaxError(f"unexpected token {t.text!r}")
+
+    def call(self, fn: str, st: _State) -> Column:
+        self.eat("(")
+        args: list[Column] = []
+        while not self.at(")"):
+            args.append(self.expr(st))
+            if self.at(","):
+                self.next()
+        self.eat(")")
+        return _FUNCS_DISPATCH(fn, args)
+
+    # --- helpers ---
+    def _field_name(self, tok_text: str) -> str:
+        return tok_text[2:-1] if tok_text.startswith("${") else tok_text[1:]
+
+    def _field_ref(self, name: str) -> Column:
+        if self.known is not None and name not in self.known:
+            # unset NV pair reads as null (logmsg unset semantics)
+            return F.lit(None).cast("string")
+        return _field_col(name)
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return re.sub(r"\\(.)", lambda m: {"n": "\n", "t": "\t", "r": "\r"}.get(m.group(1), m.group(1)), body)
+
+
+def _FUNCS_DISPATCH(fn: str, a: list[Column]) -> Column:
+    one = a[0] if a else F.lit(None)
+    if fn == "string":
+        return one.cast("string")
+    if fn == "int":
+        return one.cast("string").try_cast("bigint")
+    if fn == "double":
+        return one.cast("string").try_cast("double")
+    if fn == "bool":
+        return _truthy(one)
+    if fn in ("lower", "lowercase"):
+        return F.lower(one)
+    if fn in ("upper", "uppercase"):
+        return F.upper(one)
+    if fn in ("str_strip", "strip"):
+        return F.trim(one)
+    if fn == "len":
+        return F.length(one.cast("string"))
+    if fn == "startswith":
+        return one.startswith(a[1])
+    if fn == "endswith":
+        return one.endswith(a[1])
+    if fn == "includes":
+        return one.contains(a[1])
+    if fn == "md5":
+        return F.md5(one.cast("binary"))
+    if fn == "sha1":
+        return F.sha1(one.cast("binary"))
+    if fn == "sha256":
+        return F.sha2(one.cast("binary"), 256)
+    if fn == "isset":
+        return one.isNotNull()
+    if fn == "parse_kv":
+        from axosyslog_spark.operators.kvscan import kv_scan
+
+        pairs = kv_scan(one)
+        return F.map_from_entries(
+            F.transform(pairs, lambda p: F.struct(p["key"], p["value"]))
+        )
+    if fn == "parse_json":
+        return F.from_json(one, "map<string,string>")
+    if fn == "format_kv":
+        from axosyslog_spark.functions.filterx import format_kv_fx
+
+        return format_kv_fx(one)
+    if fn == "str_replace":
+        return F.replace(one, a[1], a[2])
+    raise FilterXSyntaxError(f"unknown filterx function {fn!r}()")
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FilterXBlock:
+    updates: dict[str, Column]
+    keep: Column | None
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        """Apply the block: one withColumns + one filter."""
+        out = df.withColumns(self.updates) if self.updates else df
+        if self.keep is not None:
+            out = out.filter(self.keep)
+        return out
+
+
+def compile_filterx(block: str, known_fields: list[str] | None = None) -> FilterXBlock:
+    """Compile a filterx {} block body to a reusable FilterXBlock.
+
+    ``known_fields``: pass df.columns so reads of never-set fields
+    resolve to NULL instead of failing analysis (open-schema NV
+    semantics); omit to let Spark resolve every $field strictly.
+    """
+    comp = _Compiler(_lex(block), set(known_fields) if known_fields is not None else None)
+    st = comp.block(_State())
+    if comp.peek() is not None:
+        raise FilterXSyntaxError(f"trailing input at {comp.peek().text!r}")
+    return FilterXBlock(updates=st.updates, keep=st.keep)
+
+
+def filterx(df: DataFrame, block: str) -> DataFrame:
+    """One-shot: compile against df's schema and apply."""
+    return compile_filterx(block, known_fields=df.columns).apply(df)
