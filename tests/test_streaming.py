@@ -94,3 +94,29 @@ def test_stream_sink_writes(spark, staged, tmp_path):
     assert written.count() == batch.routed.count()
     sinks = {r.sink for r in written.select("sink").distinct().collect()}
     assert "sink_errors" in sinks and "sink_default" in sinks
+
+
+def test_new_parsers_are_streaming_safe(spark, staged):
+    """The kv-scanner and JSON flatten are stateless projections, so
+    they apply unchanged to a streaming frame and match the batch
+    result row-for-row."""
+    from axosyslog_spark.operators.jsonflatten import json_flatten
+    from axosyslog_spark.operators.kvscan import kv_parse
+
+    def stage(df):
+        out = kv_parse(df, "text", "kv")
+        out = json_flatten(out, "text", "jf", max_depth=3)
+        return out.withColumn("kv_status", F.element_at("kv", F.lit("status")))
+
+    stream = sp.stream_transcripts(spark, staged)
+    got = _run_to_memory(spark, stage(stream), "parsers_mem")
+    want = stage(spark.read.parquet(staged))
+    a = sorted(
+        (r["conv_id"], r["turn_idx"], r["kv_status"], r["jf_ok"])
+        for r in got.select("conv_id", "turn_idx", "kv_status", "jf_ok").collect()
+    )
+    b = sorted(
+        (r["conv_id"], r["turn_idx"], r["kv_status"], r["jf_ok"])
+        for r in want.select("conv_id", "turn_idx", "kv_status", "jf_ok").collect()
+    )
+    assert a == b and a
