@@ -229,20 +229,59 @@ def parse_rfc3164(
     )
 
 
+def format_sdata(sdata: Column) -> Column:
+    """Dotted-key SDATA map back to RFC5424 STRUCTURED-DATA text —
+    the inverse of parse_sdata: {.SDATA.id.param: v, ...} renders as
+    '[id param="v" ...][id2 ...]' with SD-IDs in first-appearance
+    order, or '-' when the map is null/empty. Quote escaping is kept
+    symmetric with parse_sdata (neither escapes; documented subset).
+    Cost note: the per-id filter re-walks the entry array — fine for
+    SDATA-sized maps (a handful of entries)."""
+    entries = F.map_entries(sdata)
+
+    def kid(e: Column) -> Column:
+        return F.regexp_extract(e["key"], r"^\.SDATA\.([^.]+)\.", 1)
+
+    def kparam(e: Column) -> Column:
+        return F.regexp_extract(e["key"], r"^\.SDATA\.[^.]+\.(.*)$", 1)
+
+    blocks = F.transform(
+        F.array_distinct(F.transform(entries, kid)),
+        lambda i: F.concat(
+            F.lit("["), i,
+            F.aggregate(
+                F.filter(entries, lambda e: kid(e) == i),
+                F.lit(""),
+                lambda acc, e: F.concat(
+                    acc, F.lit(" "), kparam(e), F.lit('="'), e["value"], F.lit('"')
+                ),
+            ),
+            F.lit("]"),
+        ),
+    )
+    return F.when(
+        sdata.isNull() | (F.size(entries) == 0), F.lit("-")
+    ).otherwise(F.array_join(blocks, ""))
+
+
 def format_rfc5424(
     pri: Column, ts: Column, host: Column, appname: Column, procid: Column,
-    body: Column,
+    body: Column, msgid: Column | None = None, sdata: Column | None = None,
 ) -> Column:
     """Render columns back into an RFC5424 line — the template/
     $(format-syslog-5424) analog (modules/syslogformat/
     syslog-format-plugin.c:60). Inverse of parse_header for our header
-    subset; roundtrip is unit-tested (bit-exact output contract)."""
+    subset; roundtrip is unit-tested (bit-exact output contract).
+    ``sdata`` may be a rendered string or a dotted-key map column."""
+    sd = F.lit("-") if sdata is None else sdata
     return F.concat(
         F.lit("<"), pri.cast("string"), F.lit(">1 "),
         F.date_format(ts, TS_FMT_SPARK), F.lit(" "),
         F.coalesce(host, F.lit("-")), F.lit(" "),
         F.coalesce(appname, F.lit("-")), F.lit(" "),
-        F.coalesce(procid, F.lit("-")), F.lit(" - - "),
+        F.coalesce(procid, F.lit("-")), F.lit(" "),
+        F.coalesce(msgid, F.lit("-")) if msgid is not None else F.lit("-"),
+        F.lit(" "), sd, F.lit(" "),
         F.coalesce(body, F.lit("")),
     )
 

@@ -117,6 +117,17 @@ def main() -> None:
         assert obs.get["__total"] > 0  # counters ride the same pass
         pipe_secs = min(pipe_secs, time.perf_counter() - t0)
     timings["gen5m_pipeline"] = round(pipe_secs, 3)
+    # PatternDB (XML ruleset, 4 rules) over the generated bodies — the
+    # single-pass extraction path: classify + all fields in one regex
+    # execution per winning rule (see docs/PLANS.md)
+    from axosyslog_spark.operators.parse import parse_header  # noqa: PLC0415
+    from axosyslog_spark.operators.pdb_load import load_fixture  # noqa: PLC0415
+
+    [rs] = load_fixture()
+    pdb = rs.pattern_db()
+    timed("gen5m_patterndb", lambda: _consume(
+        pdb.apply(parse_header(gen), text_col="body", with_class=True)
+    ))
     timed("gen5m_salted_agg", lambda: _consume(
         grouping.salted_ordered_agg(gen, fragment_rows=4096)
     ))

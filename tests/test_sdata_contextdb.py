@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
 from axosyslog_spark.operators.enrich import enrich_with_context_db, load_context_db
 from axosyslog_spark.operators.parse import parse_sdata
 
@@ -74,3 +75,24 @@ def test_enrich_prefix(spark, tmp_path):
     df = spark.createDataFrame([("db1",)], "host string")
     out = enrich_with_context_db(df, db, "host", prefix="ctx.").collect()[0]
     assert out.ctx == {"ctx.role": "database"}
+
+
+def test_sdata_roundtrip(spark):
+    """parse_sdata -> format_sdata reproduces the original STRUCTURED-
+    DATA text bit-exactly (multi-block, multi-param, '-' for empty)."""
+    from axosyslog_spark.operators.parse import format_sdata, parse_sdata
+
+    lines = [
+        '[meta seq="42" host="h1"][origin ip="10.0.0.1"]',
+        '[exampleSDID@32473 iut="3" eventSource="App"]',
+        "-",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(lines)], "id int, sd string")
+    parsed = parse_sdata(df, "sd")
+    out = {
+        r["id"]: r["rendered"]
+        for r in parsed.select(
+            "id", format_sdata(F.col("sdata")).alias("rendered")
+        ).collect()
+    }
+    assert out == {0: lines[0], 1: lines[1], 2: "-"}
