@@ -113,8 +113,25 @@ class PdbField:
 
 
 @dataclass(frozen=True)
+class PdbAction:
+    """One <action>: trigger-gated synthetic message emission
+    (modules/correlation/pdb-action.c). ``trigger`` is 'match' (the
+    batch-meaningful one; 'timeout' belongs to grouping-stage
+    correlation, see grouping.correlate), ``condition`` an optional
+    template-condition string, ``values``/``tags`` the synthetic
+    message payload (templates over the matched row's fields)."""
+
+    trigger: str = "match"
+    condition: str | None = None
+    values: tuple[tuple[str, str], ...] = ()
+    tags: tuple[str, ...] = ()
+    inherit_properties: bool = True
+
+
+@dataclass(frozen=True)
 class PdbRule:
-    """One <rule>: id, one or more patterns, optional class/tags/values.
+    """One <rule>: id, one or more patterns, optional class/tags/values
+    and match actions.
 
     ``values`` entries are (name, template-string) pairs rendered with
     functions.template_compiler when the rule wins (pdb-rule.c values;
@@ -126,6 +143,7 @@ class PdbRule:
     rule_class: str = ""
     tags: tuple[str, ...] = ()
     values: tuple[tuple[str, str], ...] = ()
+    actions: tuple[PdbAction, ...] = ()
 
     @property
     def patterns(self) -> tuple[str, ...]:
@@ -255,9 +273,19 @@ def compile_rule(rule: PdbRule) -> CompiledPattern:
 
 
 class PatternDB:
-    """A compiled rule set applicable to a DataFrame text column."""
+    """A compiled rule set applicable to a DataFrame text column.
 
-    def __init__(self, rules: list[PdbRule]):
+    ``programs``: optional program-selector globs (the ruleset-level
+    <patterns> of the pdb document — radix.c routes a message through
+    the program trie first); when set, apply(program_col=...) only
+    classifies rows whose program matches one of them.
+    """
+
+    def __init__(self, rules: list[PdbRule], programs: tuple[str, ...] = ()):
+        self.programs = tuple(programs)
+        self._init_rules(rules)
+
+    def _init_rules(self, rules: list[PdbRule]):
         compiled = [
             compile_pattern(r, p) for r in rules for p in r.patterns
         ]
@@ -279,6 +307,7 @@ class PatternDB:
         self.value_names = sorted(
             {name for r in rules for name, _ in r.values}
         )
+        self.src_rules = list(rules)
 
     # round-1 API: `rules` was the compiled list
     @property
@@ -341,6 +370,61 @@ class PatternDB:
             )
         return expr
 
+    def program_filter(self, program: Column) -> Column:
+        """Program-selector match (ruleset <patterns> globs)."""
+        from axosyslog_spark.operators.filters import glob_match
+
+        if not self.programs:
+            return F.lit(True)
+        m = F.lit(False)
+        for g in self.programs:
+            m = m | F.coalesce(glob_match(program, g), F.lit(False))
+        return m
+
+    def apply_match_actions(self, df: DataFrame, values_ctx=None) -> DataFrame:
+        """trigger='match' <actions>: every matched row whose rule
+        carries an action (and passes its condition) emits ONE
+        synthetic row with the action's <values> rendered and its
+        <tags> in pdb_tags; inherit-properties keeps the original
+        columns underneath (pdb-action.c / synthetic-message.c).
+        Expects a frame already through apply() (rule_id + fields).
+        Timeout-triggered actions are correlation-context constructs —
+        see grouping.correlate.
+
+        Pass-through semantics: returns original rows (synthetic=false)
+        + synthetic rows (synthetic=true), like inject-mode
+        pass-through."""
+        from axosyslog_spark.functions.template_compiler import (
+            TemplateContext,
+            compile_template,
+            parse_condition,
+        )
+
+        base = df.withColumn("synthetic", F.lit(False))
+        out = base
+        ctx = values_ctx or TemplateContext(
+            columns={f: F.col(f) for f in self.field_names}, field_fallback=True
+        )
+        for rule in self.src_rules:
+            for action in rule.actions:
+                if action.trigger != "match":
+                    continue
+                cond = F.col("rule_id") == rule.rule_id
+                if action.condition:
+                    cond = cond & parse_condition(action.condition, ctx)
+                synth = df.filter(cond)
+                updates = {
+                    name: compile_template(tmpl, ctx)
+                    for name, tmpl in action.values
+                }
+                if action.tags:
+                    updates["pdb_tags"] = F.array(*[F.lit(t) for t in action.tags])
+                synth = synth.withColumns(updates).withColumn(
+                    "synthetic", F.lit(True)
+                )
+                out = out.unionByName(synth, allowMissingColumns=True)
+        return out
+
     def apply(
         self,
         df: DataFrame,
@@ -349,6 +433,7 @@ class PatternDB:
         values_ctx=None,
         with_class: bool = False,
         with_tags: bool = False,
+        program_col: str | None = None,
     ) -> DataFrame:
         """Adds rule_id + one typed column per named field (+ optional
         rule_class / pdb_tags / rendered <values> columns).
@@ -365,7 +450,12 @@ class PatternDB:
         text = F.col(text_col)
         n = len(self.patterns)
         idx_col, groups_col = f"__pdb_idx{prefix}", f"__pdb_groups{prefix}"
-        df = df.withColumn(idx_col, self.match_idx(text))
+        idx_expr = self.match_idx(text)
+        if program_col is not None and self.programs:
+            # program-selector gate: rows from other programs never run
+            # the message regexes (the program-trie hop of radix.c)
+            idx_expr = F.when(self.program_filter(F.col(program_col)), idx_expr)
+        df = df.withColumn(idx_col, idx_expr)
         idx = F.col(idx_col)
         proj2 = {
             f"{prefix}rule_id": self._rule_id_for(idx),

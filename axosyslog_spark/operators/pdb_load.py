@@ -38,7 +38,7 @@ from __future__ import annotations
 import xml.etree.ElementTree as ET
 from dataclasses import dataclass, field
 
-from axosyslog_spark.operators.patterndb import PatternDB, PdbRule
+from axosyslog_spark.operators.patterndb import PatternDB, PdbAction, PdbRule
 
 
 @dataclass(frozen=True)
@@ -59,8 +59,12 @@ class PdbRuleSet:
     pub_date: str = ""
     version: str = "4"
 
-    def pattern_db(self) -> PatternDB:
-        return PatternDB(self.rules)
+    def pattern_db(self, with_programs: bool = False) -> PatternDB:
+        """Compile; pass with_programs=True to scope classification to
+        this ruleset's program selectors (apply(program_col=...))."""
+        return PatternDB(
+            self.rules, programs=self.programs if with_programs else ()
+        )
 
 
 def _text(el) -> str:
@@ -102,6 +106,27 @@ def load_pdb_xml(source: str) -> list[PdbRuleSet]:
                 (v.get("name", ""), _text(v))
                 for v in r_el.findall("./values/value")
             )
+            actions: list[PdbAction] = []
+            for a_el in r_el.findall("./actions/action"):
+                msg = a_el.find("message")
+                actions.append(
+                    PdbAction(
+                        trigger=a_el.get("trigger", "match"),
+                        condition=a_el.get("condition"),
+                        values=tuple(
+                            (v.get("name", ""), _text(v))
+                            for v in (msg.findall("./values/value") if msg is not None else [])
+                        ),
+                        tags=tuple(
+                            _text(t)
+                            for t in (msg.findall("./tags/tag") if msg is not None else [])
+                        ),
+                        inherit_properties=(
+                            (msg.get("inherit-properties", "TRUE") if msg is not None else "TRUE")
+                            .lower() not in ("false", "0", "none")
+                        ),
+                    )
+                )
             rs.rules.append(
                 PdbRule(
                     rule_id=rule_id,
@@ -109,6 +134,7 @@ def load_pdb_xml(source: str) -> list[PdbRuleSet]:
                     rule_class=r_el.get("class", ""),
                     tags=tags,
                     values=values,
+                    actions=tuple(actions),
                 )
             )
             for ex_el in r_el.findall("./examples/example"):

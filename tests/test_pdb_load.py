@@ -108,3 +108,83 @@ def test_fixture_values_render(spark):
     assert out[0]["pdb_tags"] == ["kv", "retryable"]
     assert out[1]["rule_id"] == "badhdr"
     assert out[1]["note"] == "badhdr at 2024-01-01T00:00:07 on host-1"
+
+
+ACTIONS_XML = """
+<patterndb version='5'>
+  <ruleset name='acts' id='1'>
+    <patterns>
+      <pattern>app_*</pattern>
+      <pattern>cron</pattern>
+    </patterns>
+    <rules>
+      <rule id='login' class='system'>
+        <patterns><pattern>Accepted @ESTRING:method: @for @STRING:user@</pattern></patterns>
+        <actions>
+          <action trigger='match'>
+            <message>
+              <values>
+                <value name='alert'>login by ${user} via ${method}</value>
+              </values>
+              <tags><tag>synthetic-login</tag></tags>
+            </message>
+          </action>
+          <action trigger='match' condition='"${user}" eq "root"'>
+            <message>
+              <values><value name='alert'>ROOT LOGIN</value></values>
+            </message>
+          </action>
+        </actions>
+      </rule>
+      <rule id='noise' class='unknown'>
+        <patterns><pattern>noise @ANYSTRING:rest@</pattern></patterns>
+      </rule>
+    </rules>
+  </ruleset>
+</patterndb>
+"""
+
+
+def test_actions_emit_synthetic_rows(spark):
+    [rs] = load_pdb_xml(ACTIONS_XML)
+    pdb = rs.pattern_db()
+    rule = {r.rule_id: r for r in rs.rules}["login"]
+    assert len(rule.actions) == 2
+    assert rule.actions[1].condition == '"${user}" eq "root"'
+
+    df = spark.createDataFrame(
+        [
+            (0, "Accepted password for alice"),
+            (1, "Accepted publickey for root"),
+            (2, "noise whatever"),
+        ],
+        "id int, text string",
+    )
+    matched = pdb.apply(df)
+    out = pdb.apply_match_actions(matched)
+    rows = [(r["id"], r["synthetic"], r.asDict().get("alert")) for r in out.collect()]
+    originals = [r for r in rows if not r[1]]
+    synth = sorted(r for r in rows if r[1])
+    assert len(originals) == 3
+    # alice: 1 synthetic; root: unconditional + conditional = 2; noise: 0
+    assert synth == [
+        (0, True, "login by alice via password"),
+        (1, True, "ROOT LOGIN"),
+        (1, True, "login by root via publickey"),
+    ]
+
+
+def test_program_scoped_ruleset(spark):
+    [rs] = load_pdb_xml(ACTIONS_XML)
+    pdb = rs.pattern_db(with_programs=True)
+    assert pdb.programs == ("app_*", "cron")
+    df = spark.createDataFrame(
+        [
+            (0, "app_web", "Accepted password for alice"),
+            (1, "sshd", "Accepted password for bob"),
+            (2, "cron", "noise x"),
+        ],
+        "id int, program string, text string",
+    )
+    got = {r["id"]: r["rule_id"] for r in pdb.apply(df, program_col="program").collect()}
+    assert got == {0: "login", 1: None, 2: "noise"}
