@@ -1,0 +1,109 @@
+"""Pure-numpy media codecs: BMP (24-bit uncompressed) and WAV (PCM16).
+
+These two containers are simple enough to implement from their public
+specifications with numpy + struct alone, which turns the multimodal
+pipeline's decode/resize stages into REAL work inside this container
+(no image/audio libraries available). Formats needing external codecs
+(JPEG/PNG/MP4/...) remain behind the documented stub in multimodal.py
+— the Spark-side plumbing is identical either way.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# BMP: BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40), 24bpp, bottom-up
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB -> BMP bytes."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("encode_bmp expects HxWx3 RGB")
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    # rows bottom-up, BGR order, padded to 4 bytes
+    bgr = pixels[::-1, :, ::-1]
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
+    """BMP bytes -> (width, height, HxWx3 uint8 RGB)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={compression})")
+    flipped = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(data, dtype=np.uint8, count=row_size * h, offset=offset)
+    rows = rows.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]
+    if flipped:
+        rgb = rgb[::-1]
+    return w, h, np.ascontiguousarray(rgb)
+
+
+def resize_nearest(pixels: np.ndarray, max_side: int) -> np.ndarray:
+    """Nearest-neighbor downscale so max(h, w) <= max_side (no-op when
+    already small enough) — the resample step of the resize stage."""
+    h, w = pixels.shape[:2]
+    scale = min(1.0, max_side / max(h, w, 1))
+    if scale >= 1.0:
+        return pixels
+    nh, nw = max(int(h * scale), 1), max(int(w * scale), 1)
+    yi = (np.arange(nh) * (h / nh)).astype(np.int64)
+    xi = (np.arange(nw) * (w / nw)).astype(np.int64)
+    return np.ascontiguousarray(pixels[yi][:, xi])
+
+
+# ---------------------------------------------------------------------------
+# WAV: RIFF/WAVE with fmt (PCM) + data chunks, 16-bit
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """1-D int16 mono samples -> WAV bytes."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """WAV bytes -> (rate, n_samples, duration_ms, int16 samples)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    rate, channels, samples = None, 1, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    n = len(samples) // channels
+    return rate, n, int(n * 1000 / rate), samples

@@ -2,11 +2,16 @@
 metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side plumbing here is real and tested: schemas, batch
-iteration, partition behavior, UDF signatures. The actual codec work
-(JPEG decode, resampling, ffmpeg frame extraction) is STUBBED with a
-deterministic fake — the image/audio libraries are not in this
-container. Each stub documents exactly where the real implementation
-plugs in; swapping it changes no Spark code.
+iteration, partition behavior, UDF signatures. Codec work comes in two
+tiers:
+
+  - REAL: BMP images and PCM16 WAV audio decode/resize/probe via the
+    pure-numpy codecs in operators/codecs.py (encode->decode->resize
+    roundtrips are unit-tested on actual bytes)
+  - STUBBED: formats needing external libraries (JPEG, MP4 frame
+    extraction) keep a deterministic fake — those libs are not in this
+    container; each stub documents where the real call plugs in, and
+    swapping it changes no Spark code.
 """
 
 from __future__ import annotations
@@ -64,6 +69,52 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def synthesize_real_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL media fixture: even ids get an actual BMP
+    (seeded gradient pixels), odd ids an actual WAV (seeded sine-ish
+    PCM16) — both generated per Arrow batch, decodable by any
+    conforming reader."""
+    import numpy as np
+
+    from axosyslog_spark.operators import codecs
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                if mid % 2 == 0:
+                    w, h = 16 + (mid * 7) % 49, 16 + (mid * 13) % 33
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    px = np.stack(
+                        [
+                            (xx * 255 // max(w - 1, 1)),
+                            (yy * 255 // max(h - 1, 1)),
+                            np.full((h, w), mid % 256),
+                        ],
+                        axis=2,
+                    ).astype(np.uint8)
+                    rows.append(
+                        {"media_id": mid, "kind": "image",
+                         "payload": codecs.encode_bmp(px), "mime": "image/bmp"}
+                    )
+                else:
+                    n = 800 + (mid * 37) % 1600
+                    t = np.arange(n)
+                    samples = (
+                        np.sin(t * (0.01 + (mid % 7) * 0.005)) * 12_000
+                    ).astype(np.int16)
+                    rows.append(
+                        {"media_id": mid, "kind": "audio",
+                         "payload": codecs.encode_wav(samples), "mime": "audio/wav"}
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return src.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
     """STUB — replace with PIL.Image.open / soundfile / pyav.
 
@@ -82,22 +133,40 @@ def decode_media(df: DataFrame) -> DataFrame:
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from axosyslog_spark.operators import codecs
+
         for pdf in batches:
             rows = []
             for mid, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 payload = bytes(payload) if payload is not None else b""
-                w, h, frames, dur = _fake_decode(payload)
+                if payload[:2] == b"BM":
+                    # REAL BMP probe: dimensions + pixel feature hash
+                    w, h, px = codecs.decode_bmp(payload)
+                    frames, dur = 1, 0
+                    feat = hashlib.md5(px.tobytes()).hexdigest()
+                elif payload[:4] == b"RIFF":
+                    # REAL WAV probe: duration from the PCM header
+                    _rate, _n, dur, samples = codecs.decode_wav(payload)
+                    w = h = 0
+                    frames = 1
+                    feat = hashlib.md5(samples.tobytes()).hexdigest()
+                else:
+                    # STUB for externally-coded formats (JPEG/MP4/...)
+                    w, h, frames, dur = _fake_decode(payload)
+                    frames = frames if kind == "video" else 1
+                    dur = dur if kind != "image" else 0
+                    feat = hashlib.md5(payload).hexdigest()
                 rows.append(
                     {
                         "media_id": mid,
                         "kind": kind,
                         "width": w,
                         "height": h,
-                        "n_frames": frames if kind == "video" else 1,
-                        "duration_ms": dur if kind != "image" else 0,
-                        "feature_hash": hashlib.md5(payload).hexdigest(),
+                        "n_frames": frames,
+                        "duration_ms": dur,
+                        "feature_hash": feat,
                         "n_bytes": len(payload),
                     }
                 )
@@ -117,15 +186,29 @@ RESIZE_SCHEMA = StructType(
 
 
 def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
-    """Resize stage (images only). STUB: passes payload through and
-    clamps the recorded dimensions; a real impl decodes + resamples
-    inside the same batch loop."""
+    """Resize stage (images only). BMP payloads get a REAL nearest-
+    neighbor resample + re-encode (operators/codecs.py); other formats
+    keep the documented stub (clamped dims, payload passthrough)."""
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from axosyslog_spark.operators import codecs
+
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload) if payload is not None else b""
+                if payload[:2] == b"BM":
+                    _w, _h, px = codecs.decode_bmp(payload)
+                    small = codecs.resize_nearest(px, max_side)
+                    out.append(
+                        {
+                            "media_id": mid,
+                            "width": small.shape[1],
+                            "height": small.shape[0],
+                            "payload": codecs.encode_bmp(small),
+                        }
+                    )
+                    continue
                 w, h, _, _ = _fake_decode(payload)
                 scale = min(1.0, max_side / max(w, h, 1))
                 out.append(
