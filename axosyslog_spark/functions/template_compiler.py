@@ -536,6 +536,21 @@ def _apply_func(call: FuncCall, ctx: TemplateContext) -> Column:
         return F.substring(h, 1, length) if length else h
     if name == "uuid":
         return F.expr("uuid()")
+    if name == "indent-multi-line":
+        # $(indent-multi-line ${MSG}): continuation lines tab-indented
+        # (basic-funcs.c tf_indent_multi_line)
+        return F.regexp_replace(one(), "\n", "\n\t")
+    if name == "env":
+        # config-time environment lookup — folds to a literal
+        import os
+
+        if args[0].lit is None:
+            raise TemplateError("$(env NAME) takes a literal name")
+        return F.lit(os.environ.get(args[0].lit, ""))
+    if name == "template":
+        # $(template name) — evaluate a named/inline template; without
+        # a registry the argument IS the template (already compiled)
+        return one()
     if name == "format-date":
         if not args:
             raise TemplateError("$(format-date fmt [ts])")
@@ -611,6 +626,10 @@ def parsed_template_context(
         "LOGHOST": F.lit("spark-pipeline"),
         "SEQNUM": F.col("turn_idx").cast("string"),
         "UNIQID": F.concat(F.col("conv_id"), F.lit("@"), F.col("turn_idx").cast("string")),
+        # RCPTID: the reference's persistent per-message counter; the
+        # deterministic batch analog is the same stable row identity
+        "RCPTID": F.concat(F.col("conv_id"), F.lit("@"), F.col("turn_idx").cast("string")),
+        "CONTEXT_ID": F.col("conv_id"),
     }
     for f in include_fields or []:
         cols[f] = F.col(f)

@@ -247,3 +247,13 @@ def test_render_dollar_dollar(frame):
 def test_unknown_function_raises(frame):
     with pytest.raises(TemplateError):
         compile_template("$(unknown function)", _ctx())
+
+
+def test_misc_funcs(frame):
+    assert _render(frame, "$(indent-multi-line x)") == ["x", "x"]
+    got = _render(frame, '$(template "${HOST}!")')
+    assert got == ["h1!", "h2!"]
+    import os
+
+    os.environ["AXOSPARK_TEST_ENV"] = "yes"
+    assert _render(frame, "$(env AXOSPARK_TEST_ENV)") == ["yes", "yes"]
