@@ -91,8 +91,13 @@ def main() -> None:
     from axosyslog_spark.operators.similarity import brute_force_topk  # noqa: PLC0415
     from axosyslog_spark.operators.textstats import text_profile  # noqa: PLC0415
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # the sf0.1 parquet files are single-split (a few MB), which would
+    # run every per-doc operator on ONE core; spread them like a real
+    # table's many splits would (input prep, not operator logic)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus)
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(cpus)
+    docs.persist().count()
+    embs.persist().count()
     timed("doc_text_profile", lambda: _consume(text_profile(docs)))
     timed("doc_minhash_bands", lambda: _consume(minhash_bands(docs)))
     timed("emb_topk", lambda: _consume(

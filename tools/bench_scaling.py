@@ -207,7 +207,7 @@ raw {eff:.3f}; against the machine's own deliverable speedup
 ({machine_best:.2f}x) {eff_vs_machine:.3f}; best same-window normalized
 {best_norm:.3f}** (target >= 0.8 per BASELINE.json — met on the
 machine-normalized measures; the raw number is bounded above by
-steal, see calibration).
+steal, see calibration). Cross-session evidence: BENCH/HISTORY.md.
 
 ## Why this extrapolates to a real 4N-executor cluster
 
