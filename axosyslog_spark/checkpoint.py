@@ -131,12 +131,22 @@ def run_checkpointed(
     spec: RouteSpec | None = None,
     run_id: str = "run",
     fail_after_buckets: int | None = None,
+    pipeline_fn=None,
+    sinks: list[str] | None = None,
 ) -> RunReport:
-    """Execute the flagship pipeline bucket-by-bucket with checkpoints.
+    """Execute a pipeline bucket-by-bucket with checkpoints.
 
+    Default pipeline = the flagship parse→enrich→route; pass
+    ``pipeline_fn(spark, bucket_df) -> routed DataFrame`` (must carry a
+    ``sink`` column) plus ``sinks`` to run a custom/config-compiled
+    pipeline under the same resume contract.
     ``fail_after_buckets`` injects a crash after K commits (tests).
     """
     spec = spec or flagship_route_spec()
+    if pipeline_fn is None:
+        def pipeline_fn(s, df):  # noqa: ANN001
+            return run_pipeline(s, df, spec).routed
+    sink_names = sinks if sinks is not None else spec.sinks()
     os.makedirs(out_dir, exist_ok=True)
     staged = stage_input(transcripts, out_dir, n_buckets)
 
@@ -151,11 +161,11 @@ def run_checkpointed(
         t0 = time.perf_counter()
         # partition-pruned read: only bucket=b files are touched
         part = spark.read.parquet(staged).filter(F.col("bucket") == b).drop("bucket")
-        routed = run_pipeline(spark, part, spec).routed
+        routed = pipeline_fn(spark, part)
         obs = Observation()
         aggs = [
             F.sum(F.when(F.col("sink") == s, 1).otherwise(0)).alias(s)
-            for s in spec.sinks()
+            for s in sink_names
         ] + [
             F.count(F.lit(1)).alias("total"),
             # order-insensitive content hash of the routed rows: the
@@ -176,7 +186,7 @@ def run_checkpointed(
             "status": "committed",
             "total": int(m["total"]),
             "rows_hash": int(m["rows_hash"]) if m["rows_hash"] is not None else 0,
-            "sink_counts": {s: int(m[s]) for s in spec.sinks()},
+            "sink_counts": {s: int(m[s]) for s in sink_names},
             "wall_secs": round(time.perf_counter() - t0, 3),
         }
         _append_checkpoint(out_dir, rec)

@@ -53,6 +53,8 @@ class PipelineSpec:
     # derived columns from template STRINGS ("${HOST} $(fn ...)"),
     # compiled once at plan time; available to routes and aggregates
     templates: dict[str, str] = field(default_factory=dict)
+    # a filterx {} block applied after enrich/templates, before routing
+    filterx_block: str | None = None
 
     def compile(
         self,
@@ -62,7 +64,12 @@ class PipelineSpec:
     ) -> "CompiledPipeline":
         df = parse_stage(transcripts) if self.header_parse else transcripts
         if self.patterns:
-            df = PatternDB(self.patterns).apply(df, text_col=self.pattern_source_col)
+            df = PatternDB(self.patterns).apply(
+                df,
+                text_col=self.pattern_source_col,
+                with_class=any(r.rule_class for r in self.patterns),
+                with_tags=any(r.tags for r in self.patterns),
+            )
         for spec in self.lookups:
             db = (lookup_dfs or {})[spec.key]
             df = enrich(df, db, spec)
@@ -81,6 +88,10 @@ class PipelineSpec:
             df = df.withColumns(
                 {name: compile_template(t, ctx) for name, t in self.templates.items()}
             )
+        if self.filterx_block:
+            from axosyslog_spark.functions.filterx_lang import filterx
+
+            df = filterx(df, self.filterx_block)
         routed = route_explode(df, self.routes)
         aggs = {
             "_".join(a.labels): metrics_probe(routed, a.labels, counter_name=a.counter_name)

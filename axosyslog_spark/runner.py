@@ -53,6 +53,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True, help="output dir (sinks + checkpoint)")
     p.add_argument("--n-buckets", type=int, default=16)
     p.add_argument("--run-id", default="run")
+    p.add_argument("--config", default=None,
+                   help="declarative pipeline config (JSON path; see "
+                        "plans/config.py) — replaces the flagship pipeline")
     p.add_argument("--local-cores", type=int, default=None,
                    help="run on local[N] instead of the submitted master")
     args = p.parse_args(argv)
@@ -66,9 +69,21 @@ def main(argv: list[str] | None = None) -> int:
     else:
         transcripts = spark.read.parquet(args.input)
 
+    pipeline_fn, sinks = None, None
+    if args.config:
+        from axosyslog_spark.plans.config import build_spec, load_lookups
+
+        spec, lookup_srcs = build_spec(args.config)
+        lookup_dfs = load_lookups(spark, lookup_srcs)
+        sinks = spec.routes.sinks()
+
+        def pipeline_fn(s, df):  # noqa: ANN001
+            return spec.compile(s, df, lookup_dfs=lookup_dfs).routed
+
     rep = ck.run_checkpointed(
         spark, transcripts, args.output,
         n_buckets=args.n_buckets, run_id=args.run_id,
+        pipeline_fn=pipeline_fn, sinks=sinks,
     )
     print(
         f"run_id={rep.run_id} processed={len(rep.processed_buckets)} "
