@@ -455,9 +455,22 @@ def _apply_func(call: FuncCall, ctx: TemplateContext) -> Column:
         )
     if name == "or":
         return F.coalesce(*[F.nullif(a.col, F.lit("")) for a in args], F.lit(""))
+    if name == "context-length":
+        # bound by correlation-context evaluation (context-funcs.c);
+        # grouping.correlate_pdb provides CONTEXT_LENGTH at close time
+        if "CONTEXT_LENGTH" not in ctx.columns:
+            raise TemplateError(
+                "$(context-length) needs a correlation context "
+                "(grouping.correlate_pdb binds CONTEXT_LENGTH)"
+            )
+        return ctx.columns["CONTEXT_LENGTH"].cast("string")
+    if name == "context-values":
+        if "CONTEXT_VALUES" not in ctx.columns:
+            raise TemplateError("$(context-values) needs a correlation context")
+        return F.array_join(ctx.columns["CONTEXT_VALUES"], ",")
     if name == "grep":
         raise TemplateError(
-            "$(grep)/context functions need a correlation context; use "
+            "$(grep)/context lookups need a correlation context; use "
             "grouping.grouped_ordered_agg + functions.templates.tf_grep"
         )
     if name in ("+", "-", "*", "/", "%"):

@@ -243,3 +243,93 @@ def rate_limit(
         .filter(F.col("__rn") <= max_rows)
         .drop("__rn")
     )
+
+
+# scope -> key columns widened into the context key (correlation-key.h:29-40)
+_CONTEXT_SCOPE_COLS = {
+    "global": (),
+    "host": ("host",),
+    "program": ("host", "appname"),
+    "process": ("host", "appname", "procid"),
+}
+
+
+def correlate_pdb(
+    df: DataFrame,
+    rules,
+    ts_col: str = "ts",
+    values_ctx=None,
+) -> DataFrame:
+    """PatternDB correlation contexts from rule attributes
+    (modules/correlation/pdb-context.c, synthetic-context.c): rules
+    carrying ``context-id`` group their matched rows by
+    (scope columns, rendered context-id template); a context closes
+    when the event-time gap exceeds ``context-timeout`` (the batch
+    analog of the timer wheel clamped to the message clock,
+    correlation.c:91-112). Each closed context emits the rule's
+    trigger='timeout' action messages, with the per-context aggregates
+    bound as CONTEXT_ID / CONTEXT_LENGTH / first_ts / last_ts.
+
+    Expects a frame already through PatternDB.apply (rule_id + field
+    columns). Returns the synthetic context-close rows (one per
+    context per timeout action).
+    """
+    from axosyslog_spark.functions.template_compiler import (
+        TemplateContext,
+        compile_template,
+    )
+
+    out = None
+    for rule in rules:
+        if not rule.context_id:
+            continue
+        timeout_actions = [a for a in rule.actions if a.trigger == "timeout"]
+        if not timeout_actions:
+            continue
+        ctx = values_ctx or TemplateContext(field_fallback=True)
+        matched = df.filter(F.col("rule_id") == rule.rule_id)
+        key = compile_template(rule.context_id, ctx)
+        scope_cols = [
+            c for c in _CONTEXT_SCOPE_COLS.get(rule.context_scope, ())
+            if c in df.columns
+        ]
+        keyed = matched.withColumn(
+            "__ctx_key",
+            F.concat_ws(
+                "\x01", *[F.coalesce(F.col(c), F.lit("")) for c in scope_cols], key
+            ),
+        )
+        gap_min = max(rule.context_timeout, 1) / 60.0
+        sess = sessionize(keyed, key="__ctx_key", ts_col=ts_col, gap_minutes=gap_min)
+        agg = sess.groupBy("__ctx_key", "session_id").agg(
+            F.count(F.lit(1)).alias("n_msgs"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        close_ctx = TemplateContext(
+            columns={
+                "CONTEXT_ID": F.col("__ctx_key"),
+                "CONTEXT_LENGTH": F.col("n_msgs"),
+            },
+            stamp=F.col("last_ts"),
+            field_fallback=False,
+        )
+        for action in timeout_actions:
+            synth = agg.select(
+                F.col("__ctx_key").alias("context_key"),
+                F.col("session_id").cast("int").alias("context_instance"),
+                F.lit(rule.rule_id).alias("rule_id"),
+                F.col("n_msgs"),
+                "first_ts",
+                "last_ts",
+                *[
+                    compile_template(tmpl, close_ctx).alias(name)
+                    for name, tmpl in action.values
+                ],
+            ).withColumn("synthetic", F.lit(True))
+            out = synth if out is None else out.unionByName(
+                synth, allowMissingColumns=True
+            )
+    if out is None:
+        raise ValueError("no rule carries context-id + a timeout action")
+    return out

@@ -144,6 +144,11 @@ class PdbRule:
     tags: tuple[str, ...] = ()
     values: tuple[tuple[str, str], ...] = ()
     actions: tuple[PdbAction, ...] = ()
+    # correlation context attributes (pdb-rule.c / synthetic-context.c):
+    # context-id is a TEMPLATE; timeout in seconds; scope widens the key
+    context_id: str | None = None
+    context_timeout: int = 0
+    context_scope: str = "process"
 
     @property
     def patterns(self) -> tuple[str, ...]:

@@ -135,6 +135,9 @@ def load_pdb_xml(source: str) -> list[PdbRuleSet]:
                     tags=tags,
                     values=values,
                     actions=tuple(actions),
+                    context_id=r_el.get("context-id"),
+                    context_timeout=int(r_el.get("context-timeout", "0")),
+                    context_scope=r_el.get("context-scope", "process"),
                 )
             )
             for ex_el in r_el.findall("./examples/example"):

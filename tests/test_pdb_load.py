@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
 from axosyslog_spark.operators.pdb_load import (
     check_examples,
     load_checked,
@@ -188,3 +189,62 @@ def test_program_scoped_ruleset(spark):
     )
     got = {r["id"]: r["rule_id"] for r in pdb.apply(df, program_col="program").collect()}
     assert got == {0: "login", 1: None, 2: "noise"}
+
+
+CONTEXT_XML = """
+<patterndb version='5'>
+  <ruleset name='ctx' id='1'>
+    <rules>
+      <rule id='job' class='system' context-id='job-${jid}' context-timeout='60' context-scope='global'>
+        <patterns><pattern>job @NUMBER:jid@ @ESTRING:step:@</pattern></patterns>
+        <actions>
+          <action trigger='timeout'>
+            <message>
+              <values>
+                <value name='summary'>context ${CONTEXT_ID} closed after $(context-length) messages</value>
+              </values>
+            </message>
+          </action>
+        </actions>
+      </rule>
+    </rules>
+  </ruleset>
+</patterndb>
+"""
+
+
+def test_correlation_contexts_from_xml(spark):
+    """context-id/context-timeout rule attrs + trigger='timeout'
+    actions: contexts close on event-time gaps and emit synthetic
+    summaries (pdb-context.c batch analog)."""
+    from axosyslog_spark.operators.grouping import correlate_pdb
+
+    [rs] = load_pdb_xml(CONTEXT_XML)
+    rule = rs.rules[0]
+    assert rule.context_id == "job-${jid}" and rule.context_timeout == 60
+    assert rule.actions[0].trigger == "timeout"
+
+    rows = [
+        # job 7: two bursts separated by > 60s -> TWO contexts
+        (0, "job 7 start", "2024-01-01 00:00:00"),
+        (1, "job 7 run",   "2024-01-01 00:00:30"),
+        (2, "job 7 retry", "2024-01-01 00:05:00"),
+        # job 9: one context
+        (3, "job 9 start", "2024-01-01 00:00:10"),
+        # unmatched line: never enters a context
+        (4, "noise", "2024-01-01 00:00:20"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string, ts_s string").select(
+        "id", "text", F.to_timestamp("ts_s").alias("ts")
+    )
+    matched = rs.pattern_db().apply(df)
+    synth = correlate_pdb(matched, rs.rules).collect()
+    got = {
+        (r["context_key"], r["context_instance"]): (r["n_msgs"], r["summary"])
+        for r in synth
+    }
+    assert got == {
+        ("job-7", 0): (2, "context job-7 closed after 2 messages"),
+        ("job-7", 1): (1, "context job-7 closed after 1 messages"),
+        ("job-9", 0): (1, "context job-9 closed after 1 messages"),
+    }
