@@ -69,12 +69,18 @@ def main() -> None:
     from axosyslog_spark.operators.dedup import minhash_bands  # noqa: PLC0415
     from axosyslog_spark.operators.textstats import text_profile  # noqa: PLC0415
 
+    from axosyslog_spark.operators.parse import parse_header  # noqa: PLC0415
+    from axosyslog_spark.operators.pdb_load import load_fixture  # noqa: PLC0415
+
+    [warm_rs] = load_fixture()
+    warm_pdb = warm_rs.pattern_db()
     warm_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
     for _ in range(2):
         _consume(run_pipeline(spark, warm).routed)
         _consume(grouping.salted_ordered_agg(warm, fragment_rows=4096))
         _consume(grouping.sessionize(warm).groupBy("conv_id").count())
         _consume(grouping.grouped_ordered_agg(warm))
+        _consume(warm_pdb.apply(parse_header(warm), text_col="body", with_class=True))
         _consume(text_profile(warm_docs))
         _consume(minhash_bands(warm_docs))
 
