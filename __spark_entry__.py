@@ -597,6 +597,12 @@ def _docs(spark: SparkSession, sf: str) -> DataFrame:
     return _utc(spark).read.parquet(f"{sf}/documents.parquet")
 
 
+# embeddings.parquet vector dimensionality (fixed across all SFs; see
+# TESTDATA.md). Passed explicitly so LSH planning never probes the data
+# with a driver-side .first().
+EMB_DIM = 64
+
+
 def _embs(spark: SparkSession, sf: str) -> DataFrame:
     return _utc(spark).read.parquet(f"{sf}/embeddings.parquet")
 
@@ -663,7 +669,7 @@ def q_emb_topk(spark: SparkSession, sf: str) -> DataFrame:
 def q_emb_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     from axosyslog_spark.operators.similarity import embedding_near_dups
 
-    return embedding_near_dups(_embs(spark, sf), threshold=0.5)
+    return embedding_near_dups(_embs(spark, sf), threshold=0.5, dim=EMB_DIM)
 
 
 def q_emb_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -672,8 +678,7 @@ def q_emb_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     from axosyslog_spark.operators.similarity import lsh_topk
 
     embs = _embs(spark, sf)
-    dim = len(embs.select("embedding").first()[0])
-    return lsh_topk(embs, embs.filter(F.col("vec_id") < 10), dim=dim, k=5)
+    return lsh_topk(embs, embs.filter(F.col("vec_id") < 10), dim=EMB_DIM, k=5)
 
 
 def q_doc_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -736,14 +741,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _patterndb_xml_oracle() -> str:
-    """Mirror of q_pipe_patterndb_xml: the XML-loaded rule set compiled
-    into the same two-tier regex CASE; <values> templates hand-mirrored
-    in SQL (uppercase / concat)."""
-    from axosyslog_spark.operators.pdb_load import load_fixture
-
-    [rs] = load_fixture()
-    inner = oracle.patterndb_select_sql(
-        rs.pattern_db(), "body", "FROM parsed2", "conv_id, turn_idx"
+    """Mirror of q_pipe_patterndb_xml built from oracle.py's HAND-
+    WRITTEN fixture regexes (independent of compile_pattern — a Spark-
+    side compiler bug cannot cancel out); <values> templates hand-
+    mirrored in SQL (uppercase / concat)."""
+    inner = oracle.patterndb_fixture_sql(
+        "body", "FROM parsed2", "conv_id, turn_idx", with_class=True
     )
     return (
         "WITH "
@@ -852,13 +855,15 @@ def oracle_sql() -> dict[str, str]:
             """
         ),
         "pipe_patterndb": (
+            # hand-written fixture regexes (oracle.PDB_FIXTURE_RULES),
+            # independent of the Spark-side pattern compiler
             "WITH "
             + oracle.TRANSCRIPTS_ORACLE_CTE.strip()
             + ",\n"
             + oracle.PARSED_CTE.strip()
             + "\n"
-            + oracle.patterndb_select_sql(
-                PatternDB(PDB_RULES), "body", "FROM parsed2", "conv_id, turn_idx"
+            + oracle.patterndb_fixture_sql(
+                "body", "FROM parsed2", "conv_id, turn_idx"
             )
         ),
         "pipe_patterndb_xml": _patterndb_xml_oracle(),

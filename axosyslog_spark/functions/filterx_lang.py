@@ -526,11 +526,17 @@ class FilterXBlock:
     keep: Column | None
 
     def apply(self, df: DataFrame) -> DataFrame:
-        """Apply the block: one withColumns + one filter."""
-        out = df.withColumns(self.updates) if self.updates else df
-        if self.keep is not None:
-            out = out.filter(self.keep)
-        return out
+        """Apply the block: one filter + one withColumns.
+
+        Both ``keep`` and ``updates`` are expressions over the ORIGINAL
+        columns (the symbolic executor already folded
+        assignment-then-read chains into the expressions themselves), so
+        the filter MUST run first: filtering doesn't change values, while
+        withColumns would make a later filter resolve against post-update
+        values (e.g. ``if ($s == "error") { drop; }; $s = "done";`` must
+        drop on the ORIGINAL $s)."""
+        out = df.filter(self.keep) if self.keep is not None else df
+        return out.withColumns(self.updates) if self.updates else out
 
 
 def compile_filterx(block: str, known_fields: list[str] | None = None) -> FilterXBlock:

@@ -73,7 +73,7 @@ def _parse_msg_ref(s: str, i: int) -> tuple[int, int]:
         if j < len(s) and s[j].isdigit():
             n = 0
             while j < len(s) and s[j].isdigit():
-                n += n * 10 + int(s[j])
+                n = n * 10 + int(s[j])
                 j += 1
             return n + 1, j
         if j < len(s) and s[j] == "@":

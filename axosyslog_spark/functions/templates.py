@@ -271,9 +271,13 @@ def macro(name: str, ts: Column | None = None, **cols: Column) -> Column:
     if name == "USEC":
         return (F.unix_micros(ts) % 1_000_000).cast("string")
     if name == "WEEK":
-        # macros.c WEEK: week of year, Sunday-start, 0-based
+        # macros.c WEEK: (yday - (wday - 1 + 7) % 7 + 7) / 7 with 0-based
+        # yday/wday (Monday-based week start). Spark's dayofyear/dayofweek
+        # are 1-based (Sunday=1), so yday-1 and (dayofweek-2) mod 7.
         return F.lpad(
-            F.floor((F.dayofyear(ts) + 6 - (F.dayofweek(ts) - 1)) / 7).cast("string"),
+            F.floor(
+                ((F.dayofyear(ts) - 1) - F.pmod(F.dayofweek(ts) - 2, F.lit(7)) + 7) / 7
+            ).cast("string"),
             2, "0",
         )
     if name == "ISOWEEK":

@@ -31,7 +31,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _KEY = r"[A-Za-z0-9._-]+"
-# placeholder for escaped backslash during staged unescape
+# Placeholder for escaped backslash during staged unescape.
+# IN-BAND ASSUMPTION (same contract as patterndb.py's \x01 sentinel):
+# input text must not contain a literal \x02 control byte — if it did,
+# the staged unescape would garble that value. Syslog payloads never
+# legitimately carry STX; callers feeding arbitrary binary should strip
+# control bytes first (parse.py's sanitization does).
 _BS = "\x02"
 
 

@@ -34,21 +34,40 @@ modules/correlation/tests/test_radix.c. Within a tier, the rule with
 the longest literal prefix wins (the radix longest-match preference),
 declaration order breaking ties.
 
-Spark-first execution: each pattern compiles to ONE anchored Java
-regex. Classification is a `when` chain over the two tiers (cheap
-`startswith` guards short-circuit rules whose literal prefix can't
-match); extraction materializes ALL capture groups of the winning
-pattern in ONE regex execution via regexp_replace into a separator-
-joined string (the ``__pdb_groups`` array) — field columns then just
-`element_at` from it. A row therefore pays at most (guards + winning
-regex twice: classify + group-materialize), never 1+F regex runs like
-a per-field regexp_extract would (Catalyst does not CSE across
-withColumn projections). Everything stays inside whole-stage codegen;
-no Python runs per row.
+Spark-first execution — O(1) regex executions per row, independent of
+ruleset size (the asymptotic analog of the reference's radix trie walk,
+radix.c:666-860): ALL patterns of a tier are merged into ONE ordered
+alternation regex. The input is prepended with a \\x02 marker and each
+alternative carries a sentinel capture group around that marker, so a
+single ``regexp_replace`` yields BOTH the winning alternative (the only
+sentinel that participated — Java resets captures when it backtracks
+out of a failed alternative) AND every field value of that alternative,
+rendered into a control-char-framed result string:
+
+    \\x03 \\x01 <block_0> \\x01 <block_1> ... \\x01 [remainder]
+    block_i = sentinel(\\x02 iff alt i won) \\x04 field1 \\x04 field2 ...
+
+Classification is then `array_position` of the \\x02-sentinel block
+(alternation order IS precedence order: longest-literal-prefix first,
+declaration tiebreak), and extraction is `element_at` into the winning
+block — no further regex work. A row therefore pays exactly ONE regex
+execution when complete-matched and TWO when it falls to the partial
+tier (the `when` short-circuits the second regexp_replace per row);
+cost no longer grows with the number of rules the way a per-rule
+rlike chain does. Failed alternatives abort on their first literal
+byte (the regex engine's left-to-right try is the prefix dispatch).
+Everything stays inside whole-stage codegen; no Python runs per row.
+
+The complete tier anchors with \\z (end of input, like RE2's `$` and
+radix.c's full-consumption requirement) so a trailing newline does NOT
+count as a complete match.
 
 This composition is the scale path: at 10^12 rows a pandas-UDF trie
-would move every text through Arrow; the `when` chain moves nothing
-and lets Catalyst prune unreferenced field columns.
+would move every text through Arrow; the alternation regex moves
+nothing and lets Catalyst prune unreferenced field columns.
+
+In-band framing contract: message text must not contain the control
+bytes \\x01-\\x04 (syslog payloads never do; parse.py sanitizes).
 """
 
 from __future__ import annotations
@@ -59,10 +78,17 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# group values are joined with this control char by the single-pass
-# extractor; message text containing it would garble extraction
-# (syslog payloads never carry \x01 — the reference's NVTable would)
-_GROUP_SEP = "\x01"
+# In-band framing bytes for the single-execution classify+extract
+# (see module docstring); message text containing any of them would
+# garble extraction (syslog payloads never carry control bytes — the
+# reference's NVTable would store them, but its line-based sources
+# strip them first).
+_BLOCK_SEP = "\x01"   # separates per-alternative blocks in the result
+_MARK = "\x02"        # prepended to the text; each alt's sentinel captures it
+_HIT = "\x03"         # result prefix proving the tier regex matched
+_FIELD_SEP = "\x04"   # separates field values within a block
+# back-compat name (round-1/2 API used \x01 as the group joiner)
+_GROUP_SEP = _BLOCK_SEP
 
 # class -> (regex fragment WITHOUT capture group, spark cast type or None)
 _CLASS_FRAGMENTS: dict[str, tuple[str, str | None]] = {
@@ -313,67 +339,124 @@ class PatternDB:
             {name for r in rules for name, _ in r.values}
         )
         self.src_rules = list(rules)
+        self._build_combined()
+
+    def _build_combined(self):
+        """Merge all patterns into one alternation regex per tier plus
+        the shared replacement string (see module docstring). Group
+        numbering: alternative i contributes its sentinel group first,
+        then its field groups, so offsets are known at compile time."""
+        alts: list[str] = []
+        repl_parts: list[str] = [_HIT]
+        g = 0  # running capture-group counter
+        for c in self.patterns:
+            g += 1  # sentinel group
+            block = [f"${g}"]
+            for j in range(len(c.fields)):
+                block.append(f"${g + j + 1}")
+            g += len(c.fields)
+            alts.append(f"(?:({_MARK}){c.body})")
+            repl_parts.append(_BLOCK_SEP + _FIELD_SEP.join(block))
+        repl_parts.append(_BLOCK_SEP)
+        body = "|".join(alts)
+        self._complete_re = f"^(?:{body})\\z" if alts else None
+        self._partial_re = f"^(?:{body})" if alts else None
+        self._repl = "".join(repl_parts)
 
     # round-1 API: `rules` was the compiled list
     @property
     def rules(self) -> list[CompiledPattern]:
         return self.patterns
 
-    def _guarded(self, text: Column, c: CompiledPattern, regex: str) -> Column:
-        m = text.rlike(regex)
-        if c.literal_prefix:
-            m = text.startswith(c.literal_prefix) & m
-        return m
+    # --- single-execution classify + extract machinery ---
+
+    def _complete_result(self, text: Column) -> Column:
+        """ONE regex execution: the complete-tier alternation rendered
+        into the framed result string (or the marked input unchanged —
+        which starts with \\x02, not \\x03 — when no alternative
+        matched the entire message)."""
+        marked = F.concat(F.lit(_MARK), text)
+        return F.regexp_replace(marked, self._complete_re, self._repl)
+
+    def _result(self, text: Column, complete: Column) -> Column:
+        """Framed result for the winning tier; rows that complete-
+        matched never execute the partial regex (when() short-circuit)."""
+        marked = F.concat(F.lit(_MARK), text)
+        return F.when(complete.startswith(_HIT), complete).otherwise(
+            F.regexp_replace(marked, self._partial_re, self._repl)
+        )
+
+    @staticmethod
+    def _pos_of(blocks: Column) -> Column:
+        """1-based position of the winning alternative's block (the only
+        one whose sentinel captured the \\x02 marker) within the split
+        result; 0 when the row matched no alternative."""
+        return F.array_position(
+            F.transform(blocks, lambda b: b.startswith(_MARK)), F.lit(True)
+        ).cast("int")
+
+    def _idx_of(self, pos: Column, was_complete: Column) -> Column:
+        """pos (block position, offset 2: result = [\\x03, block_0, ...])
+        -> the ordinal encoding round 1 established: ordinal for a
+        complete match, ordinal+N for a partial one, NULL unmatched."""
+        n = len(self.patterns)
+        return F.when(
+            pos >= 2,
+            (pos - 2).cast("int")
+            + F.when(was_complete, F.lit(0)).otherwise(F.lit(n)),
+        ).cast("int")
 
     def match_idx(self, text: Column) -> Column:
         """Winning compiled-pattern ordinal; ordinal+N encodes a
         partial (pattern-consumed, message-remainder) match; NULL if
-        unmatched. Mirrors radix.c's complete-then-partial two-pass."""
-        n = len(self.patterns)
-        expr = None
-        for c in self.patterns:
-            cond = self._guarded(text, c, f"^{c.body}$")
-            branch = (expr.when if expr is not None else F.when)(cond, F.lit(c.ordinal))
-            expr = branch
-        for c in self.patterns:
-            cond = self._guarded(text, c, f"^{c.body}")
-            expr = expr.when(cond, F.lit(c.ordinal + n))
-        return expr.otherwise(F.lit(None).cast("int")) if expr is not None else F.lit(None).cast("int")
+        unmatched. Mirrors radix.c's complete-then-partial two-pass.
+
+        Standalone expression form (no projection staging) — fine for
+        one-off classification; apply() stages the shared subtrees as
+        materialized columns so each regex runs once per row."""
+        if not self.patterns:
+            return F.lit(None).cast("int")
+        complete = self._complete_result(text)
+        res = self._result(text, complete)
+        blocks = F.when(res.startswith(_HIT), F.split(res, _BLOCK_SEP))
+        return self._idx_of(self._pos_of(blocks), complete.startswith(_HIT))
 
     def classify(self, text: Column) -> Column:
         """rule_id of the winning rule, NULL if unclassified."""
         idx = self.match_idx(text)
         return self._rule_id_for(idx)
 
+    @staticmethod
+    def _lut(values: list, idx_mod: Column, typ: str) -> Column:
+        """O(1) per-row lookup into a constant-folded literal array —
+        per-rule metadata (rule_id/class/tags/group offsets) must NOT
+        be when-chains: those cost O(rules) per row and blow past the
+        codegen method-size limit on big rulesets.
+
+        The isNotNull guard is load-bearing: Spark's element_at with a
+        NULL *column* index returns the LAST element (it behaves like
+        index -1) instead of NULL — unmatched rows would read rule N-1's
+        metadata."""
+        arr = F.array(
+            *[F.lit(v) if v is not None else F.lit(None).cast(typ) for v in values]
+        )
+        return F.when(idx_mod.isNotNull(), F.element_at(arr, idx_mod + 1))
+
     def _rule_id_for(self, idx: Column) -> Column:
         n = len(self.patterns)
-        expr = F.lit(None).cast("string")
-        for c in reversed(self.patterns):
-            expr = F.when(
-                (idx == c.ordinal) | (idx == c.ordinal + n), F.lit(c.rule.rule_id)
-            ).otherwise(expr)
-        return expr
+        if not self.patterns:
+            return F.lit(None).cast("string")
+        return self._lut(
+            [c.rule.rule_id for c in self.patterns], idx % n, "string"
+        )
 
-    def _groups_for(self, text: Column, idx: Column) -> Column:
-        """ONE regex execution per row: the winning pattern's groups,
-        materialized as an array. The replacement renders $1..$F
-        joined by a separator; a trailing separator isolates any
-        message remainder in the (ignored) last element for the
-        partial-match tier."""
-        n = len(self.patterns)
-        expr = F.lit(None).cast("array<string>")
-        for c in reversed(self.patterns):
-            if not c.fields:
-                continue
-            repl = "".join(f"${i + 1}{_GROUP_SEP}" for i in range(len(c.fields)))
-            full = F.split(F.regexp_replace(text, f"^{c.body}$", repl), _GROUP_SEP)
-            part = F.split(F.regexp_replace(text, f"^{c.body}", repl), _GROUP_SEP)
-            expr = (
-                F.when(idx == c.ordinal, full)
-                .when(idx == c.ordinal + n, part)
-                .otherwise(expr)
-            )
-        return expr
+    @staticmethod
+    def _groups_of(blocks: Column, pos: Column) -> Column:
+        """Field values of the winning alternative: its block split on
+        the field separator — element 1 is the sentinel marker, field j
+        (1-based within the pattern) sits at element j+1. Zero regex
+        work: the values were rendered by the tier regexp_replace."""
+        return F.when(pos >= 2, F.split(F.element_at(blocks, pos), _FIELD_SEP))
 
     def program_filter(self, program: Column) -> Column:
         """Program-selector match (ruleset <patterns> globs)."""
@@ -398,7 +481,14 @@ class PatternDB:
 
         Pass-through semantics: returns original rows (synthetic=false)
         + synthetic rows (synthetic=true), like inject-mode
-        pass-through."""
+        pass-through.
+
+        Plan shape: ONE pass regardless of action count — every
+        (rule, action) compiles to a conditional struct in a single
+        array; `explode(filter(array, nonnull))` emits the firing
+        actions' rows. A 500-action ruleset therefore costs one
+        Generate node, not 500 unions (round-2 verdict item: the
+        per-(rule,action) union grew plan width O(actions))."""
         from axosyslog_spark.functions.template_compiler import (
             TemplateContext,
             compile_template,
@@ -406,29 +496,59 @@ class PatternDB:
         )
 
         base = df.withColumn("synthetic", F.lit(False))
-        out = base
+        match_actions = [
+            (rule, action)
+            for rule in self.src_rules
+            for action in rule.actions
+            if action.trigger == "match"
+        ]
+        if not match_actions:
+            return base
         ctx = values_ctx or TemplateContext(
             columns={f: F.col(f) for f in self.field_names}, field_fallback=True
         )
-        for rule in self.src_rules:
-            for action in rule.actions:
-                if action.trigger != "match":
-                    continue
-                cond = F.col("rule_id") == rule.rule_id
-                if action.condition:
-                    cond = cond & parse_condition(action.condition, ctx)
-                synth = df.filter(cond)
-                updates = {
-                    name: compile_template(tmpl, ctx)
-                    for name, tmpl in action.values
-                }
-                if action.tags:
-                    updates["pdb_tags"] = F.array(*[F.lit(t) for t in action.tags])
-                synth = synth.withColumns(updates).withColumn(
-                    "synthetic", F.lit(True)
-                )
-                out = out.unionByName(synth, allowMissingColumns=True)
-        return out
+        # all value names any action writes; every struct carries all of
+        # them (inherited-or-rendered) so the array element type is fixed
+        value_names = sorted({n for _, a in match_actions for n, _ in a.values})
+
+        def _inherit(name: str) -> Column:
+            if name in df.columns:
+                return F.col(name).cast("string")
+            return F.lit(None).cast("string")
+
+        inherit_tags = (
+            F.col("pdb_tags")
+            if "pdb_tags" in df.columns
+            else F.lit(None).cast("array<string>")
+        )
+        structs: list[Column] = []
+        for rule, action in match_actions:
+            cond = F.col("rule_id") == rule.rule_id
+            if action.condition:
+                cond = cond & parse_condition(action.condition, ctx)
+            vals = dict(action.values)
+            fields = [
+                (
+                    compile_template(vals[n], ctx) if n in vals else _inherit(n)
+                ).alias(n)
+                for n in value_names
+            ]
+            tags = (
+                F.array(*[F.lit(t) for t in action.tags])
+                if action.tags
+                else inherit_tags
+            )
+            structs.append(F.when(cond, F.struct(*fields, tags.alias("pdb_tags"))))
+        fired = F.filter(F.array(*structs), lambda s: s.isNotNull())
+        synth = df.withColumn("__pdb_act", F.explode(fired))
+        synth = synth.withColumns(
+            {
+                **{n: F.col(f"__pdb_act.{n}") for n in value_names},
+                "pdb_tags": F.col("__pdb_act.pdb_tags"),
+                "synthetic": F.lit(True),
+            }
+        ).drop("__pdb_act")
+        return base.unionByName(synth, allowMissingColumns=True)
 
     def apply(
         self,
@@ -447,59 +567,85 @@ class PatternDB:
         elsewhere), so rules sharing a field name compose like the
         reference's unified NV namespace.
 
-        Three deliberate projections (match_idx | rule_id+groups |
-        fields) so every heavy subtree is materialized once as a plain
-        attribute reference — folding them into one select would
-        re-evaluate the regexes per referencing column.
+        Deliberate projection staging: each heavy subtree (the two
+        tier regexp_replaces, the split result, the winning position)
+        is materialized once as a plain attribute reference before
+        anything fans out over it — folding them into one select would
+        re-evaluate the regexes per referencing column (Catalyst's
+        CollapseProject keeps multiply-referenced non-cheap aliases
+        staged, which is exactly what we rely on).
         """
         text = F.col(text_col)
         n = len(self.patterns)
         idx_col, groups_col = f"__pdb_idx{prefix}", f"__pdb_groups{prefix}"
-        idx_expr = self.match_idx(text)
-        if program_col is not None and self.programs:
-            # program-selector gate: rows from other programs never run
-            # the message regexes (the program-trie hop of radix.c)
-            idx_expr = F.when(self.program_filter(F.col(program_col)), idx_expr)
-        df = df.withColumn(idx_col, idx_expr)
+        c_col, r_col = f"__pdb_c{prefix}", f"__pdb_r{prefix}"
+        blocks_col, pos_col = f"__pdb_b{prefix}", f"__pdb_p{prefix}"
+        if not self.patterns:
+            df = df.withColumns(
+                {idx_col: F.lit(None).cast("int"),
+                 groups_col: F.lit(None).cast("array<string>")}
+            )
+        else:
+            gated = text
+            if program_col is not None and self.programs:
+                # program-selector gate: rows from other programs never
+                # run the message regexes (the program-trie hop of
+                # radix.c) — NULL text short-circuits both tiers
+                gated = F.when(self.program_filter(F.col(program_col)), text)
+            # stage 1: complete tier (ONE regex execution per row)
+            df = df.withColumn(c_col, self._complete_result(gated))
+            # stage 2: fall back to the partial tier only where needed
+            df = df.withColumn(r_col, self._result(gated, F.col(c_col)))
+            # stage 3: framed result -> blocks -> winning position
+            df = df.withColumn(
+                blocks_col,
+                F.when(F.col(r_col).startswith(_HIT), F.split(F.col(r_col), _BLOCK_SEP)),
+            )
+            df = df.withColumn(pos_col, self._pos_of(F.col(blocks_col)))
+            df = df.withColumns(
+                {
+                    idx_col: self._idx_of(F.col(pos_col), F.col(c_col).startswith(_HIT)),
+                    groups_col: self._groups_of(F.col(blocks_col), F.col(pos_col)),
+                }
+            ).drop(c_col, r_col, blocks_col, pos_col)
         idx = F.col(idx_col)
+        mod = idx % max(n, 1)
         proj2 = {
             f"{prefix}rule_id": self._rule_id_for(idx),
-            groups_col: self._groups_for(text, idx),
         }
         if with_class:
-            cls = F.lit(None).cast("string")
-            for c in reversed(self.patterns):
-                if c.rule.rule_class:
-                    cls = F.when(
-                        (idx == c.ordinal) | (idx == c.ordinal + n),
-                        F.lit(c.rule.rule_class),
-                    ).otherwise(cls)
-            proj2[f"{prefix}rule_class"] = cls
+            proj2[f"{prefix}rule_class"] = self._lut(
+                [c.rule.rule_class or None for c in self.patterns], mod, "string"
+            )
         if with_tags:
-            tags = F.lit(None).cast("array<string>")
-            for c in reversed(self.patterns):
-                if c.rule.tags:
-                    tags = F.when(
-                        (idx == c.ordinal) | (idx == c.ordinal + n),
-                        F.array(*[F.lit(t) for t in c.rule.tags]),
-                    ).otherwise(tags)
-            proj2[f"{prefix}pdb_tags"] = tags
+            tag_arrays = [
+                F.array(*[F.lit(t) for t in c.rule.tags])
+                if c.rule.tags
+                else F.lit(None).cast("array<string>")
+                for c in self.patterns
+            ]
+            proj2[f"{prefix}pdb_tags"] = F.when(
+                mod.isNotNull(), F.element_at(F.array(*tag_arrays), mod + 1)
+            )
         df = df.withColumns(proj2)
         groups = F.col(groups_col)
 
+        # field extraction: per-field constant int array mapping ordinal
+        # -> block element (1 = sentinel marker, field j at j+1, see
+        # _groups_of); two element_at's per field per row, O(1) in the
+        # ruleset size
         field_cols: dict[str, Column] = {}
         for name in self.field_names:
-            expr = F.lit(None).cast("string")
-            # build reversed so earlier (higher-precedence) rules win
-            for c in reversed(self.patterns):
+            offsets: list[int | None] = []
+            for c in self.patterns:
                 gi = next(
                     (i + 1 for i, f in enumerate(c.fields) if f.name == name), None
                 )
-                if gi is not None:
-                    expr = F.when(
-                        (idx == c.ordinal) | (idx == c.ordinal + n),
-                        F.element_at(groups, gi),
-                    ).otherwise(expr)
+                offsets.append(gi + 1 if gi is not None else None)
+            gi_col = self._lut(offsets, mod, "int")
+            # same NULL-index guard as _lut: a matched row whose rule
+            # lacks this field has gi NULL but groups non-NULL
+            expr = F.when(gi_col.isNotNull(), F.element_at(groups, gi_col))
             cast = self._casts.get(name)
             if cast:
                 expr = F.nullif(expr, F.lit("")).cast(cast)
@@ -528,11 +674,14 @@ class PatternDB:
                     if f"{prefix}{name}" in df.columns
                     else F.lit(None).cast("string")
                 )
+                # when-chain only over the rules that define this value
+                # (usually a handful); the per-rule metadata lookups
+                # above are array-based for O(1) scaling
                 for c in reversed(self.patterns):
                     tmpl = dict(c.rule.values).get(name)
                     if tmpl is not None:
                         expr = F.when(
-                            (idx == c.ordinal) | (idx == c.ordinal + n),
+                            mod == c.ordinal,
                             compile_template(tmpl, ctx),
                         ).otherwise(expr)
                 value_cols[f"{prefix}{name}"] = expr

@@ -274,7 +274,11 @@ def embedding_near_dups(
     if method != "lsh":
         raise ValueError(f"unknown method {method!r}")
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        # hyperplane planning needs the vector dimensionality up front;
+        # parquet array<float> schemas don't carry it, and probing the
+        # data with .first() would be a driver-side job — the caller
+        # (who wrote or read the table) must supply it.
+        raise ValueError("method='lsh' requires dim= (vector dimensionality)")
     cand = lsh_near_dup_candidates(
         df, threshold, dim, n_planes, n_tables, id_col, vec_col
     )

@@ -102,6 +102,91 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+# ---------------------------------------------------------------------------
+# HAND-WRITTEN patterndb fixture mirror (gate independence)
+# ---------------------------------------------------------------------------
+# These regexes mirror fixtures/transcripts.pdb (== __spark_entry__.
+# PDB_RULES) and were derived BY HAND from the parser-class semantics in
+# modules/correlation/radix.c — NOT generated from compile_pattern — so
+# a Spark-side pattern-compiler bug cannot produce identically-wrong
+# answers on both sides of the gate (round-2 verdict item 2).
+#   ESTRING:x:' '  ->  ([^ ]*) then a literal ' '   (radix.c r_parser_estring)
+#   ESTRING:x:     ->  (.*)            rest of line (empty terminator)
+#   STRING:x       ->  ([^ \t\r\n]+)   one whitespace-delimited word
+#   NUMBER:x       ->  (-?[0-9]+)      integer, cast BIGINT
+# Precedence = longest-literal-prefix first ('turn about ' = 11 chars,
+# then the three 7-char prefixes in declaration order), complete tier
+# (RE2 '$' = end of text = Java \z) before partial tier (prefix match,
+# remainder ignored) — radix.c _find_node_with_state two-pass.
+# Entries: (rule_id, rule_class, complete_regex, [(field, cast|None)])
+# in precedence order; ordinal = position; partial ordinal = +N.
+PDB_FIXTURE_RULES: list[tuple[str, str, str, list[tuple[str, str | None]]]] = [
+    ("free", "unknown",
+     "^turn about ([^ ]*) with no structure$",
+     [("topic", None)]),
+    ("kv_retry", "system",
+     "^status=([^ ]*) latency_ms=(-?[0-9]+) path=([^ ]*) retry=(-?[0-9]+)$",
+     [("status", None), ("latency_ms", "BIGINT"), ("path", None), ("retry", "BIGINT")]),
+    ("kv_plain", "system",
+     "^status=([^ ]*) latency_ms=(-?[0-9]+) path=(.*)$",
+     [("status", None), ("latency_ms", "BIGINT"), ("path", None)]),
+    ("badhdr", "violation",
+     "^BADHDR ([^ \t\r\n]+) ([^ \t\r\n]+) status=([^ ]*) latency_ms=(-?[0-9]+)$",
+     [("bts", None), ("bhost", None), ("status", None), ("latency_ms", "BIGINT")]),
+]
+
+# every field the fixture can emit, for a stable output column order
+PDB_FIXTURE_FIELDS = [
+    "status", "latency_ms", "path", "retry", "topic", "bts", "bhost",
+]
+
+
+def patterndb_fixture_sql(
+    src_col: str, from_clause: str, keys: str, with_class: bool = False
+) -> str:
+    """DuckDB SELECT classifying `src_col` with the hand-written fixture
+    regexes above (see the block comment: gate independence)."""
+    n = len(PDB_FIXTURE_RULES)
+    whens = []
+    for i, (_, _, rx, _) in enumerate(PDB_FIXTURE_RULES):  # complete tier
+        whens.append(f"WHEN regexp_matches({src_col}, {_sql_str(rx)}) THEN {i}")
+    for i, (_, _, rx, _) in enumerate(PDB_FIXTURE_RULES):  # partial tier
+        part = rx[:-1]  # strip the trailing '$'
+        whens.append(f"WHEN regexp_matches({src_col}, {_sql_str(part)}) THEN {i + n}")
+    pat_idx = "CASE " + " ".join(whens) + " ELSE NULL END"
+
+    rid = "CASE " + " ".join(
+        f"WHEN pat_idx IN ({i}, {i + n}) THEN '{rule_id}'"
+        for i, (rule_id, _, _, _) in enumerate(PDB_FIXTURE_RULES)
+    ) + " ELSE NULL END"
+    cols = [f"{rid} AS rule_id"]
+    if with_class:
+        cols.append("CASE " + " ".join(
+            f"WHEN pat_idx IN ({i}, {i + n}) THEN '{cls}'"
+            for i, (_, cls, _, _) in enumerate(PDB_FIXTURE_RULES)
+        ) + " ELSE NULL END AS rule_class")
+    for name in PDB_FIXTURE_FIELDS:
+        field_whens = []
+        cast = None
+        for i, (_, _, rx, fields) in enumerate(PDB_FIXTURE_RULES):
+            gi = next((j + 1 for j, (f, _) in enumerate(fields) if f == name), None)
+            if gi is None:
+                continue
+            cast = cast or dict(fields)[name]
+            field_whens.append(
+                f"WHEN pat_idx = {i} THEN "
+                f"regexp_extract({src_col}, {_sql_str(rx)}, {gi}) "
+                f"WHEN pat_idx = {i + n} THEN "
+                f"regexp_extract({src_col}, {_sql_str(rx[:-1])}, {gi})"
+            )
+        expr = "CASE " + " ".join(field_whens) + " ELSE NULL END"
+        if cast:
+            expr = f"TRY_CAST(nullif({expr}, '') AS {cast})"
+        cols.append(f"{expr} AS {name}")
+    inner = f"SELECT {keys}, {src_col}, {pat_idx} AS pat_idx {from_clause}"
+    return f"SELECT {keys}, {', '.join(cols)} FROM ({inner})"
+
+
 def patterndb_select_sql(pdb, src_col: str, from_clause: str, keys: str) -> str:
     """Generate the DuckDB mirror of PatternDB.apply: the same compiled
     regexes, evaluated in the same precedence order (longest-literal-

@@ -139,6 +139,23 @@ def main() -> None:
     timed("gen5m_patterndb", lambda: _consume(
         pdb.apply(parse_header(gen), text_col="body", with_class=True)
     ))
+    # 50-rule ruleset over the same bodies: with the single-execution
+    # alternation engine the per-row cost must stay ~flat as the
+    # ruleset grows (round-2 verdict item 1 'done' criterion). The 46
+    # extra rules have distinct literal prefixes that never match.
+    from axosyslog_spark.operators.patterndb import PatternDB, PdbRule  # noqa: PLC0415
+
+    extra = [
+        PdbRule(
+            f"syn{i:02d}",
+            f"svc-{i:02d} op=@ESTRING:op: @code=@NUMBER:code@ detail=@ANYSTRING:detail@",
+        )
+        for i in range(46)
+    ]
+    pdb50 = PatternDB(list(rs.rules) + extra)
+    timed("gen5m_patterndb50", lambda: _consume(
+        pdb50.apply(parse_header(gen), text_col="body", with_class=True)
+    ))
     timed("gen5m_salted_agg", lambda: _consume(
         grouping.salted_ordered_agg(gen, fragment_rows=4096)
     ))

@@ -184,3 +184,34 @@ def test_compiled_block_is_reusable(frame):
     out1 = blk.apply(frame)
     out2 = blk.apply(frame.filter(F.col("id") < 2))
     assert out1.count() == 4 and out2.count() == 2
+
+
+def test_drop_then_assign_same_field(frame):
+    # Regression (ADVICE r2): filter must resolve against ORIGINAL values,
+    # not post-update ones — drop on $status then overwrite $status.
+    out = filterx(
+        frame,
+        """
+        if ($status == "error") { drop; };
+        $status = "done";
+        """,
+    )
+    got = _rows(out)
+    assert set(got) == {0, 2, 3}
+    assert all(r["status"] == "done" for r in got.values())
+
+
+def test_filter_sees_original_after_assignment(frame):
+    # `$lat = $lat * 2; $lat < 500;` — the bare-expression filter already
+    # folds the assignment symbolically (lat*2 < 500); applying the frame
+    # filter first must NOT double it again to lat*4.
+    out = filterx(
+        frame,
+        """
+        $latency_ms = $latency_ms * 2;
+        $latency_ms < 500;
+        """,
+    )
+    got = _rows(out)
+    assert set(got) == {0, 3}
+    assert got[0]["latency_ms"] == 240 and got[3]["latency_ms"] == 100

@@ -241,3 +241,69 @@ def test_rule_class_tags_and_values(spark):
     assert out[0]["greeting"] == "hello alice" and out[0]["ulen"] == "5"
     assert out[1]["rule_class"] == "system" and out[1]["greeting"] is None
     assert out[2]["rule_class"] is None and out[2]["pdb_tags"] is None
+
+
+# --- single-execution (combined-alternation) engine edge cases ---
+
+
+def test_backtracking_does_not_leak_sentinels(spark):
+    # alt 1 matches a strict prefix of the message then fails at \z,
+    # forcing the engine to backtrack INTO alt 2. Java must reset alt
+    # 1's sentinel capture or classification would pick the loser.
+    rules = [
+        PdbRule("short", "X@NUMBER:a@"),
+        PdbRule("long", "X@NUMBER:b@-@NUMBER:c@"),
+    ]
+    rows = _apply(spark, rules, ["X12-34", "X12"])
+    assert rows[0]["rule_id"] == "long" and rows[0]["b"] == 12 and rows[0]["c"] == 34
+    assert rows[1]["rule_id"] == "short" and rows[1]["a"] == 12
+
+
+def test_trailing_newline_is_not_complete(spark):
+    # ADVICE r2: Java `$` also matches before a final newline; radix.c
+    # requires full consumption, so the complete tier anchors with \z.
+    # "v=1\n" must classify in the PARTIAL tier (pattern consumed,
+    # remainder "\n" ignored), exactly like the RE2 oracle mirror.
+    from pyspark.sql import functions as F
+
+    rules = [PdbRule("kv", "v=@NUMBER:v@")]
+    pdb = PatternDB(rules)
+    df = spark.createDataFrame([(0, "v=1"), (1, "v=1\n")], "id int, text string")
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id", pdb.match_idx(F.col("text")).alias("idx")
+        ).collect()
+    }
+    assert got[0]["idx"] == 0        # complete
+    assert got[1]["idx"] == 1        # 0 + n(=1): partial tier
+
+
+def test_empty_and_null_text(spark):
+    from pyspark.sql import functions as F
+
+    rules = [
+        PdbRule("any", "@ANYSTRING:rest@"),
+        PdbRule("kv", "v=@NUMBER:v@"),
+    ]
+    df = spark.createDataFrame([(0, ""), (1, None)], "id int, text string")
+    pdb = PatternDB(rules)
+    out = {r["id"]: r.asDict() for r in pdb.apply(df).collect()}
+    # ANYSTRING matches the empty message completely (rest = "")
+    assert out[0]["rule_id"] == "any" and out[0]["rest"] == ""
+    assert out[1]["rule_id"] is None
+
+
+def test_large_ruleset_classification(spark):
+    # 60 rules: per-row work must stay two regex executions; this test
+    # guards correctness of the combined alternation's group numbering
+    # at ruleset sizes where hand-counting would go wrong.
+    rules = [
+        PdbRule(f"r{i}", f"svc{i} op=@ESTRING:op: @code=@NUMBER:code@ msg=@ANYSTRING:msg@")
+        for i in range(60)
+    ]
+    lines = [f"svc{i} op=put code={i * 7} msg=tail {i}" for i in range(60)]
+    rows = _apply(spark, rules, lines)
+    for i, r in enumerate(rows):
+        assert r["rule_id"] == f"r{i}"
+        assert r["op"] == "put" and r["code"] == i * 7 and r["msg"] == f"tail {i}"

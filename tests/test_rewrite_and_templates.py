@@ -206,5 +206,6 @@ def test_extended_date_macros(spark):
     assert got["h12"] == "02" and got["ampm"] == "PM"
     assert got["doy"] == "065" and got["usec"] == "0"
     assert got["isoweek"] == "10"
-    # 2024-03-05 is a Tuesday; Sunday-start 0-based week = floor((65+6-2)/7)=9
-    assert got["week"] == "09"
+    # 2024-03-05 is a Tuesday; macros.c (yday-(wday-1+7)%7+7)/7 with 0-based
+    # yday=64, Monday-based wday offset 1 => floor((64-1+7)/7)=10
+    assert got["week"] == "10"

@@ -94,7 +94,7 @@ def test_lsh_topk_finds_identical(spark, vectors):
 
 def test_embedding_near_dups(spark, vectors):
     pairs = {(r.id1, r.id2): r.cos_e6 for r in similarity.embedding_near_dups(
-        vectors, threshold=0.99).collect()}
+        vectors, threshold=0.99, dim=8).collect()}
     assert (0, 4) in pairs
     assert (0, 1) in pairs
     assert not any(3 in p for p in pairs)
@@ -142,7 +142,9 @@ def test_embedding_near_dups_lsh_equals_exact_fixture(spark):
     }
     lsh = {
         (r.id1, r.id2): r.cos_e6
-        for r in similarity.embedding_near_dups(embs, threshold=0.5).collect()
+        for r in similarity.embedding_near_dups(
+            embs, threshold=0.5, dim=64
+        ).collect()
     }
     assert exact, "fixture lost its qualifying pair"
     assert lsh == exact, (len(exact), len(lsh))
