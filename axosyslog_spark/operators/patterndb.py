@@ -36,27 +36,41 @@ declaration order breaking ties.
 
 Spark-first execution — O(1) regex executions per row, independent of
 ruleset size (the asymptotic analog of the reference's radix trie walk,
-radix.c:666-860): ALL patterns of a tier are merged into ONE ordered
+radix.c:666-860): ALL patterns of a tier merge into ONE ordered
 alternation regex. The input is prepended with a \\x02 marker and each
-alternative carries a sentinel capture group around that marker, so a
-single ``regexp_replace`` yields BOTH the winning alternative (the only
-sentinel that participated — Java resets captures when it backtracks
-out of a failed alternative) AND every field value of that alternative,
-rendered into a control-char-framed result string:
+alternative carries a sentinel capture group around that marker (Java
+resets captures when it backtracks out of a failed alternative, so
+exactly the winner's sentinel participates). A single regexp_replace
+renders the framed result
 
-    \\x03 \\x01 <block_0> \\x01 <block_1> ... \\x01 [remainder]
-    block_i = sentinel(\\x02 iff alt i won) \\x04 field1 \\x04 field2 ...
+    \\x03 <header> <block_0> <block_1> ... [remainder]
+    header  = $s_0 \\x01 $s_1 \\x01 ...   (winner's sentinel = \\x02)
+    block_i = $f(i,1) \\x04 $f(i,2) \\x04 ... \\x01
 
-Classification is then `array_position` of the \\x02-sentinel block
-(alternation order IS precedence order: longest-literal-prefix first,
-declaration tiebreak), and extraction is `element_at` into the winning
-block — no further regex work. A row therefore pays exactly ONE regex
-execution when complete-matched and TWO when it falls to the partial
-tier (the `when` short-circuits the second regexp_replace per row);
-cost no longer grows with the number of rules the way a per-rule
-rlike chain does. Failed alternatives abort on their first literal
-byte (the regex engine's left-to-right try is the prefix dispatch).
-Everything stays inside whole-stage codegen; no Python runs per row.
+from which everything decodes WITHOUT further regex work or O(rules)
+per-row scanning:
+
+- the header's rendered size is fixed (N separators + the one marker
+  byte), so the winning ordinal is ``instr(result, \\x02) - 2`` — one
+  byte scan;
+- a LOSING block renders only its unconditional separator literals,
+  len(fields_i)+1 bytes, a compile-time constant — so the winner's
+  block starts at a byte offset that is a pure function of its
+  ordinal, looked up from a constant array, and its fields come out
+  with substr + substring_index + one small split.
+
+A row therefore pays exactly ONE regex execution when complete-matched
+and TWO when it falls to the partial tier (a `when` short-circuits the
+second regexp_replace); alternation order IS precedence order
+(longest-literal-prefix first, declaration tiebreak), and failed
+alternatives abort on their first literal byte — the engine's
+left-to-right try is the prefix dispatch. The only residual
+ruleset-size-proportional cost is the replacement template (a few
+bytes per rule+field) that Java re-parses per matching row — measured
+at ~0.5 µs/row going from 4 to 50 rules, versus ~2 regex executions
+per row per extra rule for a naive per-rule chain. Everything stays
+inside whole-stage codegen with O(1) plan expressions; no Python runs
+per row.
 
 The complete tier anchors with \\z (end of input, like RE2's `$` and
 radix.c's full-consumption requirement) so a trailing newline does NOT
@@ -83,10 +97,10 @@ from pyspark.sql import functions as F
 # garble extraction (syslog payloads never carry control bytes — the
 # reference's NVTable would store them, but its line-based sources
 # strip them first).
-_BLOCK_SEP = "\x01"   # separates per-alternative blocks in the result
+_BLOCK_SEP = "\x01"   # separates sentinels in the classify header
 _MARK = "\x02"        # prepended to the text; each alt's sentinel captures it
 _HIT = "\x03"         # result prefix proving the tier regex matched
-_FIELD_SEP = "\x04"   # separates field values within a block
+_FIELD_SEP = "\x04"   # separates field values in the extract result
 # back-compat name (round-1/2 API used \x01 as the group joiner)
 _GROUP_SEP = _BLOCK_SEP
 
@@ -343,25 +357,46 @@ class PatternDB:
 
     def _build_combined(self):
         """Merge all patterns into one alternation regex per tier plus
-        the shared replacement string (see module docstring). Group
-        numbering: alternative i contributes its sentinel group first,
-        then its field groups, so offsets are known at compile time."""
+        the shared replacement (see module docstring):
+
+            \\x03 <header> <block_0> <block_1> ... [remainder]
+            header  = $s_0 \\x01 $s_1 \\x01 ... $s_{N-1} \\x01
+            block_i = $f(i,1) \\x04 $f(i,2) \\x04 ... \\x01
+
+        Alternative i contributes its sentinel group first, then its
+        field groups, so all group numbers are known at compile time.
+        Only the winner's groups render; a LOSING block is just its
+        unconditional separator literals — len(fields_i)+1 bytes, a
+        compile-time constant — so the winner's block starts at a
+        byte offset computable from its ordinal alone
+        (``_block_offs``): extraction needs no splitting of the other
+        N-1 blocks and no O(N) scan, just substr + substring_index."""
         alts: list[str] = []
-        repl_parts: list[str] = [_HIT]
+        header: list[str] = []
+        blocks: list[str] = []
+        self._block_offs: list[int] = []
+        n = len(self.patterns)
+        # 1-based substr position of block 0: after "\x03" (1) and the
+        # header, whose rendered size is fixed at N separators + the
+        # single winning marker byte = n + 1
+        off = n + 3
         g = 0  # running capture-group counter
         for c in self.patterns:
             g += 1  # sentinel group
-            block = [f"${g}"]
-            for j in range(len(c.fields)):
-                block.append(f"${g + j + 1}")
+            header.append(f"${g}{_BLOCK_SEP}")
+            blocks.append(
+                "".join(f"${g + j + 1}{_FIELD_SEP}" for j in range(len(c.fields)))
+                + _BLOCK_SEP
+            )
             g += len(c.fields)
             alts.append(f"(?:({_MARK}){c.body})")
-            repl_parts.append(_BLOCK_SEP + _FIELD_SEP.join(block))
-        repl_parts.append(_BLOCK_SEP)
+            self._block_offs.append(off)
+            # a losing block renders only its literal separators
+            off += len(c.fields) + 1
         body = "|".join(alts)
         self._complete_re = f"^(?:{body})\\z" if alts else None
         self._partial_re = f"^(?:{body})" if alts else None
-        self._repl = "".join(repl_parts)
+        self._repl = _HIT + "".join(header) + "".join(blocks)
 
     # round-1 API: `rules` was the compiled list
     @property
@@ -387,23 +422,22 @@ class PatternDB:
         )
 
     @staticmethod
-    def _pos_of(blocks: Column) -> Column:
-        """1-based position of the winning alternative's block (the only
-        one whose sentinel captured the \\x02 marker) within the split
-        result; 0 when the row matched no alternative."""
-        return F.array_position(
-            F.transform(blocks, lambda b: b.startswith(_MARK)), F.lit(True)
-        ).cast("int")
+    def _ord0_of(res: Column) -> Column:
+        """0-based winning ordinal decoded from the sentinel header:
+        every losing sentinel before the winner contributes exactly one
+        separator byte, so the marker's byte position IS the ordinal
+        (offset 2: the \\x03 prefix and 1-based instr). NULL when the
+        tier regex didn't match (result still starts with \\x02)."""
+        return F.when(res.startswith(_HIT), F.instr(res, _MARK) - 2)
 
-    def _idx_of(self, pos: Column, was_complete: Column) -> Column:
-        """pos (block position, offset 2: result = [\\x03, block_0, ...])
-        -> the ordinal encoding round 1 established: ordinal for a
-        complete match, ordinal+N for a partial one, NULL unmatched."""
+    def _idx_of(self, ord0: Column, was_complete: Column) -> Column:
+        """0-based ordinal -> the encoding round 1 established: ordinal
+        for a complete match, ordinal+N for a partial one, NULL
+        unmatched."""
         n = len(self.patterns)
         return F.when(
-            pos >= 2,
-            (pos - 2).cast("int")
-            + F.when(was_complete, F.lit(0)).otherwise(F.lit(n)),
+            ord0.isNotNull(),
+            ord0 + F.when(was_complete, F.lit(0)).otherwise(F.lit(n)),
         ).cast("int")
 
     def match_idx(self, text: Column) -> Column:
@@ -418,8 +452,7 @@ class PatternDB:
             return F.lit(None).cast("int")
         complete = self._complete_result(text)
         res = self._result(text, complete)
-        blocks = F.when(res.startswith(_HIT), F.split(res, _BLOCK_SEP))
-        return self._idx_of(self._pos_of(blocks), complete.startswith(_HIT))
+        return self._idx_of(self._ord0_of(res), complete.startswith(_HIT))
 
     def classify(self, text: Column) -> Column:
         """rule_id of the winning rule, NULL if unclassified."""
@@ -450,13 +483,31 @@ class PatternDB:
             [c.rule.rule_id for c in self.patterns], idx % n, "string"
         )
 
-    @staticmethod
-    def _groups_of(blocks: Column, pos: Column) -> Column:
-        """Field values of the winning alternative: its block split on
-        the field separator — element 1 is the sentinel marker, field j
-        (1-based within the pattern) sits at element j+1. Zero regex
-        work: the values were rendered by the tier regexp_replace."""
-        return F.when(pos >= 2, F.split(F.element_at(blocks, pos), _FIELD_SEP))
+    def _groups_from_result(self, res: Column, mod: Column) -> Column:
+        """Field values of the winning alternative, sliced out of the
+        framed result by the ordinal-indexed compile-time byte offset
+        (``_block_offs``) — the winner's block runs from there to its
+        \\x01 terminator (field j at split element j, 1-based; the
+        partial-tier message remainder sits after the LAST block and
+        never reaches the slice). Zero additional regex work, zero
+        O(rules) splitting/scanning per row.
+
+        The identity ``transform`` is a DELIBERATE whole-stage-codegen
+        stage break, not a no-op to clean up: higher-order functions
+        are codegen-fallback, so Spark materializes a row here and
+        starts a fresh codegen unit for the downstream field/value
+        fan-out. Without it the entire apply() pipeline fuses into ONE
+        generated method (~128 KB source for even a 4-rule set) that
+        exceeds the JVM JIT's huge-method bytecode limit (~8 KB) and
+        silently runs in the bytecode interpreter — measured 3-4x
+        slower end-to-end. The split keeps both halves JIT-compiled;
+        its cost is one small-array copy per row."""
+        off = self._lut(self._block_offs, mod, "int")
+        block = F.substring_index(
+            res.substr(off, F.length(res)), _BLOCK_SEP, 1
+        )
+        groups = F.when(off.isNotNull(), F.split(block, _FIELD_SEP))
+        return F.transform(groups, lambda v: v)
 
     def program_filter(self, program: Column) -> Column:
         """Program-selector match (ruleset <patterns> globs)."""
@@ -568,8 +619,8 @@ class PatternDB:
         reference's unified NV namespace.
 
         Deliberate projection staging: each heavy subtree (the two
-        tier regexp_replaces, the split result, the winning position)
-        is materialized once as a plain attribute reference before
+        tier regexp_replaces, the winning index, the groups array) is
+        materialized once as a plain attribute reference before
         anything fans out over it — folding them into one select would
         re-evaluate the regexes per referencing column (Catalyst's
         CollapseProject keeps multiply-referenced non-cheap aliases
@@ -579,7 +630,6 @@ class PatternDB:
         n = len(self.patterns)
         idx_col, groups_col = f"__pdb_idx{prefix}", f"__pdb_groups{prefix}"
         c_col, r_col = f"__pdb_c{prefix}", f"__pdb_r{prefix}"
-        blocks_col, pos_col = f"__pdb_b{prefix}", f"__pdb_p{prefix}"
         if not self.patterns:
             df = df.withColumns(
                 {idx_col: F.lit(None).cast("int"),
@@ -596,18 +646,18 @@ class PatternDB:
             df = df.withColumn(c_col, self._complete_result(gated))
             # stage 2: fall back to the partial tier only where needed
             df = df.withColumn(r_col, self._result(gated, F.col(c_col)))
-            # stage 3: framed result -> blocks -> winning position
+            # stage 3: sentinel header -> ordinal (byte scan, no split)
             df = df.withColumn(
-                blocks_col,
-                F.when(F.col(r_col).startswith(_HIT), F.split(F.col(r_col), _BLOCK_SEP)),
+                idx_col,
+                self._idx_of(
+                    self._ord0_of(F.col(r_col)), F.col(c_col).startswith(_HIT)
+                ),
             )
-            df = df.withColumn(pos_col, self._pos_of(F.col(blocks_col)))
-            df = df.withColumns(
-                {
-                    idx_col: self._idx_of(F.col(pos_col), F.col(c_col).startswith(_HIT)),
-                    groups_col: self._groups_of(F.col(blocks_col), F.col(pos_col)),
-                }
-            ).drop(c_col, r_col, blocks_col, pos_col)
+            # stage 4: winner's block sliced out by compile-time offset
+            df = df.withColumn(
+                groups_col,
+                self._groups_from_result(F.col(r_col), F.col(idx_col) % n),
+            ).drop(c_col, r_col)
         idx = F.col(idx_col)
         mod = idx % max(n, 1)
         proj2 = {
@@ -631,8 +681,8 @@ class PatternDB:
         groups = F.col(groups_col)
 
         # field extraction: per-field constant int array mapping ordinal
-        # -> block element (1 = sentinel marker, field j at j+1, see
-        # _groups_of); two element_at's per field per row, O(1) in the
+        # -> groups element (field j of the winner at element j, see
+        # _groups_for); two element_at's per field per row, O(1) in the
         # ruleset size
         field_cols: dict[str, Column] = {}
         for name in self.field_names:
@@ -641,7 +691,7 @@ class PatternDB:
                 gi = next(
                     (i + 1 for i, f in enumerate(c.fields) if f.name == name), None
                 )
-                offsets.append(gi + 1 if gi is not None else None)
+                offsets.append(gi)
             gi_col = self._lut(offsets, mod, "int")
             # same NULL-index guard as _lut: a matched row whose rule
             # lacks this field has gi NULL but groups non-NULL
