@@ -253,7 +253,9 @@ def q_op_csv_parse(spark: SparkSession, sf: str) -> DataFrame:
 def q_pipe_filterx(spark: SparkSession, sf: str) -> DataFrame:
     """FilterX language block (lib/filterx grammar subset) compiled to
     column algebra and applied to the parsed frame: declare/if/elif/
-    else, field writes, builtin call, bare-expression filter."""
+    else, switch/case/default/break (jump-table fallthrough,
+    expr-switch.c), `+=`, string slicing, strptime/strftime, field
+    writes, builtin call, bare-expression filter."""
     from axosyslog_spark.functions.filterx_lang import filterx
 
     p = parse_stage(_transcripts(spark, sf))
@@ -268,11 +270,27 @@ def q_pipe_filterx(spark: SparkSession, sf: str) -> DataFrame:
         } else {
           $class = "norm";
         };
+        $flagged = false;
+        switch ($status) {
+        case "ok":
+          $verdict = "fine";
+          break;
+        case "error":
+          $verdict = "bad";
+        default:
+          $flagged = true;
+        };
+        $retry += 1;
+        $short = $conv_id[0..8];
+        $hh = strftime("%H:%M", strptime(strftime("%Y-%m-%d %H:%M:%S", $ts), "%Y-%m-%d %H:%M:%S"));
         $digest = sha256($conv_id);
         $kind != "free";
         """,
     )
-    return out.select("conv_id", "turn_idx", "class", "digest")
+    return out.select(
+        "conv_id", "turn_idx", "class", "verdict", "flagged", "retry",
+        "short", "hh", "digest",
+    )
 
 
 def q_pipe_smart_multiline(spark: SparkSession, sf: str) -> DataFrame:
@@ -1064,6 +1082,16 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN severity <= 3 THEN 'err'
                     WHEN coalesce(latency_ms > 40, FALSE) THEN 'slow'
                     ELSE 'norm' END AS class,
+               -- switch jump-table: 'ok' enters at verdict then breaks;
+               -- 'error' sets verdict and falls through into default;
+               -- anything else enters at default only
+               CASE WHEN status = 'ok' THEN 'fine'
+                    WHEN status = 'error' THEN 'bad' END AS verdict,
+               (status IS DISTINCT FROM 'ok') AS flagged,
+               retry + 1 AS retry,
+               substring(conv_id, 1, 8) AS short,
+               strftime(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                                 '%Y-%m-%d %H:%M:%S'), '%H:%M') AS hh,
                sha256(conv_id) AS digest
         FROM parsed3
         WHERE kind <> 'free'

@@ -19,14 +19,27 @@ the functional tests exercise most:
                                               # from this branch)
     done;                                     # accept, stop the block
 
+Statements also include ``switch (sel) { case v: ... case lo..hi: ...
+default: ... }`` with C-style jump-table fallthrough and ``break``
+(lib/filterx/expr-switch.c, expr-break.c) and ``+=``
+(expr-plus-assign.c; numeric add or string concat, dispatched
+plan-time from the rhs form / declared column type).
+
 Expressions: literals (string/number/bool/null), $field refs
 (``${dotted.name}`` for dotted columns), locals, ``?? ``, ternary
 ``a ? b : c``, and/or/not, comparisons (type-aware ``==``/``!=`` plus
 ``<`` family on the natural column types, ``=~``/``!~`` regex),
-arithmetic ``+ - * / %``, ``in [..]`` membership, list literals, and
-a builtin function registry (string/int/double/bool casts, lower,
-upper, strip, len, startswith/endswith/includes, md5/sha1/sha256,
-parse_kv, parse_json, format_kv, isset, unset marker via ``null``).
+arithmetic ``+ - * / %``, ``in [..]`` membership, list literals,
+string slicing ``s[a..b]`` (expr-string-operators.c: negative
+indices, clamped, half-open) and dict/list subscript ``m[k]``, and a
+builtin function registry (string/int/double/bool/datetime casts,
+lower, upper, strip/lstrip/rstrip, len, startswith/endswith/includes,
+strcasecmp, glob_match, md5/sha1/sha256/sha512,
+base64_/hex_/url-encode+decode, utf8_validate/utf8_sanitize,
+strptime/strftime/format_isodate, parse_kv, parse_json, format_kv,
+format_json, keys, unset_empties, regexp_subst, regexp_search,
+istype, repr, isset, unset marker via ``null`` —
+lib/filterx/filterx-globals.c:97-194).
 
 Compilation model (the whole point): a FilterX block is a per-message
 imperative program, but its effect on a row is a pure function of
@@ -68,7 +81,7 @@ _TOKEN_RE = re.compile(
   | (?P<regex>/(?:\\.|[^/\\])+/)
   | (?P<number>-?\d+\.\d+|-?\d+)
   | (?P<field>\$\{[^}]+\}|\$[A-Za-z_][A-Za-z0-9_.]*)
-  | (?P<op>\?\?|===|!==|==|!=|<=|>=|=~|!~|&&|\|\||[-+*/%<>=(){}\[\],;?:!])
+  | (?P<op>\?\?|===|!==|==|!=|<=|>=|=~|!~|&&|\|\||\+=|\.\.|[-+*/%<>=(){}\[\],;?:!])
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -168,10 +181,16 @@ def _field_col(name: str) -> Column:
 
 
 class _Compiler:
-    def __init__(self, toks: list[Tok], known_fields: set[str] | None):
+    def __init__(
+        self,
+        toks: list[Tok],
+        known_fields: set[str] | None,
+        string_fields: set[str] | None = None,
+    ):
         self.toks = toks
         self.i = 0
         self.known = known_fields
+        self.string_fields = string_fields
 
     # --- token helpers ---
     def peek(self, k: int = 0) -> Tok | None:
@@ -220,6 +239,10 @@ class _Compiler:
             return st
         if t.text == "if":
             return self.if_stmt(st)
+        if t.text == "switch":
+            return self.switch_stmt(st)
+        if t.text == "break":
+            raise FilterXSyntaxError("break outside switch")
         if t.text == "declare":
             self.next()
             name = self.next()
@@ -242,26 +265,35 @@ class _Compiler:
             st = st.fork()
             st.updates[self._field_name(tgt.text)] = F.lit(None)
             return st
-        if t.kind == "field" and self.peek(1) is not None and self.peek(1).text == "=":
+        if t.kind == "field" and self.peek(1) is not None and self.peek(1).text in ("=", "+="):
             self.next()
-            self.eat("=")
+            op = self.next().text
+            name = self._field_name(t.text)
+            prev0 = st.updates.get(name)
+            prev0 = prev0 if prev0 is not None else self._field_ref(name)
+            # += needs the add-vs-concat decision BEFORE parsing the rhs
+            concat = op == "+=" and self._rhs_is_stringy()
             val = self.expr(st)
             self.eat(";")
+            if op == "+=":
+                val = self._plus(prev0, val, concat)
             st = st.fork()
-            name = self._field_name(t.text)
             live = st.active
             if live is not None:
-                prev = st.updates.get(name)
-                prev = prev if prev is not None else self._field_ref(name)
-                val = F.when(live, val).otherwise(prev)
+                val = F.when(live, val).otherwise(prev0)
             st.updates[name] = val
             return st
-        if t.kind == "name" and self.peek(1) is not None and self.peek(1).text == "=":
+        if t.kind == "name" and self.peek(1) is not None and self.peek(1).text in ("=", "+="):
             # re-assignment of a declared local
             self.next()
-            self.eat("=")
+            op = self.next().text
+            concat = op == "+=" and self._rhs_is_stringy()
             val = self.expr(st)
             self.eat(";")
+            if op == "+=":
+                if t.text not in st.env:
+                    raise FilterXSyntaxError(f"unknown name {t.text!r} (declare it?)")
+                val = self._plus(st.env[t.text], val, concat)
             st = st.fork()
             st.env[t.text] = val
             return st
@@ -294,6 +326,146 @@ class _Compiler:
             self.next()
         cond = F.coalesce(cond, F.lit(False))
         return _merge(cond, then, other, st, self._field_ref)
+
+    def switch_stmt(self, st: _State) -> _State:
+        """switch (sel) { case v: ... case lo..hi: ... default: ... }
+
+        Reference semantics (lib/filterx/expr-switch.c): case labels are
+        jump targets into ONE shared statement body — execution enters
+        at the first matching case (declaration order; `default` when
+        none match, even if declared before later cases) and FALLS
+        THROUGH to the end unless `break` stops it.
+
+        Symbolic compilation: pass 1 scans the body, parsing every case
+        label (expressions are side-effect-free) and counting statement
+        slots without executing them; pass 2 re-runs the body, merging
+        each statement's state with a per-slot gate
+        ``entry <= slot AND NOT broken`` via the same phi-node _merge
+        if/else uses — so drop/done/assignments inside cases compose
+        exactly like branches. `break` occupies a slot and ORs its own
+        gate into ``broken``."""
+        self.eat("switch")
+        self.eat("(")
+        sel = self.expr(st)
+        self.eat(")")
+        self.eat("{")
+        body_start = self.i
+        # --- pass 1: case labels -> match conditions + targets ---
+        cases: list[tuple[Column, int]] = []  # (match cond, target slot)
+        default_target: int | None = None
+        nstmts = 0
+        while not self.at("}"):
+            if self.at("case"):
+                self.next()
+                lo = self.expr(st)
+                if self.at(".."):
+                    # numeric range: lo <= sel < hi (expr-switch.c
+                    # _switch_case_range_match)
+                    self.next()
+                    hi = self.expr(st)
+                    cond = F.coalesce((sel >= lo) & (sel < hi), F.lit(False))
+                else:
+                    cond = sel.eqNullSafe(lo)
+                self.eat(":")
+                cases.append((cond, nstmts))
+            elif self.at("default"):
+                self.next()
+                self.eat(":")
+                if default_target is not None:
+                    raise FilterXSyntaxError("duplicate default in switch")
+                default_target = nstmts
+            else:
+                self._skip_stmt()
+                nstmts += 1
+        # first matching case in declaration order wins; no match ->
+        # default (wherever declared) -> past-the-end (skip everything)
+        entry = None
+        for cond, target in cases:
+            branch = (entry.when if entry is not None else F.when)(
+                cond, F.lit(target)
+            )
+            entry = branch
+        fallback = F.lit(default_target if default_target is not None else nstmts)
+        entry = entry.otherwise(fallback) if entry is not None else fallback
+        # --- pass 2: execute the body with per-slot gates ---
+        self.i = body_start
+        broken = F.lit(False)
+        slot = 0
+        while not self.at("}"):
+            if self.at("case"):
+                self.next()
+                self.expr(st)
+                if self.at(".."):
+                    self.next()
+                    self.expr(st)
+                self.eat(":")
+                continue
+            if self.at("default"):
+                self.next()
+                self.eat(":")
+                continue
+            gate = (entry <= slot) & ~broken
+            if self.at("break"):
+                self.next()
+                self.eat(";")
+                broken = broken | gate
+            else:
+                executed = self.stmt(st.fork())
+                st = _merge(gate, executed, st, st, self._field_ref)
+            slot += 1
+        self.eat("}")
+        if self.at(";"):
+            self.next()
+        return st
+
+    def _skip_stmt(self) -> None:
+        """Token-level skip of one statement (pass 1 of switch): ends at
+        `;` at depth 0, or at a `}` closing a block statement (if /
+        nested switch) — not one followed by else/elif."""
+        depth = 0
+        while True:
+            t = self.peek()
+            if t is None:
+                raise FilterXSyntaxError("unexpected end inside switch body")
+            self.next()
+            if t.text in ("(", "[", "{"):
+                depth += 1
+            elif t.text in (")", "]", "}"):
+                depth -= 1
+                if depth < 0:
+                    raise FilterXSyntaxError("unbalanced braces in switch body")
+                if depth == 0 and t.text == "}":
+                    nxt = self.peek()
+                    if nxt is not None and nxt.text in ("else", "elif"):
+                        continue
+                    if nxt is not None and nxt.text == ";":
+                        self.next()
+                    return
+            elif depth == 0 and t.text == ";":
+                return
+
+    def _rhs_is_stringy(self) -> bool:
+        """Plan-time add-vs-concat dispatch for `+=` (the reference's
+        expr-plus-assign.c resolves it from runtime object types; a
+        Column expression has no type yet, so decide from the syntactic
+        form of the right-hand side): a leading string literal, or a
+        string-typed field/local when a schema was provided, means
+        string concatenation."""
+        t = self.peek()
+        if t is None:
+            return False
+        if t.kind == "string":
+            return True
+        if t.kind == "field":
+            return self._field_name(t.text) in (self.string_fields or ())
+        return False
+
+    @staticmethod
+    def _plus(a: Column, b: Column, concat: bool) -> Column:
+        """expr-plus.c: numeric addition or string concatenation."""
+        if concat:
+            return F.concat(a.cast("string"), b.cast("string"))
+        return a + b
 
     # --- expressions (precedence climbing) ---
     def expr(self, st: _State) -> Column:
@@ -411,6 +583,34 @@ class _Compiler:
         return left
 
     def primary(self, st: _State) -> Column:
+        return self._postfix(self._atom(st), st)
+
+    def _postfix(self, e: Column, st: _State) -> Column:
+        """[]-postfix operators: `e[a..b]` string slicing (lib/filterx/
+        expr-string-operators.c — Python-style half-open, negative
+        indices from the end, clamped; start > end yields NULL where
+        the reference raises an eval error) and `e[k]` dict/list
+        subscript (NULL when missing, like a failed getattr)."""
+        while self.at("["):
+            self.next()
+            if self.at(".."):
+                self.next()
+                end = self.expr(st)
+                self.eat("]")
+                e = _str_slice(e, None, end)
+                continue
+            first = self.expr(st)
+            if self.at(".."):
+                self.next()
+                end = None if self.at("]") else self.expr(st)
+                self.eat("]")
+                e = _str_slice(e, first, end)
+            else:
+                self.eat("]")
+                e = F.try_element_at(e, first)
+        return e
+
+    def _atom(self, st: _State) -> Column:
         t = self.next()
         if t.kind == "string":
             return F.lit(_unquote(t.text))
@@ -442,12 +642,23 @@ class _Compiler:
     def call(self, fn: str, st: _State) -> Column:
         self.eat("(")
         args: list[Column] = []
+        raws: list[str | None] = []  # plan-time strings for fns that
+        # need them (format patterns, type names, glob patterns)
         while not self.at(")"):
+            t = self.peek()
+            nxt = self.peek(1)
+            if (
+                t is not None and t.kind == "string"
+                and nxt is not None and nxt.text in (",", ")")
+            ):
+                raws.append(_unquote(t.text))
+            else:
+                raws.append(None)
             args.append(self.expr(st))
             if self.at(","):
                 self.next()
         self.eat(")")
-        return _FUNCS_DISPATCH(fn, args)
+        return _FUNCS_DISPATCH(fn, args, raws)
 
     # --- helpers ---
     def _field_name(self, tok_text: str) -> str:
@@ -460,12 +671,82 @@ class _Compiler:
         return _field_col(name)
 
 
+def _str_slice(e: Column, start: Column | None, end: Column | None) -> Column:
+    """expr-string-operators.c _str_slice: negative indices count from
+    the end, both clamp to [0, len], start > end is an error (NULL
+    here). Half-open [start, end)."""
+    s = e.cast("string")
+    ln = F.length(s)
+
+    def norm(i: Column | None, dflt: Column) -> Column:
+        if i is None:
+            return dflt
+        i = i.cast("int")
+        i = F.when(i < 0, ln + i).otherwise(i)
+        return F.greatest(F.least(i, ln), F.lit(0))
+
+    lo = norm(start, F.lit(0))
+    hi = norm(end, ln)
+    return F.when(lo <= hi, F.substring(s, lo + 1, hi - lo))
+
+
+# strptime %-directive -> Spark datetime pattern (the subset the
+# reference's strptime()/strftime() traffic actually uses;
+# lib/filterx/func-strptime.c delegates to wall-clock strptime)
+_STRPTIME_MAP = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%e": "d",
+    "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss", "%f": "SSSSSS",
+    "%b": "MMM", "%B": "MMMM", "%a": "EEE", "%A": "EEEE",
+    "%j": "DDD", "%p": "a", "%z": "XX", "%Z": "zzz", "%%": "%",
+}
+
+
+def strptime_to_spark(fmt: str) -> str:
+    """Translate a C-strptime %-format to a Spark datetime pattern;
+    literal letters are quoted (Spark treats bare letters as pattern
+    chars)."""
+    out: list[str] = []
+    lit = ""
+
+    def flush():
+        nonlocal lit
+        if lit:
+            if re.search(r"[A-Za-z]", lit):
+                out.append("'" + lit.replace("'", "''") + "'")
+            else:
+                out.append(lit)
+            lit = ""
+
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            d = fmt[i : i + 2]
+            if d not in _STRPTIME_MAP:
+                raise FilterXSyntaxError(f"unsupported strptime directive {d!r}")
+            flush()
+            out.append(_STRPTIME_MAP[d])
+            i += 2
+            continue
+        lit += fmt[i]
+        i += 1
+    flush()
+    return "".join(out)
+
+
 def _unquote(s: str) -> str:
     body = s[1:-1]
     return re.sub(r"\\(.)", lambda m: {"n": "\n", "t": "\t", "r": "\r"}.get(m.group(1), m.group(1)), body)
 
 
-def _FUNCS_DISPATCH(fn: str, a: list[Column]) -> Column:
+def _need_raw(fn: str, raws: list[str | None], i: int) -> str:
+    if i >= len(raws) or raws[i] is None:
+        raise FilterXSyntaxError(
+            f"{fn}() argument {i + 1} must be a string literal"
+        )
+    return raws[i]
+
+
+def _FUNCS_DISPATCH(fn: str, a: list[Column], raws: list[str | None] = ()) -> Column:
     one = a[0] if a else F.lit(None)
     if fn == "string":
         return one.cast("string")
@@ -512,6 +793,77 @@ def _FUNCS_DISPATCH(fn: str, a: list[Column]) -> Column:
         return format_kv_fx(one)
     if fn == "str_replace":
         return F.replace(one, a[1], a[2])
+    # --- encode family (lib/filterx/func-encode.c) ---
+    if fn == "base64_encode":
+        return F.base64(one.cast("binary"))
+    if fn == "base64_decode":
+        return F.unbase64(one).cast("string")
+    if fn == "urlencode":
+        return F.url_encode(one)
+    if fn == "urldecode":
+        return F.url_decode(one)
+    if fn == "hex_encode":
+        # format_hex_string renders lowercase %02x
+        return F.lower(F.hex(one.cast("binary")))
+    if fn == "hex_decode":
+        return F.unhex(one).cast("string")
+    if fn == "sha512":
+        return F.sha2(one.cast("binary"), 512)
+    # --- str family (lib/filterx/func-str.c, func-str-transform.c) ---
+    if fn == "str_lstrip":
+        return F.ltrim(one)
+    if fn == "str_rstrip":
+        return F.rtrim(one)
+    if fn == "strcasecmp":
+        # C-contract: 0 when case-insensitively equal, sign of the
+        # difference otherwise (magnitude differs from
+        # g_ascii_strncasecmp; only the sign/zero is meaningful)
+        la, lb = F.lower(one.cast("string")), F.lower(a[1].cast("string"))
+        return (
+            F.when(la == lb, F.lit(0)).when(la < lb, F.lit(-1)).otherwise(F.lit(1))
+        )
+    if fn == "glob_match":
+        from axosyslog_spark.operators.filters import glob_match
+
+        return glob_match(one, _need_raw(fn, raws, 1))
+    if fn == "utf8_validate":
+        return F.is_valid_utf8(one)
+    if fn == "utf8_sanitize":
+        return F.make_valid_utf8(one)
+    # --- time family (func-strptime.c / filterx-globals.c strftime) ---
+    if fn == "strptime":
+        return F.to_timestamp(one, strptime_to_spark(_need_raw(fn, raws, 1)))
+    if fn == "strftime":
+        # reference arg order: strftime(format, datetime)
+        return F.date_format(a[1], strptime_to_spark(_need_raw(fn, raws, 0)))
+    if fn in ("datetime", "isodate"):
+        c = one.cast("timestamp")
+        if fn == "isodate":
+            return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ssXXX")
+        return c
+    if fn == "format_isodate":
+        return F.date_format(one.cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ssXXX")
+    # --- dict/json helpers ---
+    if fn == "format_json":
+        return F.to_json(one)
+    if fn == "keys":
+        return F.map_keys(one)
+    if fn == "unset_empties":
+        from axosyslog_spark.functions.filterx import unset_empties
+
+        return unset_empties(one)
+    if fn == "regexp_subst":
+        return F.regexp_replace(one, a[1], a[2])
+    if fn == "regexp_search":
+        from axosyslog_spark.functions.filterx import regexp_search
+
+        return regexp_search(one, _need_raw(fn, raws, 1))
+    if fn == "istype":
+        from axosyslog_spark.functions.filterx import istype
+
+        return istype(one, _need_raw(fn, raws, 1))
+    if fn == "repr":
+        return one.cast("string")
     raise FilterXSyntaxError(f"unknown filterx function {fn!r}()")
 
 
@@ -539,14 +891,25 @@ class FilterXBlock:
         return out.withColumns(self.updates) if self.updates else out
 
 
-def compile_filterx(block: str, known_fields: list[str] | None = None) -> FilterXBlock:
+def compile_filterx(
+    block: str,
+    known_fields: list[str] | None = None,
+    string_fields: set[str] | None = None,
+) -> FilterXBlock:
     """Compile a filterx {} block body to a reusable FilterXBlock.
 
     ``known_fields``: pass df.columns so reads of never-set fields
     resolve to NULL instead of failing analysis (open-schema NV
     semantics); omit to let Spark resolve every $field strictly.
+    ``string_fields``: names whose `+=` means concatenation (the
+    reference dispatches on runtime object type; plan-time we dispatch
+    on declared column type).
     """
-    comp = _Compiler(_lex(block), set(known_fields) if known_fields is not None else None)
+    comp = _Compiler(
+        _lex(block),
+        set(known_fields) if known_fields is not None else None,
+        string_fields,
+    )
     st = comp.block(_State())
     if comp.peek() is not None:
         raise FilterXSyntaxError(f"trailing input at {comp.peek().text!r}")
@@ -555,4 +918,9 @@ def compile_filterx(block: str, known_fields: list[str] | None = None) -> Filter
 
 def filterx(df: DataFrame, block: str) -> DataFrame:
     """One-shot: compile against df's schema and apply."""
-    return compile_filterx(block, known_fields=df.columns).apply(df)
+    from pyspark.sql.types import StringType
+
+    strs = {f.name for f in df.schema.fields if isinstance(f.dataType, StringType)}
+    return compile_filterx(
+        block, known_fields=df.columns, string_fields=strs
+    ).apply(df)

@@ -215,3 +215,192 @@ def test_filter_sees_original_after_assignment(frame):
     got = _rows(out)
     assert set(got) == {0, 3}
     assert got[0]["latency_ms"] == 240 and got[3]["latency_ms"] == 100
+
+
+# ---------------------------------------------------------------------------
+# round-3 surface: switch/case, +=, slicing, builtins
+# ---------------------------------------------------------------------------
+
+
+def test_switch_jump_fallthrough_break(frame):
+    # expr-switch.c: enter at the matching case, fall through until
+    # break; default wherever declared catches the rest
+    out = filterx(
+        frame,
+        """
+        $a = 0; $b = 0; $c = 0;
+        switch ($status) {
+        case "ok":
+          $a = 1;
+          break;
+        case "error":
+          $b = 1;
+        default:
+          $c = 1;
+        };
+        """,
+    )
+    got = _rows(out)
+    assert (got[0]["a"], got[0]["b"], got[0]["c"]) == (1, 0, 0)  # break stops
+    assert (got[1]["a"], got[1]["b"], got[1]["c"]) == (0, 1, 1)  # fallthrough
+    assert (got[3]["a"], got[3]["b"], got[3]["c"]) == (0, 0, 1)  # default
+
+
+def test_switch_range_case_and_default_before_case(frame):
+    # default may be declared before later cases and still only fires
+    # when NO case matches (jump-table semantics, not textual order)
+    out = filterx(
+        frame,
+        """
+        switch ($latency_ms) {
+        default:
+          $bucket = "other";
+          break;
+        case 0..1000:
+          $bucket = "fast";
+          break;
+        case 1000..2000:
+          $bucket = "mid";
+          break;
+        };
+        """,
+    )
+    got = _rows(out)
+    assert got[0]["bucket"] == "fast"      # 120
+    assert got[2]["bucket"] == "mid"       # 1800
+    assert got[1]["bucket"] == "other"     # 2500 -> default
+    assert got[3]["bucket"] == "fast"      # 50
+
+
+def test_switch_drop_inside_case(frame):
+    out = filterx(
+        frame,
+        """
+        switch ($status) {
+        case "error":
+          drop;
+        default:
+          $kept = true;
+        };
+        """,
+    )
+    got = _rows(out)
+    assert set(got) == {0, 2, 3}
+    assert all(v["kept"] for v in got.values())
+
+
+def test_plus_assign_numeric_and_string(frame):
+    out = filterx(
+        frame,
+        """
+        declare n = 10;
+        n += 5;
+        $latency_ms += 1;
+        $host += "-suffix";
+        $total = n;
+        """,
+    )
+    got = _rows(out)
+    assert got[0]["total"] == 15
+    assert got[0]["latency_ms"] == 121
+    assert got[0]["host"] == "h1-suffix"
+
+
+def test_string_slicing(frame):
+    out = filterx(
+        frame,
+        """
+        $s1 = $host[0..1];
+        $s2 = $status[1..];
+        $s3 = $status[..2];
+        $s4 = $status[-2..];
+        $s5 = $status[0..100];
+        $bad = $status[3..1];
+        """,
+    )
+    got = _rows(out)
+    assert got[0]["s1"] == "h"
+    assert got[0]["s2"] == "k"       # "ok"[1:]
+    assert got[1]["s3"] == "er"
+    assert got[1]["s4"] == "or"
+    assert got[0]["s5"] == "ok"      # clamped
+    assert got[1]["bad"] is None     # start > end
+
+
+def test_map_subscript_after_parse_kv(spark):
+    df = spark.createDataFrame([(0, "a=1 b=two")], "id int, kv string")
+    out = filterx(df, '$m = parse_kv($kv); $b = $m["b"]; $x = $m["zz"];')
+    row = out.collect()[0]
+    assert row["b"] == "two" and row["x"] is None
+
+
+def test_encode_builtins(spark):
+    df = spark.createDataFrame([(0, "hello world")], "id int, t string")
+    out = filterx(
+        df,
+        """
+        $b64 = base64_encode($t);
+        $rt = base64_decode(base64_encode($t));
+        $hex = hex_encode($t);
+        $hrt = hex_decode(hex_encode($t));
+        $url = urlencode("a b&c");
+        $urt = urldecode(urlencode("a b&c"));
+        $sha = sha512($t);
+        """,
+    )
+    row = out.collect()[0]
+    import base64, hashlib
+    assert row["b64"] == base64.b64encode(b"hello world").decode()
+    assert row["rt"] == "hello world"
+    assert row["hex"] == "hello world".encode().hex()
+    assert row["hrt"] == "hello world"
+    assert row["urt"] == "a b&c"
+    assert row["sha"] == hashlib.sha512(b"hello world").hexdigest()
+
+
+def test_time_builtins(spark):
+    df = spark.createDataFrame(
+        [(0, "2024-03-05 12:34:56")], "id int, ts string"
+    )
+    out = filterx(
+        df,
+        """
+        $t = strptime($ts, "%Y-%m-%d %H:%M:%S");
+        $iso = format_isodate(strptime($ts, "%Y-%m-%d %H:%M:%S"));
+        $y = strftime("%Y/%m/%d", strptime($ts, "%Y-%m-%d %H:%M:%S"));
+        """,
+    )
+    row = out.collect()[0]
+    assert str(row["t"]).startswith("2024-03-05 12:34:56")
+    assert row["iso"].startswith("2024-03-05T12:34:56")
+    assert row["y"] == "2024/03/05"
+
+
+def test_str_builtins(spark):
+    df = spark.createDataFrame([(0, "  pad  ")], "id int, t string")
+    out = filterx(
+        df,
+        """
+        $l = str_lstrip($t);
+        $r = str_rstrip($t);
+        $c0 = strcasecmp("ABC", "abc");
+        $c1 = strcasecmp("abc", "abd");
+        $g = glob_match("example.com", "*.com");
+        $v = utf8_validate($t);
+        $j = format_json(parse_kv("a=1"));
+        $ks = keys(parse_kv("a=1 b=2"));
+        $sub = regexp_subst("aaa", "a", "b");
+        """,
+    )
+    row = out.collect()[0]
+    assert row["l"] == "pad  " and row["r"] == "  pad"
+    assert row["c0"] == 0 and row["c1"] == -1
+    assert row["g"] is True and row["v"] is True
+    assert row["j"] == '{"a":"1"}'
+    assert sorted(row["ks"]) == ["a", "b"]
+    assert row["sub"] == "bbb"
+
+
+def test_break_outside_switch_is_an_error():
+    with pytest.raises(FilterXSyntaxError):
+        compile_filterx("break;")
