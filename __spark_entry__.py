@@ -133,6 +133,16 @@ def q_pipe_rate_limit(spark: SparkSession, sf: str) -> DataFrame:
     return r.select("conv_id", "turn_idx", "role")
 
 
+def q_pipe_rate_window(spark: SparkSession, sf: str) -> DataFrame:
+    """rate-limit(rate(3/86400s)) — the time-replenished windowed
+    allowance (first 3 turns per conversation per event-time day),
+    vs pipe_rate_limit's whole-batch cap."""
+    r = grouping.rate_limit_bucket(
+        _transcripts(spark, sf), ["conv_id"], rate=3, window_s=86400
+    )
+    return r.select("conv_id", "turn_idx", "role")
+
+
 def q_pipe_format_output(spark: SparkSession, sf: str) -> DataFrame:
     """Bit-exact sink formatting: every routed row re-rendered as an
     RFC5424 line (the template-output contract — per-turn text
@@ -720,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_sessionize": q_pipe_sessionize,
         "pipe_suppress": q_pipe_suppress,
         "pipe_rate_limit": q_pipe_rate_limit,
+        "pipe_rate_window": q_pipe_rate_window,
         "pipe_group_lines": q_pipe_group_lines,
         "pipe_correlate": q_pipe_correlate,
         "pipe_format_output": q_pipe_format_output,
@@ -862,6 +873,18 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
               FROM transcripts
             ) WHERE rn <= 5
+            """
+        ),
+        "pipe_rate_window": W(
+            """
+            SELECT conv_id, turn_idx, role
+            FROM (
+              SELECT conv_id, turn_idx, role,
+                     row_number() OVER (
+                       PARTITION BY conv_id, floor(epoch(ts) / 86400)
+                       ORDER BY turn_idx) AS rn
+              FROM transcripts
+            ) WHERE rn <= 3
             """
         ),
         "pipe_group_lines": W(

@@ -236,11 +236,52 @@ def rate_limit(
 ) -> DataFrame:
     """rate-limit() analog in batch: keep the first ``max_rows`` rows
     per key in event order (modules/rate-limit-filter/rate-limit.c
-    token bucket → deterministic batch equivalent)."""
+    token bucket → deterministic batch equivalent). This is the
+    whole-batch cap; for the time-replenished contract see
+    ``rate_limit_bucket``."""
     w = Window.partitionBy(*key_cols).orderBy(order_col)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_rows)
+        .drop("__rn")
+    )
+
+
+def rate_limit_bucket(
+    df: DataFrame,
+    key_cols: list[str],
+    rate: int,
+    window_s: int = 1,
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """rate-limit(rate(R)) with time replenishment, batch analog: the
+    first R rows per key within each ``window_s``-second EVENT-TIME
+    bucket pass; later ones drop. A config ``rate-limit(rate(100/60s))``
+    maps to rate=100, window_s=60.
+
+    Contract vs the reference (rate-limit.c:105-144, a wall-clock token
+    bucket with continuous refill): the windowed allowance admits the
+    same steady-state R per window_s but resets the burst budget at
+    bucket boundaries instead of carrying fractional tokens across
+    them, and it meters EVENT time, not arrival wall-clock — the only
+    definition that is deterministic under replay and order-independent
+    across executors. The recurrence of a true token bucket (tokens
+    consumed only by previously-admitted rows) is inherently
+    sequential per key; the bucketed form is one shuffle on
+    (key, bucket) and keeps hot keys spread across windows.
+    ``streaming.pipeline.rate_limit_bucket_stateful`` implements the
+    SAME contract incrementally, so batch and streaming keep-sets are
+    equal on any input (asserted in tests)."""
+    # cast via timestamp first: TIMESTAMP_NTZ → double is not allowed
+    # directly (the session tz is pinned UTC, so ntz==utc here)
+    bucket = F.floor(
+        F.col(ts_col).cast("timestamp").cast("double") / F.lit(window_s)
+    )
+    w = Window.partitionBy(*key_cols, bucket).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= rate)
         .drop("__rn")
     )
 

@@ -152,6 +152,69 @@ def rate_limit_stateful(
     )
 
 
+_RLB_STATE = StructType(
+    [StructField("bucket", LongType()), StructField("passed", LongType())]
+)
+
+
+def rate_limit_bucket_stateful(
+    stream: DataFrame,
+    rate: int,
+    window_s: int = 1,
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+    key_col: str = "conv_id",
+) -> DataFrame:
+    """rate-limit(rate(R)) with time replenishment, streaming form:
+    the first ``rate`` rows per key within each ``window_s``-second
+    EVENT-TIME bucket pass through; the rest drop. Same contract as
+    the batch ``operators.grouping.rate_limit_bucket`` (windowed
+    allowance, deterministic under replay — see its docstring for the
+    delta vs the reference's wall-clock refill,
+    modules/rate-limit-filter/rate-limit.c:105-144), implemented
+    incrementally with applyInPandasWithState so batch and streaming
+    keep-sets are equal on any input (asserted in tests).
+
+    State per key: (current bucket, rows passed in it). Rows inside a
+    micro-batch are sorted by (bucket, order) before metering; buckets
+    must arrive non-decreasing across micro-batches per key (true for
+    a tailed source in event order). Emits the kept rows."""
+    out_schema = stream.schema
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cur_bucket, passed = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts = pdf[ts_col]
+            epoch = pd.Timestamp(0, tz=ts.dt.tz) if ts.dt.tz else pd.Timestamp(0)
+            pdf = pdf.assign(
+                __bucket=(ts - epoch) // pd.Timedelta(seconds=window_s)
+            ).sort_values(["__bucket", order_col], kind="stable")
+            keep = []
+            for bucket, grp in pdf.groupby("__bucket", sort=True):
+                if bucket != cur_bucket:
+                    cur_bucket, passed = bucket, 0
+                room = max(0, rate - passed)
+                take = min(room, len(grp))
+                passed += take
+                if take:
+                    keep.append(grp.iloc[:take])
+            if keep:
+                yield pd.concat(keep).drop(columns="__bucket")
+        state.update((cur_bucket if cur_bucket is not None else -1, passed))
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_RLB_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def write_sinks(
     routed: DataFrame, out_dir: str, checkpoint_dir: str, trigger_available_now: bool = True
 ):

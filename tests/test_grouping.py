@@ -80,6 +80,19 @@ def test_rate_limit_keeps_first_n(spark):
     assert got == [("c1", 0), ("c1", 1), ("c1", 2), ("c2", 0)]
 
 
+def test_rate_limit_bucket_replenishes(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    # 5 rows in hour 0, 3 in hour 1 — rate 2/hour keeps 2 + 2
+    rows = [("c1", i, f"t{i}", t0 + dt.timedelta(minutes=i)) for i in range(5)]
+    rows += [("c1", 10 + i, f"u{i}", t0 + dt.timedelta(hours=1, minutes=i)) for i in range(3)]
+    rows += [("c2", 0, "x", t0)]
+    out = grouping.rate_limit_bucket(
+        _turns(spark, rows), ["conv_id"], rate=2, window_s=3600
+    ).collect()
+    got = sorted((r.conv_id, r.turn_idx) for r in out)
+    assert got == [("c1", 0), ("c1", 1), ("c1", 10), ("c1", 11), ("c2", 0)]
+
+
 def test_group_lines_order(spark):
     t0 = dt.datetime(2024, 1, 1)
     # emitted shuffled; assembly must follow turn_idx

@@ -82,6 +82,26 @@ def test_rate_limit_stateful(spark, tmp_path):
     assert got["c2"].n_passed == 1 and got["c2"].n_dropped == 0
 
 
+def test_rate_limit_bucket_stream_equals_batch(spark, staged, tmp_path):
+    """The windowed-allowance rate limit keeps the SAME rows in batch
+    and streaming on any input (shared contract, see docstrings)."""
+    from axosyslog_spark.operators import grouping
+
+    stream = sp.stream_transcripts(spark, staged)
+    rl = sp.rate_limit_bucket_stateful(stream, rate=3, window_s=3600)
+    got = _run_to_memory(spark, rl, "rlb_mem")
+    stream_keep = sorted(
+        (r.conv_id, r.turn_idx) for r in got.select("conv_id", "turn_idx").collect()
+    )
+    batch = grouping.rate_limit_bucket(
+        spark.read.parquet(staged), ["conv_id"], rate=3, window_s=3600
+    )
+    batch_keep = sorted(
+        (r.conv_id, r.turn_idx) for r in batch.select("conv_id", "turn_idx").collect()
+    )
+    assert stream_keep == batch_keep and len(batch_keep) > 0
+
+
 def test_stream_sink_writes(spark, staged, tmp_path):
     stream = sp.stream_transcripts(spark, staged)
     routed = sp.stream_pipeline(spark, stream)
