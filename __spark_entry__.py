@@ -434,6 +434,29 @@ def q_op_template_compile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_op_macro_expand(spark: SparkSession, sf: str) -> DataFrame:
+    """Header/network/identity + week macro family (macros.c:207-230,
+    372-376): MSGHDR, TAG, BSDTAG, WEEK_DAY/WEEK, the SOURCEIP/PORT +
+    PROTO_NAME non-IP-transport fallbacks, RAWMSG_SIZE and the P_
+    (processed) time base rendered over the parsed transcript frame."""
+    from axosyslog_spark.functions.template_compiler import (
+        compile_template,
+        parsed_template_context,
+    )
+    from axosyslog_spark.operators.parse import parse_stage
+
+    p = parse_stage(_transcripts(spark, sf))
+    ctx = parsed_template_context()
+    tmpl = (
+        "hdr=${MSGHDR}tag=${TAG} bsd=${BSDTAG} wd=${R_WEEK_DAY} wk=${R_WEEK} "
+        "src=${SOURCEIP}:${SOURCEPORT} proto=${PROTO_NAME} "
+        "raw=${RAWMSG_SIZE} p=${P_ISODATE}"
+    )
+    return p.select(
+        "conv_id", "turn_idx", compile_template(tmpl, ctx).alias("rendered")
+    )
+
+
 def q_op_kv_parse(spark: SparkSession, sf: str) -> DataFrame:
     """Generic kv-scanner over synthesized lines with double/single
     quoted values (spaces inside), a ', ' pair separator and plain
@@ -739,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_csv_parse": q_op_csv_parse,
         "op_kv_parse": q_op_kv_parse,
         "op_template_compile": q_op_template_compile,
+        "op_macro_expand": q_op_macro_expand,
         "op_json_flatten": q_op_json_flatten,
         "op_date_parse": q_op_date_parse,
         "op_geoip_range": q_op_geoip_range,
@@ -952,6 +976,24 @@ def oracle_sql() -> dict[str, str]:
                || ' st=' || coalesce(nullif(coalesce(status, ''), ''), 'unknown')
                || ' ' || CASE WHEN coalesce(status, '') = 'error'
                               THEN 'BAD' ELSE 'OK' END AS rendered
+        FROM parsed3
+        """,
+        "op_macro_expand": P
+        + """
+        SELECT conv_id, turn_idx,
+               'hdr=' || CASE WHEN appname IS NOT NULL AND appname <> ''
+                    THEN appname || CASE WHEN procid IS NOT NULL AND procid <> ''
+                                         THEN '[' || procid || ']' ELSE '' END || ': '
+                    ELSE '' END
+               || 'tag=' || lpad(lower(hex(pri)), 2, '0')
+               || ' bsd=' || CAST(severity AS VARCHAR) || chr(65 + facility)
+               || ' wd=' || CAST(dayofweek(ts) + 1 AS VARCHAR)
+               || ' wk=' || lpad(CAST(
+                    ((dayofyear(ts) - 1) - ((dayofweek(ts) - 1 + 7) % 7) + 7) // 7
+                    AS VARCHAR), 2, '0')
+               || ' src=127.0.0.1:0 proto=unknown'
+               || ' raw=' || CAST(octet_length(encode(text)) AS VARCHAR)
+               || ' p=' || strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS rendered
         FROM parsed3
         """,
         "op_kv_parse": r"""

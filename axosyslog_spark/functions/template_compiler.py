@@ -204,11 +204,33 @@ def tokenize(template: str) -> list[Lit | ValueRef | FuncCall]:
 # ---------------------------------------------------------------------------
 
 _DATE_MACROS = frozenset(
-    list(tf._MACRO_FMT) + ["UNIXTIME", "MSEC", "STAMP", "R_STAMP", "C_STAMP"]
+    list(tf._MACRO_FMT)
+    + ["UNIXTIME", "MSEC", "USEC", "WEEK", "ISOWEEK", "WEEK_DAY", "STAMP"]
 )
 _PRI_MACROS = frozenset(
     ["PRI", "SEVERITY", "SEVERITY_NUM", "LEVEL", "LEVEL_NUM", "FACILITY", "FACILITY_NUM"]
 )
+# header/network/identity macros (macros.c:207-230) resolved through
+# tf.macro with bindings pulled from the context's columns; unbound
+# network sources render the reference's non-IP-transport fallbacks
+# (127.0.0.1 / 0), matching a locally-generated message
+_HDR_MACROS = frozenset(
+    [
+        "MSGHDR", "TAG", "BSDTAG",
+        "SOURCEIP", "SOURCEPORT", "DESTIP", "DESTPORT", "PEERIP", "PEERPORT",
+        "IP_PROTO", "PROTO", "PROTO_NAME", "RAWMSG_SIZE",
+        "SYSUPTIME", "HOSTID", "RUNID",
+    ]
+)
+# context-column name -> tf.macro kwarg for _HDR_MACROS
+_HDR_BINDINGS = {
+    "SEVERITY_NUM": "severity", "FACILITY_NUM": "facility",
+    "PROGRAM": "program", "PID": "pid",
+    "SADDR": "saddr", "DADDR": "daddr", "SPORT": "sport", "DPORT": "dport",
+    "PEER_IP": "peerip", "PEER_PORT": "peerport", "PROTO_NUM": "proto",
+    "RAWMSG": "raw", "RAWMSG_SIZE_COL": "rawmsg_size",
+    "UPTIME_CS": "uptime_cs", "HOSTID_NUM": "hostid", "RUNID_VAL": "runid",
+}
 
 
 @dataclass
@@ -234,6 +256,7 @@ class TemplateContext:
     stamp: Column | None = None
     recvd: Column | None = None
     now: Column | None = None
+    processed: Column | None = None
     matches: Column | None = None
     extras: Column | None = None
     strict: bool = False
@@ -246,6 +269,13 @@ class TemplateContext:
             return name[2:], self.recvd
         if name.startswith("C_"):
             return name[2:], self.now if self.now is not None else self.recvd
+        if name.startswith("P_"):
+            # M_PROCESSED_OFS: the processing stamp; falls back through
+            # now -> recvd for deterministic batch output
+            for c in (self.processed, self.now, self.recvd):
+                if c is not None:
+                    return name[2:], c
+            return name[2:], None
         return name, self.stamp
 
     def resolve_raw(self, name: str) -> Column | None:
@@ -270,6 +300,13 @@ class TemplateContext:
             sev, fac = self.columns.get("SEVERITY_NUM"), self.columns.get("FACILITY_NUM")
             if sev is not None or fac is not None:
                 return tf.macro(base, None, severity=sev, facility=fac)
+        if name in _HDR_MACROS:
+            kw = {
+                dst: self.columns[src]
+                for src, dst in _HDR_BINDINGS.items()
+                if src in self.columns
+            }
+            return tf.macro(name, self.stamp, **kw)
         if name == "TAGS" and "TAGS" in self.columns:
             return self.columns["TAGS"]
         if self.field_fallback and name and not name.isdigit():
@@ -643,6 +680,8 @@ def parsed_template_context(
         # deterministic batch analog is the same stable row identity
         "RCPTID": F.concat(F.col("conv_id"), F.lit("@"), F.col("turn_idx").cast("string")),
         "CONTEXT_ID": F.col("conv_id"),
+        # raw wire line for $RAWMSG_SIZE (store-raw-message analog)
+        "RAWMSG": F.col("text"),
     }
     for f in include_fields or []:
         cols[f] = F.col(f)

@@ -304,6 +304,98 @@ def macro(name: str, ts: Column | None = None, **cols: Column) -> Column:
         return expr
     if name == "TAGS":
         return F.array_join(cols["tags"], ",")
+    if name == "TAG":
+        # macros.c M_TAG: pri rendered as 2-digit lowercase hex
+        pri = cols["facility"] * 8 + cols["severity"]
+        return F.lpad(F.lower(F.hex(pri)), 2, "0")
+    if name == "BSDTAG":
+        # macros.c M_BSDTAG: severity digit + ('A' + facility) letter
+        letters = "ABCDEFGHIJKLMNOPQRSTUVWX"
+        return F.concat(
+            cols["severity"].cast("string"),
+            F.substring(F.lit(letters), cols["facility"].cast("int") + 1, 1),
+        )
+    if name == "WEEK_DAY":
+        # macros.c M_WEEK_DAY: wday+1, Sunday=1 — Spark's dayofweek exactly
+        return F.dayofweek(ts).cast("string")
+    if name == "MSGHDR":
+        # macros.c M_MSGHDR: "program[pid]: " (pid part only when set);
+        # empty when there is no program. cols: program, pid.
+        prog, pid = cols["program"], cols["pid"]
+        pid_part = F.when(
+            pid.isNotNull() & (pid != ""), F.concat(F.lit("["), pid, F.lit("]"))
+        ).otherwise(F.lit(""))
+        return F.when(
+            prog.isNotNull() & (prog != ""),
+            F.concat(prog, pid_part, F.lit(": ")),
+        ).otherwise(F.lit(""))
+    if name in ("SOURCEIP", "DESTIP", "PEERIP"):
+        # macros.c M_SOURCE_IP/M_DEST_IP: the transport address when the
+        # source is an IP, else "127.0.0.1" (local/unix sources).
+        # PEERIP prefers an explicitly-set peer value then falls through.
+        addr = cols.get({"SOURCEIP": "saddr", "DESTIP": "daddr", "PEERIP": "peerip"}[name])
+        fallback = (
+            macro("SOURCEIP", ts, **cols) if name == "PEERIP"
+            else F.lit("127.0.0.1")
+        )
+        if addr is None:
+            return fallback
+        return F.coalesce(addr, fallback)
+    if name in ("SOURCEPORT", "DESTPORT", "PEERPORT"):
+        port = cols.get(
+            {"SOURCEPORT": "sport", "DESTPORT": "dport", "PEERPORT": "peerport"}[name]
+        )
+        fallback = (
+            macro("SOURCEPORT", ts, **cols) if name == "PEERPORT"
+            else F.lit("0")
+        )
+        if port is None:
+            return fallback
+        return F.coalesce(port.cast("string"), fallback)
+    if name == "IP_PROTO":
+        # 4/6 from the source address family; 0 when no address
+        addr = cols.get("saddr")
+        if addr is None:
+            return F.lit("0")
+        return (
+            F.when(addr.isNull(), F.lit("0"))
+            .when(
+                addr.contains(":") & ~addr.startswith("::ffff:"), F.lit("6")
+            )
+            .otherwise(F.lit("4"))
+        )
+    if name == "PROTO":
+        proto = cols.get("proto")
+        return F.lit("0") if proto is None else F.coalesce(proto.cast("string"), F.lit("0"))
+    if name == "PROTO_NAME":
+        proto = cols.get("proto")
+        if proto is None:
+            return F.lit("unknown")
+        return (
+            F.when(proto == 6, F.lit("tcp"))
+            .when(proto == 17, F.lit("udp"))
+            .otherwise(F.lit("unknown"))
+        )
+    if name == "RAWMSG_SIZE":
+        # msg->recvd_rawmsg_size: octet length of the wire message when
+        # raw capture is on, else 0. cols: raw (string) or rawmsg_size.
+        if "rawmsg_size" in cols:
+            return cols["rawmsg_size"].cast("string")
+        if "raw" in cols:
+            return F.coalesce(F.octet_length(cols["raw"]).cast("string"), F.lit("0"))
+        return F.lit("0")
+    if name == "SYSUPTIME":
+        # centiseconds since daemon start — wall-clock-dependent; bind an
+        # uptime_cs column or default 0 for deterministic batch output
+        up = cols.get("uptime_cs")
+        return F.lit("0") if up is None else up.cast("string")
+    if name == "HOSTID":
+        # persisted 32-bit host id rendered %08x
+        hid = cols.get("hostid")
+        return F.lit("00000000") if hid is None else F.lpad(F.lower(F.hex(hid)), 8, "0")
+    if name == "RUNID":
+        rid = cols.get("runid")
+        return F.lit("0") if rid is None else rid.cast("string")
     raise KeyError(f"unknown macro {name!r}")
 
 

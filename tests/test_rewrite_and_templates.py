@@ -150,6 +150,75 @@ def test_macros(spark):
     assert r.pri == "35" and r.sev == "err" and r.fac == "auth"
 
 
+def test_header_identity_macros(spark):
+    """MSGHDR/TAG/BSDTAG/network macros (macros.c:207-230, 514-714):
+    pid-less and program-less MSGHDR, PEERIP/PEERPORT fallthrough to
+    the source address, IP_PROTO family detection incl. v4-mapped."""
+    df = spark.createDataFrame(
+        [
+            ("sshd", "1042", 5, 4, "10.0.0.9", 514, None, None, 6),
+            ("cron", "", 3, 9, "fe80::1", 6514, "192.0.2.7", 9999, 17),
+            ("", "77", 7, 0, None, None, None, None, None),
+            ("app", None, 0, 23, "::ffff:10.1.2.3", 33, None, None, 99),
+        ],
+        "program string, pid string, severity int, facility int, "
+        "saddr string, sport int, peerip string, peerport int, proto int",
+    )
+    cols = {c: F.col(c) for c in df.columns}
+    r = df.select(
+        tf.macro("MSGHDR", **cols).alias("hdr"),
+        tf.macro("TAG", **cols).alias("tag"),
+        tf.macro("BSDTAG", **cols).alias("bsd"),
+        tf.macro("SOURCEIP", **cols).alias("sip"),
+        tf.macro("SOURCEPORT", **cols).alias("sport_m"),
+        tf.macro("PEERIP", **cols).alias("pip"),
+        tf.macro("PEERPORT", **cols).alias("pport"),
+        tf.macro("IP_PROTO", **cols).alias("ipp"),
+        tf.macro("PROTO_NAME", **cols).alias("pname"),
+    ).collect()
+    assert [x.hdr for x in r] == ["sshd[1042]: ", "cron: ", "", "app: "]
+    # TAG = pri as 2-digit lowercase hex; BSDTAG = sev digit + 'A'+fac
+    assert (r[0].tag, r[0].bsd) == ("25", "5E")  # pri 4*8+5=37=0x25
+    assert (r[2].tag, r[2].bsd) == ("07", "7A")
+    assert [x.sip for x in r] == ["10.0.0.9", "fe80::1", "127.0.0.1", "::ffff:10.1.2.3"]
+    assert [x.pip for x in r] == ["10.0.0.9", "192.0.2.7", "127.0.0.1", "::ffff:10.1.2.3"]
+    assert [x.pport for x in r] == ["514", "9999", "0", "33"]
+    assert [x.sport_m for x in r] == ["514", "6514", "0", "33"]
+    assert [x.ipp for x in r] == ["4", "6", "0", "4"]
+    assert [x.pname for x in r] == ["tcp", "udp", "unknown", "unknown"]
+
+
+def test_processed_time_base_and_rawmsg(spark):
+    """P_* uses processed -> now -> recvd fallback; RAWMSG_SIZE is the
+    octet length of the bound raw line; WEEK_DAY is Sunday=1."""
+    import datetime as dt
+
+    from axosyslog_spark.functions.template_compiler import (
+        TemplateContext,
+        compile_template,
+    )
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 5, 7, 0, 0), dt.datetime(2024, 3, 6, 8, 0, 0), "héllo")],
+        "sts timestamp, rts timestamp, raw string",
+    )
+    ctx = TemplateContext(
+        columns={"RAWMSG": F.col("raw")},
+        stamp=F.col("sts"),
+        recvd=F.col("rts"),
+    )
+    r = df.select(
+        compile_template("${P_DAY} ${P_HOUR} ${RAWMSG_SIZE} ${S_WEEK_DAY} ${R_WEEK_DAY}", ctx).alias("v")
+    ).collect()[0]
+    # processed/now unset -> P_* falls back to recvd; é is 2 octets
+    assert r.v == "06 08 6 3 4"
+    ctx2 = TemplateContext(
+        stamp=F.col("sts"), recvd=F.col("rts"), processed=F.col("sts")
+    )
+    r2 = df.select(compile_template("${P_DAY}", ctx2).alias("v")).collect()[0]
+    assert r2.v == "05"
+
+
 def test_value_pairs_transforms(spark):
     """rekey transform chain (lib/value-pairs/transforms.c)."""
     from axosyslog_spark.operators.rewrite import (
