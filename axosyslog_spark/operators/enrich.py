@@ -145,3 +145,39 @@ def enrich_tools(df: DataFrame, spark: SparkSession) -> DataFrame:
         default=TOOL_DEFAULT,
     )
     return enrich(df, tool_lookup_df(spark), spec)
+
+
+def geoip2(
+    df: DataFrame,
+    spark: SparkSession,
+    mmdb_path: str,
+    ip_col: str = "ip",
+    fields: list[str] | None = None,
+    prefix: str = "geoip2.",
+) -> DataFrame:
+    """geoip2(ip-field, database, prefix) — the full reference shape
+    (modules/geoip2/geoip-parser.c): parse the .mmdb ONCE on the
+    driver at plan time (operators/mmdb.py, the maxminddb-helper.c
+    analog), then broadcast-range-join the interval dimension against
+    the fact table. Executors never open the file; no shuffle.
+
+    fields: dotted data-map paths (default country/city name, see
+    load_mmdb_intervals); each becomes a ``{prefix}{path}`` column
+    with '.'->'_' like value-pairs flattening."""
+    from axosyslog_spark.operators.filters import ip_to_long
+    from axosyslog_spark.operators.mmdb import load_mmdb_intervals
+
+    names = [f.replace(".", "_") for f in fields] if fields else ["name"]
+    out_cols = [f"{prefix}{n}" for n in names]
+    schema = "lo bigint, hi bigint, " + ", ".join(f"`{c}` string" for c in out_cols)
+    rows = [
+        (lo, hi, *[None if v is None else str(v) for v in rest])
+        for lo, hi, *rest in load_mmdb_intervals(mmdb_path, fields=fields)
+    ]
+    dim = spark.createDataFrame(rows, schema)
+    ip_num = ip_to_long(F.col(ip_col))
+    return df.join(
+        F.broadcast(dim),
+        (ip_num >= F.col("lo")) & (ip_num <= F.col("hi")),
+        "left",
+    ).drop("lo", "hi")
