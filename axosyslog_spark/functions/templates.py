@@ -225,6 +225,107 @@ def format_date(c: Column, fmt: str) -> Column:
     return F.date_format(c, fmt)
 
 
+def tf_stardate(c: Column, digits: int = 2) -> Column:
+    """$(stardate [--digits N] $UNIXTIME) — modules/stardate/stardate.c:
+    calendar year + the TRUNCATED fraction of the (leap-aware) year
+    elapsed, printed with exactly N decimals (%0.*lf)."""
+    if not 0 <= digits <= 9:
+        raise ValueError("stardate: digits must be between 0-9")
+    t = c.cast("string").try_cast("bigint")
+    ts = F.timestamp_seconds(t)
+    yr = F.year(ts)
+    start = F.unix_timestamp(F.trunc(ts, "year").cast("timestamp"))
+    leap = ((yr % 4 == 0) & (yr % 100 != 0)) | (yr % 400 == 0)
+    year_secs = F.when(leap, F.lit(31622400)).otherwise(F.lit(31536000))
+    p = 10 ** digits
+    frac = F.floor((t - start) / year_secs * p) / p
+    return F.format_string(f"%.{digits}f", yr + frac)
+
+
+def cef_escape(c: Column) -> Column:
+    """CEF extension value escaping (format-cef-extension.c
+    tf_cef_append_escaped): backslash first, then '=', LF, CR; other
+    control chars < 0x20 become \\uXXXX."""
+    c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit("="), F.lit("\\="))
+    c = F.replace(c, F.lit("\n"), F.lit("\\n"))
+    c = F.replace(c, F.lit("\r"), F.lit("\\r"))
+    for i in [*range(0, 10), 11, 12, *range(14, 32)]:
+        c = F.replace(c, F.lit(chr(i)), F.lit("\\u%04x" % i))
+    return c
+
+
+_CEF_KEY_RE = "^[A-Za-z0-9]+$"
+
+
+def format_cef_extension(named_cols: dict[str, Column]) -> Column:
+    """$(format-cef-extension k=v ...) — modules/cef/
+    format-cef-extension.c: keys sorted (strcmp walk), values
+    CEF-escaped, space-joined. Non-alphanumeric keys are skipped like
+    the reference's non-drop on-error path (it logs and walks on)."""
+    import re
+
+    parts = [
+        F.concat(F.lit(f"{k}="), cef_escape(named_cols[k].cast("string")))
+        for k in sorted(named_cols)
+        if re.fullmatch("[A-Za-z0-9]+", k)
+    ]
+    return F.concat_ws(" ", *parts)
+
+
+def format_cef_extension_map(pairs: Column) -> Column:
+    """format-cef-extension over a dynamic map<string,string> NV
+    column: sort entries, drop invalid keys, escape, space-join."""
+    entries = F.array_sort(F.map_entries(pairs))
+    valid = F.filter(entries, lambda e: e["key"].rlike(_CEF_KEY_RE))
+    strs = F.transform(
+        valid, lambda e: F.concat(e["key"], F.lit("="), cef_escape(e["value"]))
+    )
+    return F.array_join(strs, " ")
+
+
+def format_cim(
+    pairs: Column, timestamp: Column, message: Column
+) -> Column:
+    """$(format-cim) — scl/cim/template.conf: format-json over the CIM
+    value-pairs spec re-expressed as map algebra:
+
+      --pair @timestamp=${R_ISODATE} --pair @message=${MSG}
+      --key .cim.* --shift 5   (``.cim.foo`` -> ``foo``)
+      --key _*  --key *.*      (kept as-is)
+      --key .*  --replace-prefix .=_  (``.foo`` -> ``_foo``)
+
+    ``pairs`` is the open-schema NV map; output is a JSON object with
+    keys in sorted order (deterministic; the reference walks the
+    value-pairs set in key order). String-typed values (the map is
+    map<string,string>; --auto-cast numeric unquoting is not applied)."""
+    cim = F.transform_keys(
+        F.map_filter(pairs, lambda k, v: k.startswith(".cim.")),
+        lambda k, v: F.substring(k, 6, 2_000_000_000),
+    )
+    dotted = F.transform_keys(
+        F.map_filter(
+            pairs,
+            lambda k, v: k.startswith(".") & ~k.startswith(".cim."),
+        ),
+        lambda k, v: F.concat(F.lit("_"), F.substring(k, 2, 2_000_000_000)),
+    )
+    plain = F.map_filter(
+        pairs,
+        lambda k, v: ~k.startswith(".")
+        & (k.startswith("_") | k.contains(".")),
+    )
+    merged = F.map_concat(
+        F.create_map(
+            F.lit("@timestamp"), timestamp.cast("string"),
+            F.lit("@message"), message.cast("string"),
+        ),
+        cim, dotted, plain,
+    )
+    ordered = F.map_from_entries(F.array_sort(F.map_entries(merged)))
+    return F.to_json(ordered)
+
+
 # ---------------------------------------------------------------------------
 # macros (lib/template/macros.c) — date part family over a ts column
 # ---------------------------------------------------------------------------
@@ -419,5 +520,7 @@ TEMPLATE_FUNCS = {
     "sha256": tf_sha256, "hash": tf_sha256, "sha1": tf_sha1, "md5": tf_md5,
     "uuid": tf_uuid,
     "format-json": format_json, "format-welf": format_welf,
-    "format-date": format_date,
+    "format-date": format_date, "stardate": tf_stardate,
+    "format-cef-extension": format_cef_extension,
+    "format-cim": format_cim,
 }

@@ -59,6 +59,68 @@ def xml_parser(
     return df.withColumn(out_col, parse_batch(df[src_col]))
 
 
+def _flatten_winlog(text: str, prefix: str = "winlog") -> dict[str, str]:
+    """windows-eventlog-xml-parser flatten
+    (modules/xml/windows-eventlog-xml-parser.c, expectations from
+    tests/test_windows_eventlog_xml_parser.c):
+
+    - identical to the generic XML flatten, except ``<Data
+      Name='k'>v</Data>`` under ``Event.EventData`` becomes
+      ``{prefix}.Event.EventData.Data.k = v`` and neither the plain
+      ``...Data`` key nor the ``...Data._Name`` attribute key is kept;
+    - ``<Data>`` elements WITHOUT a Name attribute list-append onto
+      ``{prefix}.Event.EventData.Data`` ("foo,bar");
+    - XML namespaces are stripped (the scanner emits plain tag names:
+      ``.winlog.Event.System.EventID``, not the xmlns-expanded form).
+    """
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(text)
+    except ET.ParseError:
+        return {}
+    out: dict[str, str] = {}
+    data_path = f"{prefix}.Event.EventData"
+
+    def tag(el) -> str:
+        return el.tag.rsplit("}", 1)[-1]
+
+    def walk(el, path: str) -> None:
+        key = f"{path}.{tag(el)}"
+        named_data = (
+            path == data_path and tag(el) == "Data" and "Name" in el.attrib
+        )
+        for aname, aval in el.attrib.items():
+            if named_data and aname == "Name":
+                continue
+            out[f"{key}._{aname}"] = aval
+        txt = (el.text or "").strip()
+        if named_data:
+            out[f"{key}.{el.attrib['Name']}"] = txt
+        elif txt:
+            out[key] = out[key] + "," + txt if key in out else txt
+        for child in el:
+            walk(child, key)
+
+    walk(root, prefix)
+    return out
+
+
+def windows_eventlog_xml_parser(
+    df: DataFrame, src_col: str = "text", out_col: str = "winlog",
+    prefix: str = "winlog",
+) -> DataFrame:
+    """windows-eventlog-xml-parser(): EventData Data-name promotion on
+    top of the generic dotted flatten; map<string,string> out column."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(MapType(StringType(), StringType()))
+    def parse_batch(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _flatten_winlog(t or "", prefix))
+
+    return df.withColumn(out_col, parse_batch(df[src_col]))
+
+
 def xml_parser_stream(
     df: DataFrame, src_col: str = "text", out_col: str = "xml", prefix: str = "xml"
 ) -> Iterator:  # pragma: no cover - thin alias

@@ -150,6 +150,68 @@ def test_macros(spark):
     assert r.pri == "35" and r.sev == "err" and r.fac == "auth"
 
 
+def test_stardate(spark):
+    """modules/stardate/stardate.c: year + truncated elapsed fraction.
+    2024-07-01T12:00:00Z is 182.5 days into leap-year 2024 ->
+    15768000/31622400 = 0.49863... -> 2024.49 at 2 digits."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (int(dt.datetime(2024, 7, 1, 12, tzinfo=dt.timezone.utc).timestamp()),),
+            (int(dt.datetime(2023, 1, 1, 0, tzinfo=dt.timezone.utc).timestamp()),),
+            (int(dt.datetime(2023, 12, 31, 23, 59, 59, tzinfo=dt.timezone.utc).timestamp()),),
+        ],
+        "u bigint",
+    )
+    got = [r.s for r in df.select(tf.tf_stardate(F.col("u"), 2).alias("s")).collect()]
+    assert got == ["2024.49", "2023.00", "2023.99"]
+    g0 = df.select(tf.tf_stardate(F.col("u"), 0).alias("s")).collect()[0].s
+    assert g0 == "2024"
+
+
+def test_format_cef_extension(spark):
+    """format-cef-extension.c: sorted keys, '=' and control escaping,
+    invalid (non-alnum) keys skipped."""
+    df = spark.createDataFrame([("a=b\\c", "line1\nline2", "x")], "v1 string, v2 string, v3 string")
+    out = df.select(
+        tf.format_cef_extension(
+            {"zkey": F.col("v1"), "akey": F.col("v2"), "bad key": F.col("v3")}
+        ).alias("ext")
+    ).collect()[0].ext
+    assert out == "akey=line1\\nline2 zkey=a\\=b\\\\c"
+    # map variant: same output from a dynamic NV map incl. \t ->
+    m = F.create_map(
+        F.lit("zkey"), F.col("v1"), F.lit("akey"), F.col("v2"),
+        F.lit("bad key"), F.col("v3"), F.lit("tab"), F.lit("a\tb"),
+    )
+    out2 = df.select(tf.format_cef_extension_map(m).alias("ext")).collect()[0].ext
+    assert out2 == "akey=line1\\nline2 tab=a\\u0009b zkey=a\\=b\\\\c"
+
+
+def test_format_cim(spark):
+    """scl/cim/template.conf: .cim.* shift 5, .* -> _*, keep _*/dotted,
+    drop bare names, @timestamp/@message pairs, sorted JSON keys."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 2, 3, 4, 5), "hello")], "ts timestamp, msg string"
+    )
+    pairs = F.create_map(
+        F.lit(".cim.action"), F.lit("allow"),
+        F.lit(".internal"), F.lit("x"),
+        F.lit("_priv"), F.lit("y"),
+        F.lit("net.src"), F.lit("1.2.3.4"),
+        F.lit("plainkey"), F.lit("dropped"),
+    )
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ssXXX")
+    out = df.select(tf.format_cim(pairs, iso, F.col("msg")).alias("j")).collect()[0].j
+    assert out == (
+        '{"@message":"hello","@timestamp":"2024-01-02T03:04:05Z",'
+        '"_internal":"x","_priv":"y","action":"allow","net.src":"1.2.3.4"}'
+    )
+
+
 def test_header_identity_macros(spark):
     """MSGHDR/TAG/BSDTAG/network macros (macros.c:207-230, 514-714):
     pid-less and program-less MSGHDR, PEERIP/PEERPORT fallthrough to

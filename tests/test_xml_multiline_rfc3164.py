@@ -28,6 +28,51 @@ def test_xml_parser(spark):
     assert rows["not xml"] == {}
 
 
+_WINLOG_COMMON = (
+    "<Event xmlns='http://schemas.microsoft.com/win/2004/08/events/event'>"
+    "<System><Provider Name='EventCreate'/>"
+    "<EventID Qualifiers='0'>999</EventID><Version>0</Version><Level>2</Level>"
+    "<TimeCreated SystemTime='2024-01-12T09:30:12.1566754Z'/>"
+    "<EventRecordID>934</EventRecordID>"
+    "<Channel>Application</Channel><Computer>DESKTOP-2MBFIV7</Computer>"
+    "<Security UserID='S-1-5-21-3714454296-2738353472-899133108-1001'/></System>"
+    "<RenderingInfo Culture='en-US'><Message>foobar</Message></RenderingInfo>"
+    "{eventdata}</Event>"
+)
+
+
+def test_windows_eventlog_xml_parser(spark):
+    """Cases from modules/xml/tests/test_windows_eventlog_xml_parser.c:
+    unnamed Data -> list under ...EventData.Data; named Data -> per-name
+    keys with the Data/_Name keys absent; namespaces stripped."""
+    from axosyslog_spark.operators.xmlparse import windows_eventlog_xml_parser
+
+    plain = _WINLOG_COMMON.format(
+        eventdata="<EventData><Data>foo</Data><Data>bar</Data></EventData>"
+    )
+    named = _WINLOG_COMMON.format(
+        eventdata="<EventData><Data Name='param1'>foo</Data>"
+        "<Data Name='param2'>bar</Data></EventData>"
+    )
+    df = spark.createDataFrame([(plain,), (named,)], "text string")
+    rows = {r.text: r.winlog for r in windows_eventlog_xml_parser(df).collect()}
+
+    got = rows[plain]
+    assert got["winlog.Event.EventData.Data"] == "foo,bar"
+    assert got["winlog.Event.System.EventID"] == "999"
+    assert got["winlog.Event.System.EventID._Qualifiers"] == "0"
+    assert got["winlog.Event.System.TimeCreated._SystemTime"] == (
+        "2024-01-12T09:30:12.1566754Z"
+    )
+
+    got = rows[named]
+    assert got["winlog.Event.EventData.Data.param1"] == "foo"
+    assert got["winlog.Event.EventData.Data.param2"] == "bar"
+    assert "winlog.Event.EventData.Data" not in got
+    assert "winlog.Event.EventData.Data._Name" not in got
+    assert got["winlog.Event.System.EventID"] == "999"
+
+
 def test_indented_multiline(spark):
     rows = [
         ("c1", 0, "Traceback (most recent call last):"),
