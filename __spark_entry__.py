@@ -434,6 +434,26 @@ def q_op_template_compile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_op_patternize(spark: SparkSession, sf: str) -> DataFrame:
+    """pdbtool patternize (SLCT clustering,
+    modules/correlation/patternize.c) over the raw transcript lines:
+    space-delimited, absolute support 30, lexicographic 3-sample set.
+    The oracle mirrors the full pipeline — frequent (pos, word) pairs,
+    cluster keys with delimiter sequences, support pruning and the
+    @ESTRING@ pattern rendering — in independent DuckDB SQL."""
+    from axosyslog_spark.operators.patternize import patternize
+
+    out = patternize(
+        _transcripts(spark, sf), "text",
+        absolute_support=30, delimiters=" ", num_samples=3,
+    )
+    return out.select(
+        "pattern",
+        "support",
+        F.array_join("samples", "\x1f").alias("samples"),
+    )
+
+
 def q_op_macro_expand(spark: SparkSession, sf: str) -> DataFrame:
     """Header/network/identity + week macro family (macros.c:207-230,
     372-376): MSGHDR, TAG, BSDTAG, WEEK_DAY/WEEK, the SOURCEIP/PORT +
@@ -763,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_kv_parse": q_op_kv_parse,
         "op_template_compile": q_op_template_compile,
         "op_macro_expand": q_op_macro_expand,
+        "op_patternize": q_op_patternize,
         "op_json_flatten": q_op_json_flatten,
         "op_date_parse": q_op_date_parse,
         "op_geoip_range": q_op_geoip_range,
@@ -978,6 +999,55 @@ def oracle_sql() -> dict[str, str]:
                               THEN 'BAD' ELSE 'OK' END AS rendered
         FROM parsed3
         """,
+        "op_patternize": W(
+            """
+            , tok AS (
+              SELECT conv_id, turn_idx, text,
+                     unnest(string_split(text, ' ')) AS word,
+                     generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+              FROM transcripts
+            ), freq AS (
+              SELECT pos, word FROM tok GROUP BY pos, word HAVING count(*) >= 30
+            ), pieces AS (
+              SELECT t.conv_id, t.turn_idx, t.text, t.pos,
+                     CASE WHEN f.word IS NOT NULL
+                          THEN CAST(t.pos AS VARCHAR) || ' ' || t.word
+                          ELSE CAST(t.pos AS VARCHAR) || ' ' || chr(26) END AS piece,
+                     (f.word IS NOT NULL) AS isf
+              FROM tok t LEFT JOIN freq f ON t.pos = f.pos AND t.word = f.word
+            ), keys AS (
+              SELECT conv_id, turn_idx, max(text) AS text,
+                     string_agg(piece, chr(30) ORDER BY pos) || chr(30) ||
+                       regexp_replace(max(text), '[^ ]', '', 'g') AS key,
+                     bool_or(isf) AS cand
+              FROM pieces GROUP BY conv_id, turn_idx
+            ), clusters AS (
+              SELECT key, count(*) AS support,
+                     list_sort(array_agg(text))[1:3] AS samples
+              FROM keys WHERE cand GROUP BY key HAVING count(*) >= 30
+            ), rend AS (
+              SELECT key, support, samples, string_split(key, chr(30)) AS parts
+              FROM clusters
+            ), rtok AS (
+              SELECT key, support, samples,
+                     parts[len(parts)] AS delims,
+                     len(parts) - 1 AS nw,
+                     unnest(parts[1:len(parts)-1]) AS w,
+                     generate_subscripts(parts[1:len(parts)-1], 1) AS i
+              FROM rend
+            )
+            SELECT string_agg(
+                     CASE WHEN regexp_extract(w, '^[0-9]+ (.*)$', 1) = chr(26)
+                          THEN CASE WHEN i = nw THEN ''
+                               ELSE '@ESTRING::' || substr(delims, i, 1) || '@' END
+                          ELSE replace(regexp_extract(w, '^[0-9]+ (.*)$', 1), '@', '@@')
+                               || CASE WHEN i = nw THEN '' ELSE substr(delims, i, 1) END
+                     END, '' ORDER BY i) AS pattern,
+                   max(support) AS support,
+                   list_aggr(max(samples), 'string_agg', chr(31)) AS samples
+            FROM rtok GROUP BY key
+            """
+        ),
         "op_macro_expand": P
         + """
         SELECT conv_id, turn_idx,

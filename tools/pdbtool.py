@@ -72,6 +72,61 @@ def cmd_match(args) -> int:
     return rc
 
 
+def cmd_patternize(args) -> int:
+    """pdbtool patternize analog (pdbtool.c:1190-1230 option surface,
+    ptz_print_patterndb output shape): cluster a log file with SLCT
+    and print a patterndb v6 ruleset skeleton. Rule ids are
+    content-derived (md5 of the pattern) instead of random UUIDs so
+    output is reproducible."""
+    import hashlib
+    from xml.sax.saxutils import escape
+
+    from axosyslog_spark.operators.patternize import (
+        DEFAULT_DELIMITERS,
+        patternize,
+    )
+
+    spark = _spark()
+    df = spark.read.text(args.file).withColumnRenamed("value", "text")
+    clusters = patternize(
+        df,
+        "text",
+        support=args.support,
+        delimiters=args.delimiters or DEFAULT_DELIMITERS,
+        num_samples=args.samples,
+        iterate_outliers=args.iterate_outliers,
+    ).collect()
+
+    def uid(s: str) -> str:
+        h = hashlib.md5(s.encode()).hexdigest()
+        return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+
+    print("<patterndb version='6' pub_date='1970-01-01'>")
+    print(f"  <ruleset name='patternize' id='{uid('patternize')}'>")
+    print("    <rules>")
+    for r in sorted(clusters, key=lambda r: (-r.support, r.pattern)):
+        print(f"      <rule id='{uid(r.pattern)}' class='system' provider='patternize'>")
+        print(f"        <!-- support: {r.support} -->")
+        print("        <patterns>")
+        print(f"          <pattern>{escape(r.pattern)}</pattern>")
+        print("        </patterns>")
+        if r.samples:
+            print("        <examples>")
+            for s in r.samples:
+                print("            <example>")
+                print(
+                    "                <test_message program='patternize'>"
+                    f"{escape(s)}</test_message>"
+                )
+                print("            </example>")
+            print("        </examples>")
+        print("      </rule>")
+    print("    </rules>")
+    print("  </ruleset>")
+    print("</patterndb>")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -81,7 +136,18 @@ def main(argv=None) -> int:
     m.add_argument("--ruleset", required=True)
     m.add_argument("--message", required=True)
     m.add_argument("--program", default=None)
+    z = sub.add_parser(
+        "patternize", help="discover patterns from a log file (SLCT)"
+    )
+    z.add_argument("--file", required=True, help="plain-text log file")
+    z.add_argument("--support", "-S", type=float, default=4.0,
+                   help="%% of lines that must support a pattern")
+    z.add_argument("--delimiters", "-d", default=None)
+    z.add_argument("--samples", type=int, default=3)
+    z.add_argument("--iterate-outliers", action="store_true")
     args = p.parse_args(argv)
+    if args.cmd == "patternize":
+        return cmd_patternize(args)
     return cmd_test(args) if args.cmd == "test" else cmd_match(args)
 
 
