@@ -864,6 +864,51 @@ def _FUNCS_DISPATCH(fn: str, a: list[Column], raws: list[str | None] = ()) -> Co
         return istype(one, _need_raw(fn, raws, 1))
     if fn == "repr":
         return one.cast("string")
+    # --- str-transform + typecast additions (filterx-globals.c:119-133) ---
+    if fn == "lower":
+        return F.lower(one)
+    if fn == "upper":
+        return F.upper(one)
+    if fn == "str_strip":
+        return F.trim(one)
+    if fn == "bytes":
+        return one.cast("binary")
+    if fn in ("uuid", "uuid4"):
+        # inherently nondeterministic, like the reference
+        return F.expr("uuid()")
+    if fn == "ip":
+        # typecast ip: the value when it parses as an address, null
+        # otherwise (the batch analog of the cast raising an error)
+        from axosyslog_spark.operators.filters import ip_to_long
+
+        v4 = ip_to_long(one).isNotNull()
+        v6 = one.rlike(r"^[0-9A-Fa-f:]*:[0-9A-Fa-f:]*(:\d+\.\d+\.\d+\.\d+)?$")
+        return F.when(v4 | v6, one)
+    if fn == "subnet":
+        from axosyslog_spark.operators.filters import ip_to_long
+
+        addr = F.element_at(F.split(one, "/", 2), 1)
+        plen = F.try_element_at(F.split(one, "/", 2), F.lit(2)).try_cast("int")
+        valid = ip_to_long(addr).isNotNull() & plen.between(0, 32)
+        return F.when(valid, one)
+    if fn == "dict_to_pairs":
+        # dict -> [{key:..., value:...}] (filterx-func-dict-to-pairs.c)
+        return F.transform(
+            F.map_entries(one),
+            lambda e: F.struct(e["key"].alias("key"), e["value"].alias("value")),
+        )
+    if fn == "flatten":
+        # our open-schema dict is map<string,string> (already flat); a
+        # JSON-string arg flattens through the dotted-key flattener
+        from axosyslog_spark.operators.jsonflatten import flatten_json_column
+
+        return flatten_json_column(one)
+    # --- timezone family (lib/filterx/func-*timezone*.c; same
+    #     semantics as the rewrite-step operators in rewrite.py) ---
+    if fn == "fix_timezone":
+        return F.to_utc_timestamp(one.cast("timestamp"), _need_raw(fn, raws, 1))
+    if fn == "set_timezone":
+        return F.from_utc_timestamp(one.cast("timestamp"), _need_raw(fn, raws, 1))
     raise FilterXSyntaxError(f"unknown filterx function {fn!r}()")
 
 

@@ -50,6 +50,39 @@ def _looks_like_object(v: Column) -> Column:
     return v.isNotNull() & v.startswith("{")
 
 
+def flatten_json_column(
+    src: Column, key_delimiter: str = ".", max_depth: int = 3
+) -> Column:
+    """Column-level dotted-key flatten of a JSON-object string (the
+    filterx flatten() builtin): map<string,string> or NULL when the
+    input isn't a JSON object. Unlike json_flatten (which splits each
+    nesting round into its own projection), the rounds nest inside one
+    expression here, so max_depth stays small — use the DataFrame
+    operator for deep documents."""
+    top = F.from_json(src.cast("string"), _MAP_SS)
+    entries = F.map_entries(top)
+    for _ in range(max_depth):
+        entries = F.flatten(
+            F.transform(
+                entries,
+                lambda e: F.when(
+                    _looks_like_object(e["value"])
+                    & F.from_json(e["value"], _MAP_SS).isNotNull(),
+                    F.transform(
+                        F.map_entries(F.from_json(e["value"], _MAP_SS)),
+                        lambda c: F.struct(
+                            F.concat(
+                                e["key"], F.lit(key_delimiter), c["key"]
+                            ).alias("key"),
+                            c["value"].alias("value"),
+                        ),
+                    ),
+                ).otherwise(F.array(e)),
+            )
+        )
+    return F.when(top.isNotNull(), _entries_to_map_last_wins(entries))
+
+
 def json_flatten(
     df: DataFrame,
     src_col: str = "text",

@@ -401,6 +401,47 @@ def test_str_builtins(spark):
     assert row["sub"] == "bbb"
 
 
+def test_typecast_and_transform_builtins(spark):
+    """lower/upper/str_strip, ip()/subnet() typecasts (null on
+    invalid), dict_to_pairs, flatten, fix/set_timezone
+    (filterx-globals.c:97-133 additions)."""
+    df = spark.createDataFrame(
+        [(0, "  MiXeD  ", "10.1.2.3", "999.1.2.3", '{"a":{"b":"1"},"c":"2"}')],
+        "id int, t string, good_ip string, bad_ip string, doc string",
+    )
+    out = filterx(
+        df,
+        """
+        $lo = lower($t);
+        $up = upper($t);
+        $st = str_strip($t);
+        $ip_ok = ip($good_ip);
+        $ip_bad = ip($bad_ip);
+        $ip6 = ip("fe80::1");
+        $net_ok = subnet("10.0.0.0/8");
+        $net_bad = subnet("10.0.0.0/64");
+        $flat = flatten($doc);
+        $fz = fix_timezone(strptime("2024-03-05 12:00:00", "%Y-%m-%d %H:%M:%S"), "UTC+02:00");
+        """,
+    )
+    row = out.collect()[0]
+    assert row["lo"] == "  mixed  " and row["up"] == "  MIXED  "
+    assert row["st"] == "MiXeD"
+    assert row["ip_ok"] == "10.1.2.3" and row["ip_bad"] is None
+    assert row["ip6"] == "fe80::1"
+    assert row["net_ok"] == "10.0.0.0/8" and row["net_bad"] is None
+    assert row["flat"] == {"a.b": "1", "c": "2"}
+    # 12:00 wall clock reinterpreted as UTC+2 -> 10:00 UTC
+    assert str(row["fz"]).startswith("2024-03-05 10:00:00")
+
+    out2 = filterx(
+        spark.createDataFrame([(0, "a=1 b=2")], "id int, kv string"),
+        "$p = dict_to_pairs(parse_kv($kv));",
+    )
+    pairs = sorted((e["key"], e["value"]) for e in out2.collect()[0]["p"])
+    assert pairs == [("a", "1"), ("b", "2")]
+
+
 def test_break_outside_switch_is_an_error():
     with pytest.raises(FilterXSyntaxError):
         compile_filterx("break;")
