@@ -454,6 +454,40 @@ def q_op_patternize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_op_winlog_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """windows-eventlog-xml-parser over synthesized Event XML: named
+    <Data Name=..> entries promote to per-name keys (even event_ids),
+    unnamed ones list-append (odd). The oracle does NOT parse XML —
+    it constructs the expected (key, value) pairs straight from the
+    source columns, so the parser is checked against an independent
+    derivation (modules/xml/windows-eventlog-xml-parser.c)."""
+    from axosyslog_spark.operators.xmlparse import windows_eventlog_xml_parser
+
+    ev = _utc(spark).read.parquet(f"{sf}/events.parquet")
+    eid = F.col("event_id")
+    named = F.concat(
+        F.lit("<Data Name='p1'>v"), (eid % 7).cast("string"),
+        F.lit("</Data><Data Name='p2'>w"), (eid % 11).cast("string"),
+        F.lit("</Data>"),
+    )
+    unnamed = F.concat(
+        F.lit("<Data>x"), (eid % 7).cast("string"),
+        F.lit("</Data><Data>y"), (eid % 11).cast("string"), F.lit("</Data>"),
+    )
+    xml = F.concat(
+        F.lit("<Event xmlns='http://schemas.microsoft.com/win/2004/08/events/event'>"
+              "<System><EventID>"),
+        (eid % 1000).cast("string"),
+        F.lit("</EventID><Channel>Application</Channel><Computer>h"),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit("</Computer></System><EventData>"),
+        F.when(eid % 2 == 0, named).otherwise(unnamed),
+        F.lit("</EventData></Event>"),
+    )
+    parsed = windows_eventlog_xml_parser(ev.select("event_id", xml.alias("text")))
+    return parsed.select("event_id", F.explode("winlog").alias("key", "value"))
+
+
 def q_op_macro_expand(spark: SparkSession, sf: str) -> DataFrame:
     """Header/network/identity + week macro family (macros.c:207-230,
     372-376): MSGHDR, TAG, BSDTAG, WEEK_DAY/WEEK, the SOURCEIP/PORT +
@@ -783,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_kv_parse": q_op_kv_parse,
         "op_template_compile": q_op_template_compile,
         "op_macro_expand": q_op_macro_expand,
+        "op_winlog_parse": q_op_winlog_parse,
         "op_patternize": q_op_patternize,
         "op_json_flatten": q_op_json_flatten,
         "op_date_parse": q_op_date_parse,
@@ -1048,6 +1083,33 @@ def oracle_sql() -> dict[str, str]:
             FROM rtok GROUP BY key
             """
         ),
+        "op_winlog_parse": """
+        WITH base AS (
+          SELECT event_id,
+                 CAST(event_id % 1000 AS VARCHAR) AS eid,
+                 'h' || CAST(user_id % 5 AS VARCHAR) AS comp,
+                 CAST(event_id % 7 AS VARCHAR) AS a,
+                 CAST(event_id % 11 AS VARCHAR) AS b,
+                 (event_id % 2 = 0) AS is_named
+          FROM events
+        )
+        SELECT event_id, key, value FROM (
+          SELECT event_id, 'winlog.Event.System.EventID' AS key, eid AS value FROM base
+          UNION ALL
+          SELECT event_id, 'winlog.Event.System.Channel', 'Application' FROM base
+          UNION ALL
+          SELECT event_id, 'winlog.Event.System.Computer', comp FROM base
+          UNION ALL
+          SELECT event_id, 'winlog.Event.EventData.Data.p1', 'v' || a
+          FROM base WHERE is_named
+          UNION ALL
+          SELECT event_id, 'winlog.Event.EventData.Data.p2', 'w' || b
+          FROM base WHERE is_named
+          UNION ALL
+          SELECT event_id, 'winlog.Event.EventData.Data', 'x' || a || ',' || 'y' || b
+          FROM base WHERE NOT is_named
+        )
+        """,
         "op_macro_expand": P
         + """
         SELECT conv_id, turn_idx,
