@@ -786,6 +786,20 @@ def q_emb_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_topk(embs, embs.filter(F.col("vec_id") < 10), dim=EMB_DIM, k=5)
 
 
+def q_emb_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN top-k (coarse quantizer from md5-sampled centroids,
+    nprobe=4 of 16 lists, equi-join candidates, exact re-rank). The
+    whole approximate path is deterministic + integer-quantized, so
+    unlike LSH it gets a FULL hash-check against an independent SQL
+    mirror (oracle.emb_ivf_topk_sql)."""
+    from axosyslog_spark.operators.similarity import ivf_topk
+
+    embs = _embs(spark, sf)
+    return ivf_topk(
+        embs, embs.filter(F.col("vec_id") < 10), k=5, n_lists=16, nprobe=4
+    )
+
+
 def q_doc_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dups — bit-vote semantics aren't reasonably
     SQL-expressible; rows-only check + unit tests."""
@@ -841,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk": q_emb_topk,
         "emb_near_dups": q_emb_near_dups,
         "emb_lsh_topk": q_emb_lsh_topk,
+        "emb_ivf_topk": q_emb_ivf_topk,
     }
 
 
@@ -1361,6 +1376,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_bands": oracle.doc_minhash_sql(8, 4),
         "doc_minhash_pairs": oracle.doc_minhash_pairs_sql(8, 4, 100_000),
         "emb_topk": oracle.emb_topk_sql(5, 10),
+        "emb_ivf_topk": oracle.emb_ivf_topk_sql(5, 10, 16, 4),
         "emb_near_dups": oracle.emb_near_dups_sql(500_000),
         # doc_simhash_pairs, emb_lsh_topk: intentionally no oracle
         # (non-SQL-expressible; rows-only check)

@@ -424,6 +424,57 @@ def emb_topk_sql(k: int, n_queries: int) -> str:
     )
 
 
+def emb_ivf_topk_sql(
+    k: int, n_queries: int, n_lists: int, nprobe: int
+) -> str:
+    """Full IVF mirror: md5-sampled centroids, argmax assignment,
+    nprobe probing, equi-join candidates, exact re-rank — the same
+    pipeline similarity.ivf_topk runs, derived independently in SQL."""
+    return (
+        "WITH "
+        + EMB_QUANT_CTE.strip()
+        + f""",
+        cent AS (
+          SELECT vec_id AS cid, v AS cvec, nsq AS cnsq
+          FROM norms ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {n_lists}
+        ),
+        cscore AS (
+          SELECT n.vec_id, n.v, n.nsq, c.cid,
+                 CAST(list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cvec[i])) AS BIGINT)
+                   / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(c.cnsq AS DOUBLE))) AS cos,
+                 row_number() OVER (
+                   PARTITION BY n.vec_id ORDER BY
+                     CAST(list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cvec[i])) AS BIGINT)
+                       / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(c.cnsq AS DOUBLE))) DESC,
+                     c.cid ASC) AS rn
+          FROM norms n CROSS JOIN cent c
+        ),
+        assign AS (
+          SELECT vec_id, v, nsq, cid AS list_id FROM cscore WHERE rn = 1
+        ),
+        probes AS (
+          SELECT vec_id AS qid, v AS qv, nsq AS qnsq, cid AS list_id
+          FROM cscore WHERE vec_id < {n_queries} AND rn <= {nprobe}
+        ),
+        pairs AS (
+          SELECT p.qid, a.vec_id AS nid,
+                 CAST(list_sum(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * a.v[i])) AS BIGINT)
+                   / (sqrt(CAST(p.qnsq AS DOUBLE)) * sqrt(CAST(a.nsq AS DOUBLE))) AS cosine
+          FROM probes p JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.qid
+        ),
+        ranked AS (
+          SELECT qid, nid, cosine,
+                 row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+          FROM pairs
+        )
+        SELECT qid AS query_id, CAST(rank AS INT) AS rank, nid AS neighbor_id,
+               CAST(floor(cosine * 1000000) AS BIGINT) AS cos_e6
+        FROM ranked WHERE rank <= {k}
+        """
+    )
+
+
 def emb_near_dups_sql(threshold_e6: int) -> str:
     return (
         "WITH "
