@@ -210,6 +210,41 @@ def q_pipe_patterndb(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pipe_pdb_actions(spark: SparkSession, sf: str) -> DataFrame:
+    """PatternDB <actions>: match-triggered synthetic messages
+    (pdb-action.c / synthetic-message.c) — every kv_retry match emits
+    one synthetic row (alert template + tag) plus a second, condition-
+    gated one for error statuses; originals pass through
+    (inject-mode pass-through). The oracle reconstructs both the
+    classification (hand-written fixture regexes) and the synthetic
+    multiset independently in SQL."""
+    from axosyslog_spark.operators.parse import parse_header
+    from axosyslog_spark.operators.patterndb import PdbAction
+
+    rules = [
+        PdbRule(
+            "kv_retry",
+            "status=@ESTRING:status: @latency_ms=@NUMBER:latency_ms@ path=@ESTRING:path: @retry=@NUMBER:retry@",
+            actions=(
+                PdbAction(values=(("alert", "retry ${path}"),), tags=("retried",)),
+                PdbAction(
+                    condition='"${status}" eq "error"',
+                    values=(("alert", "ERROR ${path}"),),
+                    tags=("alerted",),
+                ),
+            ),
+        ),
+        *[r for r in PDB_RULES if r.rule_id != "kv_retry"],
+    ]
+    pdb = PatternDB(rules)
+    p = parse_header(_transcripts(spark, sf))
+    out = pdb.apply_match_actions(pdb.apply(p, text_col="body"))
+    return out.select(
+        "conv_id", "turn_idx", "rule_id", "synthetic", "alert",
+        F.array_join(F.col("pdb_tags"), ",").alias("tags"),
+    )
+
+
 def q_pipe_patterndb_xml(spark: SparkSession, sf: str) -> DataFrame:
     """db-parser() with an XML ruleset: load the packaged pdb document
     (pdb-load.c analog), classify bodies, extract typed fields, render
@@ -683,6 +718,43 @@ def q_op_cef_parse(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_op_filterx_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Module-provided FilterX builtins driven from a filterx {} block
+    (modules/cef/filterx-func-parse-cef.c, modules/csvparser/
+    filterx-func-parse-csv.c, modules/xml/filterx-func-format-xml.c):
+    CEF lines + CSV rows are synthesized from events, parsed inside the
+    block, and re-rendered; the DuckDB oracle constructs every output
+    independently, so a parse+format bug cannot cancel out."""
+    from axosyslog_spark.functions.filterx_lang import filterx
+
+    ev = _utc(spark).read.parquet(f"{sf}/events.parquet")
+    cef = F.concat(
+        F.lit("CEF:0|AxoCorp|engine|4.26|"), F.col("event_type"),
+        F.lit("|User activity|"), (F.col("event_id") % 10).cast("string"),
+        F.lit("|src=10.0.0."), (F.col("user_id") % 250).cast("string"),
+        F.lit(" act="), F.col("event_type"),
+    )
+    csv = F.concat_ws(
+        ",",
+        F.col("event_id").cast("string"), F.col("event_type"),
+        F.col("user_id").cast("string"),
+    )
+    df = ev.select("event_id", cef.alias("cef_line"), csv.alias("csv_line"))
+    out = filterx(
+        df,
+        """
+        $m = parse_cef($cef_line);
+        $vendor = $m["device_vendor"];
+        $sev = int($m["agent_severity"]);
+        $srcact = $m["src"] + "/" + $m["act"];
+        $row = parse_csv($csv_line, "eid,etype,uid");
+        $xml = format_xml($row);
+        $vals = format_csv_values($row, ";");
+        """,
+    )
+    return out.select("event_id", "vendor", "sev", "srcact", "xml", "vals")
+
+
 def q_pipe_multiline(spark: SparkSession, sf: str) -> DataFrame:
     """regexp-prefix multi-line assembly over transcripts: syslog-
     headed turns start a message, everything else continues it."""
@@ -827,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_format_output": q_pipe_format_output,
         "pipe_patterndb": q_pipe_patterndb,
         "pipe_patterndb_xml": q_pipe_patterndb_xml,
+        "pipe_pdb_actions": q_pipe_pdb_actions,
         "op_csv_parse": q_op_csv_parse,
         "op_kv_parse": q_op_kv_parse,
         "op_template_compile": q_op_template_compile,
@@ -841,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_netmask_inlist": q_op_netmask_inlist,
         "op_subst": q_op_subst,
         "op_cef_parse": q_op_cef_parse,
+        "op_filterx_funcs": q_op_filterx_funcs,
         "pipe_multiline": q_pipe_multiline,
         "pipe_filterx": q_pipe_filterx,
         "pipe_smart_multiline": q_pipe_smart_multiline,
@@ -1003,6 +1077,34 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "pipe_patterndb_xml": _patterndb_xml_oracle(),
+        "pipe_pdb_actions": (
+            # hand-written classification regexes + an independently
+            # constructed synthetic-row multiset
+            "WITH "
+            + oracle.TRANSCRIPTS_ORACLE_CTE.strip()
+            + ",\n"
+            + oracle.PARSED_CTE.strip()
+            + ", classified AS (\n"
+            + oracle.patterndb_fixture_sql(
+                "body", "FROM parsed2", "conv_id, turn_idx"
+            )
+            + """
+            )
+            SELECT conv_id, turn_idx, rule_id,
+                   FALSE AS synthetic,
+                   CAST(NULL AS VARCHAR) AS alert,
+                   CAST(NULL AS VARCHAR) AS tags
+            FROM classified
+            UNION ALL
+            SELECT conv_id, turn_idx, rule_id, TRUE,
+                   'retry ' || path, 'retried'
+            FROM classified WHERE rule_id = 'kv_retry'
+            UNION ALL
+            SELECT conv_id, turn_idx, rule_id, TRUE,
+                   'ERROR ' || path, 'alerted'
+            FROM classified WHERE rule_id = 'kv_retry' AND status = 'error'
+            """
+        ),
         "op_csv_parse": """
         WITH lines AS (
           SELECT event_id,
@@ -1273,6 +1375,20 @@ def oracle_sql() -> dict[str, str]:
                regexp_extract(p[8], 'src=([^ ]+)', 1) AS src,
                regexp_extract(p[8], 'act=([^ ]+)', 1) AS act
         FROM split_up
+        """,
+        # every output constructed independently of the Spark-side
+        # parse+format chain (construction-based oracle)
+        "op_filterx_funcs": """
+        SELECT event_id,
+               'AxoCorp' AS vendor,
+               CAST(event_id % 10 AS BIGINT) AS sev,
+               '10.0.0.' || CAST(user_id % 250 AS VARCHAR) || '/' || event_type AS srcact,
+               '<eid>' || CAST(event_id AS VARCHAR) || '</eid><etype>' ||
+               event_type || '</etype><uid>' || CAST(user_id AS VARCHAR) ||
+               '</uid>' AS xml,
+               CAST(event_id AS VARCHAR) || ';' || event_type || ';' ||
+               CAST(user_id AS VARCHAR) AS vals
+        FROM events
         """,
         "pipe_multiline": W(
             """

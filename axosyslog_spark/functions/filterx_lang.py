@@ -558,6 +558,14 @@ class _Compiler:
         return left
 
     def add_expr(self, st: _State) -> Column:
+        lt = self.peek()
+        left_stringy = lt is not None and (
+            lt.kind == "string"
+            or (
+                lt.kind == "field"
+                and self._field_name(lt.text) in (self.string_fields or ())
+            )
+        )
         left = self.mul_expr(st)
         while True:
             t = self.peek()
@@ -569,8 +577,16 @@ class _Compiler:
                 continue
             if self.at("+") or self.at("-"):
                 op = self.next().text
+                # expr-plus.c: + concatenates when either side is a
+                # string (same plan-time dispatch += uses)
+                concat = op == "+" and (left_stringy or self._rhs_is_stringy())
                 right = self.mul_expr(st)
-                left = left + right if op == "+" else left - right
+                left = (
+                    self._plus(left, right, concat) if op == "+" else left - right
+                )
+                # once a chain concatenates, the running value is a
+                # string: `$m["src"] + "/" + $m["act"]` stays concat
+                left_stringy = left_stringy or concat
                 continue
             return left
 
@@ -909,6 +925,78 @@ def _FUNCS_DISPATCH(fn: str, a: list[Column], raws: list[str | None] = ()) -> Co
         return F.to_utc_timestamp(one.cast("timestamp"), _need_raw(fn, raws, 1))
     if fn == "set_timezone":
         return F.from_utc_timestamp(one.cast("timestamp"), _need_raw(fn, raws, 1))
+    # --- module-provided event-format builtins ---
+    # (modules/cef/filterx-func-parse-cef.c / -parse-leef.c /
+    #  -format-cef.c / -format-leef.c)
+    if fn in ("parse_cef", "parse_leef", "format_cef", "format_leef"):
+        from axosyslog_spark.operators import cef
+
+        return {
+            "parse_cef": cef.parse_cef_fx,
+            "parse_leef": cef.parse_leef_fx,
+            "format_cef": cef.format_cef_fx,
+            "format_leef": cef.format_leef_fx,
+        }[fn](one)
+    # modules/xml: parse_xml / parse_windows_eventlog_xml / format_xml
+    if fn == "parse_xml":
+        from axosyslog_spark.operators.xmlparse import xml_flatten_col
+
+        return xml_flatten_col(one, raws[1] if len(raws) > 1 and raws[1] else "xml")
+    if fn == "parse_windows_eventlog_xml":
+        from axosyslog_spark.operators.xmlparse import winlog_flatten_col
+
+        return winlog_flatten_col(
+            one, raws[1] if len(raws) > 1 and raws[1] else "winlog"
+        )
+    if fn == "format_xml":
+        from axosyslog_spark.operators.xmlparse import format_xml_fx
+
+        return format_xml_fx(one)
+    # modules/csvparser filterx-func-parse-csv.c: with a columns list a
+    # dict comes back (quote-aware via from_csv); without columns a
+    # plain delimiter split list (quote handling needs the fixed-arity
+    # schema, documented subset)
+    if fn == "parse_csv":
+        cols = raws[1] if len(raws) > 1 and raws[1] else None
+        delim = raws[2] if len(raws) > 2 and raws[2] else ","
+        if cols is None:
+            return F.split(one, re.escape(delim))
+        names = [c.strip() for c in cols.split(",")]
+        schema = ", ".join(f"`{n}` string" for n in names)
+        struct = F.from_csv(one, schema, {"sep": delim})
+        return F.from_json(F.to_json(struct), "map<string,string>")
+    # modules/csvparser filterx-func-format-csv.c: list or dict values
+    # joined with the delimiter
+    if fn == "format_csv":
+        delim = raws[1] if len(raws) > 1 and raws[1] else ","
+        return F.array_join(one, delim)
+    if fn == "format_csv_values":
+        delim = raws[1] if len(raws) > 1 and raws[1] else ","
+        return F.array_join(F.map_values(one), delim)
+    # lib/filterx/func-sdata.c over our .SDATA.* map column
+    if fn == "get_sdata":
+        return F.col("sdata")
+    if fn == "has_sdata":
+        sd = F.col("sdata")
+        return sd.isNotNull() & (F.size(sd) > 0)
+    # lib/filterx/func-cache-json-file.c: plan-time (config-time in the
+    # reference) load of a small JSON dict, broadcast as a literal map
+    if fn == "cache_json_file":
+        import json as _json
+
+        with open(_need_raw(fn, raws, 0)) as fh:
+            data = _json.load(fh)
+        if not isinstance(data, dict):
+            raise FilterXSyntaxError("cache_json_file: top level must be a dict")
+        flat: dict[str, str] = {}
+        for k, v in data.items():
+            if isinstance(v, dict):
+                for k2, v2 in v.items():
+                    flat[f"{k}.{k2}"] = str(v2)
+            else:
+                flat[k] = str(v)
+        pairs = [x for kv in flat.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+        return F.create_map(*pairs)
     raise FilterXSyntaxError(f"unknown filterx function {fn!r}()")
 
 

@@ -13,7 +13,7 @@ extension), str_to_map for extensions — single projection.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 CEF_HEADER_FIELDS = (
@@ -46,3 +46,116 @@ def parse_leef(df: DataFrame, src_col: str = "text", prefix: str = "") -> DataFr
         out = out.withColumn(prefix + name, val)
     ext = F.when(F.col(f"{prefix}leef_ok"), F.element_at(parts, 6))
     return out.withColumn(f"{prefix}leef_ext", F.str_to_map(ext, F.lit("\t"), F.lit("=")))
+
+
+# ---------------------------------------------------------------------------
+# FilterX builtin shapes: Column -> map<string,string> / inverse
+# (modules/cef/filterx-func-parse-cef.c, filterx-func-parse-leef.c,
+#  filterx-func-format-cef.c, filterx-func-format-leef.c)
+# ---------------------------------------------------------------------------
+
+# dict keys the filterx parse_cef()/parse_leef() builtins emit
+# (cef_fields[] filterx-func-parse-cef.c:30-39,
+#  leef_fields[] filterx-func-parse-leef.c:171-176)
+CEF_FX_FIELDS = (
+    "cef_version", "device_vendor", "device_product", "device_version",
+    "device_event_class_id", "event_name", "agent_severity",
+)
+LEEF_FX_FIELDS = (
+    "leef_version", "vendor_name", "product_name", "product_version",
+    "event_id",
+)
+
+
+def _unescape_hdr(c: Column) -> Column:
+    return F.regexp_replace(c, r"\\([|\\])", "$1")
+
+
+def parse_cef_fx(src: Column) -> Column:
+    """filterx parse_cef(): one map<string,string> of the 7 header
+    fields + the space-separated extension k=v pairs (values absorb
+    following words without '=', per the kv-scanner config in
+    filterx-func-parse-cef.c cef_cfg). NULL when not a CEF line."""
+    from axosyslog_spark.operators.kvscan import kv_scan
+
+    is_cef = src.startswith("CEF:")
+    parts = F.split(F.regexp_replace(src, "^CEF:", ""), r"(?<!\\)\|", 8)
+    hdr = F.map_from_arrays(
+        F.array(*[F.lit(n) for n in CEF_FX_FIELDS]),
+        F.array(*[_unescape_hdr(F.element_at(parts, i + 1)) for i in range(7)]),
+    )
+    pairs = kv_scan(F.element_at(parts, 8))
+    ext = F.map_from_entries(
+        F.transform(pairs, lambda p: F.struct(p["key"], p["value"]))
+    )
+    return F.when(is_cef & (F.size(parts) >= 8), F.map_concat(hdr, ext))
+
+
+def parse_leef_fx(src: Column) -> Column:
+    """filterx parse_leef(): LEEF 1.0 (tab-separated extensions) and
+    2.0 (explicit delimiter header field — literal char, 'x26' or
+    '0x26' hex forms, filterx-func-parse-leef.c:43-76). NULL when not
+    a LEEF line."""
+    is_leef = src.startswith("LEEF:")
+    body = F.regexp_replace(src, "^LEEF:", "")
+    p1 = F.split(body, r"(?<!\\)\|", 6)  # 1.0: ext is field 6
+    p2 = F.split(body, r"(?<!\\)\|", 7)  # 2.0: delim field 6, ext 7
+    ver = F.element_at(p1, 1)
+    is20 = ver.startswith("2.")
+    delim_raw = F.element_at(p2, 6)
+    hexpart = F.regexp_extract(delim_raw, r"^(?:0[xX]|[xX])([0-9A-Fa-f]{2})$", 1)
+    delim = (
+        F.when(delim_raw == "", F.lit("\t"))
+        .when(hexpart != "", F.char(F.conv(hexpart, 16, 10).cast("int")))
+        .when(F.length(delim_raw) == 1, delim_raw)
+    )
+    ext_raw = F.when(is20, F.element_at(p2, 7)).otherwise(F.element_at(p1, 6))
+    pair_re = F.when(is20, F.concat(F.lit(r"\Q"), delim, F.lit(r"\E"))).otherwise(
+        F.lit("\t")
+    )
+    hdr = F.map_from_arrays(
+        F.array(*[F.lit(n) for n in LEEF_FX_FIELDS]),
+        F.array(*[_unescape_hdr(F.element_at(p2, i + 1)) for i in range(5)]),
+    )
+    ok = is_leef & (
+        (is20 & (F.size(p2) >= 7) & delim.isNotNull())
+        | (~is20 & (F.size(p1) >= 6))
+    )
+    return F.when(ok, F.map_concat(hdr, F.str_to_map(ext_raw, pair_re, F.lit("="))))
+
+
+def _escape_hdr(c: Column) -> Column:
+    return F.regexp_replace(c.cast("string"), r"([|\\])", r"\\$1")
+
+
+def _format_event_fx(m: Column, sig: str, fields: tuple, ext_sep: str) -> Column:
+    hdr = F.concat_ws(
+        "|", *[_escape_hdr(F.coalesce(F.element_at(m, f), F.lit(""))) for f in fields]
+    )
+    ext_entries = F.filter(
+        F.map_entries(m), lambda e: ~e["key"].isin(*fields)
+    )
+    ext = F.array_join(
+        F.transform(
+            ext_entries,
+            lambda e: F.concat(
+                e["key"], F.lit("="),
+                F.regexp_replace(e["value"], r"([=\\])", r"\\$1"),
+            ),
+        ),
+        ext_sep,
+    )
+    return F.concat(F.lit(sig), hdr, F.lit("|"), ext)
+
+
+def format_cef_fx(m: Column) -> Column:
+    """filterx format_cef(dict): inverse of parse_cef_fx — named header
+    keys (| and \\ escaped) then the remaining keys as space-separated
+    k=v extensions in map order (event-format-formatter.c)."""
+    return _format_event_fx(m, "CEF:", CEF_FX_FIELDS, " ")
+
+
+def format_leef_fx(m: Column) -> Column:
+    """filterx format_leef(dict): LEEF 1.0 form, tab-separated
+    extensions."""
+    return _format_event_fx(m, "LEEF:", LEEF_FX_FIELDS, "\t")

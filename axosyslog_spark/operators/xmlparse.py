@@ -45,18 +45,25 @@ def _flatten_xml(text: str, prefix: str = "xml") -> dict[str, str]:
     return out
 
 
-def xml_parser(
-    df: DataFrame, src_col: str = "text", out_col: str = "xml", prefix: str = "xml"
-) -> DataFrame:
-    """Adds a map<string,string> column of dotted XML fields (empty map
-    on parse failure — pair with a filter for drop-invalid)."""
+def xml_flatten_col(src, prefix: str = "xml"):
+    """Column form of the XML dotted-key flatten (the filterx
+    parse_xml() builtin, modules/xml/filterx-func-parse-xml via
+    xml-scanner): map<string,string>, empty map on parse failure."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(MapType(StringType(), StringType()))
     def parse_batch(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: _flatten_xml(t or "", prefix))
 
-    return df.withColumn(out_col, parse_batch(df[src_col]))
+    return parse_batch(src)
+
+
+def xml_parser(
+    df: DataFrame, src_col: str = "text", out_col: str = "xml", prefix: str = "xml"
+) -> DataFrame:
+    """Adds a map<string,string> column of dotted XML fields (empty map
+    on parse failure — pair with a filter for drop-invalid)."""
+    return df.withColumn(out_col, xml_flatten_col(df[src_col], prefix))
 
 
 def _flatten_winlog(text: str, prefix: str = "winlog") -> dict[str, str]:
@@ -106,19 +113,25 @@ def _flatten_winlog(text: str, prefix: str = "winlog") -> dict[str, str]:
     return out
 
 
-def windows_eventlog_xml_parser(
-    df: DataFrame, src_col: str = "text", out_col: str = "winlog",
-    prefix: str = "winlog",
-) -> DataFrame:
-    """windows-eventlog-xml-parser(): EventData Data-name promotion on
-    top of the generic dotted flatten; map<string,string> out column."""
+def winlog_flatten_col(src, prefix: str = "winlog"):
+    """Column form of the windows-eventlog flatten (the filterx
+    parse_windows_eventlog_xml() builtin)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(MapType(StringType(), StringType()))
     def parse_batch(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: _flatten_winlog(t or "", prefix))
 
-    return df.withColumn(out_col, parse_batch(df[src_col]))
+    return parse_batch(src)
+
+
+def windows_eventlog_xml_parser(
+    df: DataFrame, src_col: str = "text", out_col: str = "winlog",
+    prefix: str = "winlog",
+) -> DataFrame:
+    """windows-eventlog-xml-parser(): EventData Data-name promotion on
+    top of the generic dotted flatten; map<string,string> out column."""
+    return df.withColumn(out_col, winlog_flatten_col(df[src_col], prefix))
 
 
 def xml_parser_stream(
@@ -126,3 +139,36 @@ def xml_parser_stream(
 ) -> Iterator:  # pragma: no cover - thin alias
     """mapInPandas variant kept for API symmetry with multimodal."""
     return xml_parser(df, src_col, out_col, prefix)
+
+
+def format_xml_fx(m):
+    """filterx format_xml(dict) for a FLAT map<string,string>: each
+    entry renders as <key>value</key> in map order, an empty value as
+    the self-closing <key/> (modules/xml/filterx-func-format-xml.c
+    append_inner_dict_end_tag's empty-body branch). Values are
+    XML-escaped (& < >); the reference's nested-dict / @attribute
+    forms have no meaning for a flat map column and are documented
+    out of this subset."""
+    from pyspark.sql import functions as F
+
+    def esc(v):
+        v = F.replace(v, F.lit("&"), F.lit("&amp;"))
+        v = F.replace(v, F.lit("<"), F.lit("&lt;"))
+        return F.replace(v, F.lit(">"), F.lit("&gt;"))
+
+    return F.array_join(
+        F.transform(
+            F.map_entries(m),
+            lambda e: F.when(
+                F.coalesce(e["value"], F.lit("")) == "",
+                F.concat(F.lit("<"), e["key"], F.lit("/>")),
+            ).otherwise(
+                F.concat(
+                    F.lit("<"), e["key"], F.lit(">"),
+                    esc(e["value"]),
+                    F.lit("</"), e["key"], F.lit(">"),
+                )
+            ),
+        ),
+        "",
+    )

@@ -1,0 +1,164 @@
+"""Module-provided FilterX builtins reachable from a filterx {} block.
+
+Reference registries: modules/cef/filterx-func-parse-cef.c (cef_fields),
+filterx-func-parse-leef.c (leef_fields + LEEF 2.0 delimiter grammar),
+filterx-func-format-cef.c / -format-leef.c (event-format-formatter.c),
+modules/xml/filterx-func-format-xml.c, modules/csvparser/
+filterx-func-parse-csv.c, lib/filterx/func-sdata.c,
+lib/filterx/func-cache-json-file.c.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from axosyslog_spark.functions.filterx_lang import filterx
+
+CEF_LINE = (
+    "CEF:0|Vendor|Product|1.2|eclass|Name with space|5|"
+    "src=10.0.0.1 act=blocked but allowed dst=10.0.0.2"
+)
+LEEF1_LINE = "LEEF:1.0|IBM|QRadar|8.1|12345|src=10.0.0.1\tdst=10.0.0.2"
+LEEF2_LINE = "LEEF:2.0|IBM|QRadar|8.1|12345|^|src=10.0.0.1^dst=10.0.0.2"
+LEEF2_HEX = "LEEF:2.0|IBM|QRadar|8.1|12345|x5E|src=10.0.0.1^dst=10.0.0.2"
+
+
+def _one(spark, text, block, col):
+    df = spark.createDataFrame([(text,)], "text string")
+    return filterx(df, block).select(col).first()[0]
+
+
+def test_parse_cef_builtin(spark):
+    m = _one(spark, CEF_LINE, "$m = parse_cef($text);", "m")
+    assert m["cef_version"] == "0"
+    assert m["device_vendor"] == "Vendor"
+    assert m["device_event_class_id"] == "eclass"
+    assert m["event_name"] == "Name with space"
+    assert m["agent_severity"] == "5"
+    assert m["src"] == "10.0.0.1"
+    # kv-scanner value absorption: words without '=' join the value
+    assert m["act"] == "blocked but allowed"
+    assert m["dst"] == "10.0.0.2"
+
+
+def test_parse_cef_non_cef_is_null(spark):
+    assert _one(spark, "plain text", "$m = parse_cef($text);", "m") is None
+
+
+def test_parse_leef_10(spark):
+    m = _one(spark, LEEF1_LINE, "$m = parse_leef($text);", "m")
+    assert m["leef_version"] == "1.0"
+    assert m["vendor_name"] == "IBM"
+    assert m["product_name"] == "QRadar"
+    assert m["product_version"] == "8.1"
+    assert m["event_id"] == "12345"
+    assert m["src"] == "10.0.0.1" and m["dst"] == "10.0.0.2"
+
+
+@pytest.mark.parametrize("line", [LEEF2_LINE, LEEF2_HEX])
+def test_parse_leef_20_delimiters(spark, line):
+    # literal single-char and xHH hex delimiter forms
+    # (filterx-func-parse-leef.c _delimiter_multi_parser)
+    m = _one(spark, line, "$m = parse_leef($text);", "m")
+    assert m["leef_version"] == "2.0"
+    assert m["src"] == "10.0.0.1" and m["dst"] == "10.0.0.2"
+
+
+def test_format_cef_roundtrip(spark):
+    out = _one(
+        spark, CEF_LINE, "$line = format_cef(parse_cef($text));", "line"
+    )
+    assert out == CEF_LINE
+
+
+def test_format_leef_roundtrip(spark):
+    out = _one(
+        spark, LEEF1_LINE, "$line = format_leef(parse_leef($text));", "line"
+    )
+    assert out == LEEF1_LINE
+
+
+def test_parse_xml_builtin(spark):
+    m = _one(
+        spark,
+        "<a><b attr='x'>v</b><c/></a>",
+        "$m = parse_xml($text);",
+        "m",
+    )
+    assert m["xml.a.b"] == "v"
+    assert m["xml.a.b._attr"] == "x"
+
+
+def test_parse_windows_eventlog_xml_builtin(spark):
+    xml = (
+        "<Event><System><EventID>4625</EventID></System>"
+        "<EventData><Data Name='User'>bob</Data></EventData></Event>"
+    )
+    m = _one(spark, xml, "$m = parse_windows_eventlog_xml($text);", "m")
+    assert m["winlog.Event.System.EventID"] == "4625"
+    assert m["winlog.Event.EventData.Data.User"] == "bob"
+
+
+def test_format_xml_builtin(spark):
+    out = _one(
+        spark,
+        "x",
+        '$m = parse_json("{\\"a\\": \\"1<2\\", \\"b\\": \\"\\"}");'
+        "$line = format_xml($m);",
+        "line",
+    )
+    assert out == "<a>1&lt;2</a><b/>"
+
+
+def test_parse_csv_with_columns(spark):
+    m = _one(
+        spark,
+        'x,"y,z",3',
+        '$m = parse_csv($text, "c1,c2,c3");',
+        "m",
+    )
+    assert m == {"c1": "x", "c2": "y,z", "c3": "3"}
+
+
+def test_parse_csv_without_columns_is_a_list(spark):
+    out = _one(spark, "a,b,c", "$l = parse_csv($text);", "l")
+    assert out == ["a", "b", "c"]
+
+
+def test_format_csv_builtins(spark):
+    out = _one(spark, "a,b,c", "$line = format_csv(parse_csv($text), \";\");", "line")
+    assert out == "a;b;c"
+    out = _one(
+        spark,
+        'x,y',
+        '$line = format_csv_values(parse_csv($text, "c1,c2"));',
+        "line",
+    )
+    assert out == "x,y"
+
+
+def test_sdata_builtins(spark):
+    df = spark.createDataFrame(
+        [(0, {".SDATA.ex@1.k": "v"}), (1, None)],
+        "id int, sdata map<string,string>",
+    )
+    out = filterx(
+        df, "$has = has_sdata(); $all = get_sdata();"
+    ).orderBy("id").collect()
+    assert out[0]["has"] is True
+    assert out[0]["all"] == {".SDATA.ex@1.k": "v"}
+    assert out[1]["has"] is False
+
+
+def test_cache_json_file_builtin(spark, tmp_path):
+    p = tmp_path / "lookup.json"
+    p.write_text(json.dumps({"tool_a": {"owner": "alice"}, "plain": "yes"}))
+    df = spark.createDataFrame([("tool_a",), ("nope",)], "tool string")
+    out = filterx(
+        df,
+        f'$db = cache_json_file("{p}");'
+        "$owner = $db[$tool + \".owner\"] ?? \"unknown\";",
+    ).orderBy("tool").collect()
+    assert [r["owner"] for r in out] == ["unknown", "alice"]
