@@ -1084,7 +1084,12 @@ def oracle_sql() -> dict[str, str]:
             + oracle.TRANSCRIPTS_ORACLE_CTE.strip()
             + ",\n"
             + oracle.PARSED_CTE.strip()
-            + ", classified AS (\n"
+            # MATERIALIZED is load-bearing: with the inlined (default)
+            # CTE, DuckDB's triple scan of the regexp-extract columns
+            # exhausts its buffer-manager accounting (bad_alloc on KB
+            # blocks even at sf0.001) and poisons the connection for
+            # every later query on it
+            + ", classified AS MATERIALIZED (\n"
             + oracle.patterndb_fixture_sql(
                 "body", "FROM parsed2", "conv_id, turn_idx"
             )

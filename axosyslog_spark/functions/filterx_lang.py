@@ -130,9 +130,15 @@ class _State:
     updates: dict[str, Column] = field(default_factory=dict)
     keep: Column = None     # None = lit(True) (avoids useless AND chains)
     active: Column = None   # None = lit(True)
+    # update_metric() increments recorded in statement order, each
+    # already masked by the liveness at its statement site
+    metrics: list = field(default_factory=list)
 
     def fork(self) -> "_State":
-        return _State(dict(self.env), dict(self.updates), self.keep, self.active)
+        return _State(
+            dict(self.env), dict(self.updates), self.keep, self.active,
+            list(self.metrics),
+        )
 
 
 def _and(a: Column | None, b: Column) -> Column:
@@ -167,6 +173,15 @@ def _merge(cond: Column, then: _State, other: _State, base: _State, ref) -> _Sta
     ea = other.active if other.active is not None else F.lit(True)
     if then.active is not None or other.active is not None:
         out.active = F.when(cond, ta).otherwise(ea)
+    # metric increments a branch added beyond the base fire only where
+    # that branch was taken (statement-site masking covers outer
+    # liveness; the branch condition is applied here, like the phis)
+    nb = len(base.metrics)
+    out.metrics = (
+        list(base.metrics)
+        + [(n, F.when(cond, c).otherwise(F.lit(0))) for n, c in then.metrics[nb:]]
+        + [(n, F.when(~cond, c).otherwise(F.lit(0))) for n, c in other.metrics[nb:]]
+    )
     return out
 
 
@@ -253,6 +268,34 @@ class _Compiler:
             self.eat(";")
             st = st.fork()
             st.env[name.text] = val
+            return st
+        if t.text == "update_metric" and (
+            self.peek(1) is not None and self.peek(1).text == "("
+        ):
+            # update_metric("name" [, increment]); — a labeled counter
+            # (modules/metrics-probe filterx-func-update-metric): the
+            # batch analog piggybacks a masked sum on the block's
+            # observe() pass, so counters cost no extra scan. Dynamic
+            # label dicts are the metrics_probe groupBy's job.
+            self.next()
+            self.eat("(")
+            nm = self.next()
+            if nm.kind != "string":
+                raise FilterXSyntaxError("update_metric() name must be a string literal")
+            inc: Column = F.lit(1).cast("long")
+            if self.at(","):
+                self.next()
+                inc = self.expr(st).cast("long")
+            self.eat(")")
+            self.eat(";")
+            st = st.fork()
+            live = st.active if st.active is not None else F.lit(True)
+            if st.keep is not None:
+                # rows already dropped upstream don't count (eval order)
+                live = live & st.keep
+            st.metrics.append(
+                (_unquote(nm.text), F.when(live, inc).otherwise(F.lit(0)))
+            )
             return st
         if t.text == "unset":
             self.next()
@@ -1009,9 +1052,13 @@ def _FUNCS_DISPATCH(fn: str, a: list[Column], raws: list[str | None] = ()) -> Co
 class FilterXBlock:
     updates: dict[str, Column]
     keep: Column | None
+    metrics: tuple = ()
+    # set by apply() when the block carries update_metric() counters;
+    # read it after an action on the returned frame (Observation.get)
+    observation: object | None = None
 
     def apply(self, df: DataFrame) -> DataFrame:
-        """Apply the block: one filter + one withColumns.
+        """Apply the block: observe + one filter + one withColumns.
 
         Both ``keep`` and ``updates`` are expressions over the ORIGINAL
         columns (the symbolic executor already folded
@@ -1019,7 +1066,24 @@ class FilterXBlock:
         the filter MUST run first: filtering doesn't change values, while
         withColumns would make a later filter resolve against post-update
         values (e.g. ``if ($s == "error") { drop; }; $s = "done";`` must
-        drop on the ORIGINAL $s)."""
+        drop on the ORIGINAL $s).
+
+        update_metric() counters attach BEFORE the filter (each
+        increment is masked by its statement-site liveness, which
+        includes drops that happened earlier in the block — reference
+        evaluation order), riding whatever action later consumes the
+        frame, like run_pipeline_observed's sink counters."""
+        if self.metrics:
+            from pyspark.sql import Observation
+
+            sums: dict[str, Column] = {}
+            for name, inc in self.metrics:
+                sums[name] = (sums[name] + inc) if name in sums else inc
+            self.observation = Observation("filterx_metrics")
+            df = df.observe(
+                self.observation,
+                *[F.sum(c).alias(n) for n, c in sums.items()],
+            )
         out = df.filter(self.keep) if self.keep is not None else df
         return out.withColumns(self.updates) if self.updates else out
 
@@ -1046,7 +1110,9 @@ def compile_filterx(
     st = comp.block(_State())
     if comp.peek() is not None:
         raise FilterXSyntaxError(f"trailing input at {comp.peek().text!r}")
-    return FilterXBlock(updates=st.updates, keep=st.keep)
+    return FilterXBlock(
+        updates=st.updates, keep=st.keep, metrics=tuple(st.metrics)
+    )
 
 
 def filterx(df: DataFrame, block: str) -> DataFrame:

@@ -208,7 +208,8 @@ _DATE_MACROS = frozenset(
     + ["UNIXTIME", "MSEC", "USEC", "WEEK", "ISOWEEK", "WEEK_DAY", "STAMP"]
 )
 _PRI_MACROS = frozenset(
-    ["PRI", "SEVERITY", "SEVERITY_NUM", "LEVEL", "LEVEL_NUM", "FACILITY", "FACILITY_NUM"]
+    ["PRI", "SEVERITY", "SEVERITY_NUM", "LEVEL", "LEVEL_NUM", "FACILITY",
+     "FACILITY_NUM", "PRIORITY"]
 )
 # header/network/identity macros (macros.c:207-230) resolved through
 # tf.macro with bindings pulled from the context's columns; unbound
@@ -309,6 +310,10 @@ class TemplateContext:
             return tf.macro(name, self.stamp, **kw)
         if name == "TAGS" and "TAGS" in self.columns:
             return self.columns["TAGS"]
+        if name == "SDATA" and "SDATA_MAP" in self.columns:
+            # macros.c M_SDATA: re-render the whole STRUCTURED-DATA
+            # block from the dotted .SDATA.* map column
+            return tf.macro("SDATA", None, sdata=self.columns["SDATA_MAP"])
         if self.field_fallback and name and not name.isdigit():
             return F.col(name)
         if self.extras is not None:
@@ -492,6 +497,31 @@ def _apply_func(call: FuncCall, ctx: TemplateContext) -> Column:
         )
     if name == "or":
         return F.coalesce(*[F.nullif(a.col, F.lit("")) for a in args], F.lit(""))
+    if name == "tag":
+        # $(tag name [if-set [if-unset]]) — boolean "1"/"0" by default
+        # (modules/basicfuncs/tf-tag.c tf_tag_call)
+        if "TAGS" not in ctx.columns:
+            raise TemplateError("$(tag) needs a TAGS array in the context")
+        if args[0].lit is None:
+            raise TemplateError("$(tag NAME) takes a literal tag name")
+        has = F.array_contains(
+            F.coalesce(ctx.columns["TAGS"], F.array()), args[0].lit
+        )
+        if_set = args[1].col if len(args) > 1 else F.lit("1")
+        if_unset = args[2].col if len(args) > 2 else F.lit("0")
+        return F.when(has, if_set).otherwise(if_unset)
+    if name == "tags-head":
+        # $(tags-head t1 t2 ...) — the first listed tag the message
+        # carries (tf-tag.c tf_tags_head_call)
+        if "TAGS" not in ctx.columns:
+            raise TemplateError("$(tags-head) needs a TAGS array in the context")
+        tags = F.coalesce(ctx.columns["TAGS"], F.array())
+        out: Column = F.lit("")
+        for a in reversed(args):
+            if a.lit is None:
+                raise TemplateError("$(tags-head) takes literal tag names")
+            out = F.when(F.array_contains(tags, a.lit), F.lit(a.lit)).otherwise(out)
+        return out
     if name == "context-length":
         # bound by correlation-context evaluation (context-funcs.c);
         # grouping.correlate_pdb provides CONTEXT_LENGTH at close time

@@ -361,7 +361,9 @@ def macro(name: str, ts: Column | None = None, **cols: Column) -> Column:
     macro('YEAR', ts) / macro('ISODATE', ts); value macros take the
     relevant columns as kwargs (macro('PRI', severity=..., facility=...)).
     """
-    if name.startswith("S_") or name.startswith("R_") or name.startswith("C_"):
+    if name.startswith(("S_", "R_", "C_", "P_")):
+        # the caller picks the matching timestamp column for the base
+        # (stamp/recvd/now/processed); the derived name set is shared
         name = name[2:]
     if name in _MACRO_FMT:
         return F.date_format(ts, _MACRO_FMT[name])
@@ -385,6 +387,13 @@ def macro(name: str, ts: Column | None = None, **cols: Column) -> Column:
         return F.lpad(F.weekofyear(ts).cast("string"), 2, "0")
     if name == "PRI":
         return (cols["facility"] * 8 + cols["severity"]).cast("string")
+    if name == "PRIORITY":  # macros.c: PRIORITY is an alias of SEVERITY
+        return macro("SEVERITY", ts, **cols)
+    if name == "SDATA":
+        # macros.c M_SDATA: the whole STRUCTURED-DATA block re-rendered
+        from axosyslog_spark.operators.parse import format_sdata
+
+        return format_sdata(cols["sdata"])
     if name == "SEVERITY_NUM" or name == "LEVEL_NUM":
         return cols["severity"]
     if name == "FACILITY_NUM":

@@ -397,6 +397,100 @@ class PatternDB:
         self._complete_re = f"^(?:{body})\\z" if alts else None
         self._partial_re = f"^(?:{body})" if alts else None
         self._repl = _HIT + "".join(header) + "".join(blocks)
+        self._build_dispatch()
+
+    def _build_dispatch(self):
+        """Literal-prefix dispatch tree — the radix-trie analog
+        (radix.c walks shared literal prefixes in ~O(len); a single
+        flat alternation makes the regex engine attempt every
+        alternative per row, O(rules)). Patterns are grouped by exact
+        literal prefix; a binary when() tree over the SORTED prefixes
+        routes each row to one small per-prefix alternation in
+        O(log groups) string compares, so per-row regex cost stays
+        ~flat as the ruleset grows.
+
+        Correctness of the range dispatch: if a text T starts with any
+        group prefix Q, then Q <= T lexicographically, and for the
+        largest prefix P <= T every such Q is a prefix of P (first
+        differing char would contradict P <= T). Each leaf therefore
+        contains its exact-prefix patterns plus every pattern whose
+        prefix is a proper prefix of it (including the empty-prefix
+        catch-alls), in global precedence order — rows routed to a
+        leaf they don't actually prefix-match just fail those
+        alternatives and fall through to the ancestors/catch-alls.
+
+        Each leaf regex renders the same GLOBAL frame as the combined
+        regex (non-member blocks emit their bare separator literals),
+        so _ord0_of/_block_offs decoding is byte-identical whichever
+        path ran."""
+        by_prefix: dict[str, list] = {}
+        for c in self.patterns:
+            if c.literal_prefix:
+                by_prefix.setdefault(c.literal_prefix, [])
+        self._leaves = None
+        if len(by_prefix) < 2:
+            return
+        leaves = []
+        for k in sorted(by_prefix):
+            members = [
+                c
+                for c in self.patterns
+                if c.literal_prefix == k
+                or (c.literal_prefix != k and k.startswith(c.literal_prefix))
+            ]
+            members.sort(key=lambda c: c.ordinal)
+            leaves.append((k, *self._leaf_res(members)))
+        self._leaves = leaves
+
+    def _leaf_res(self, members) -> tuple[str, str, str]:
+        """(complete_re, partial_re, repl) for one dispatch leaf:
+        local capture-group numbering, global frame layout."""
+        member_set = {c.ordinal for c in members}
+        lg: dict[int, int] = {}
+        g = 0
+        for c in members:
+            g += 1
+            lg[c.ordinal] = g
+            g += len(c.fields)
+        body = "|".join(f"(?:({_MARK}){c.body})" for c in members)
+        header: list[str] = []
+        blocks: list[str] = []
+        for c in self.patterns:
+            if c.ordinal in member_set:
+                s = lg[c.ordinal]
+                header.append(f"${s}{_BLOCK_SEP}")
+                blocks.append(
+                    "".join(
+                        f"${s + j + 1}{_FIELD_SEP}" for j in range(len(c.fields))
+                    )
+                    + _BLOCK_SEP
+                )
+            else:
+                # never matches in this leaf: bare separator literals
+                # keep every block at its compile-time byte offset
+                header.append(_BLOCK_SEP)
+                blocks.append(_FIELD_SEP * len(c.fields) + _BLOCK_SEP)
+        repl = _HIT + "".join(header) + "".join(blocks)
+        return (f"^(?:{body})\\z", f"^(?:{body})", repl)
+
+    def _tree_result(self, text: Column, marked: Column, tier: int) -> Column:
+        """Binary-search when() tree over the sorted leaf prefixes;
+        ``tier`` 0 = complete, 1 = partial. Rows lexicographically
+        below every prefix land in leaf 0, above every prefix in the
+        last leaf — both only ever match their catch-all alternatives
+        there. NULL text propagates NULL through every branch."""
+        leaves = self._leaves
+
+        def build(lo: int, hi: int) -> Column:
+            if hi - lo == 1:
+                _, comp, part, repl = leaves[lo]
+                return F.regexp_replace(marked, comp if tier == 0 else part, repl)
+            mid = (lo + hi) // 2
+            return F.when(text < leaves[mid][0], build(lo, mid)).otherwise(
+                build(mid, hi)
+            )
+
+        return build(0, len(leaves))
 
     # round-1 API: `rules` was the compiled list
     @property
@@ -411,15 +505,20 @@ class PatternDB:
         which starts with \\x02, not \\x03 — when no alternative
         matched the entire message)."""
         marked = F.concat(F.lit(_MARK), text)
+        if self._leaves:
+            return self._tree_result(text, marked, 0)
         return F.regexp_replace(marked, self._complete_re, self._repl)
 
     def _result(self, text: Column, complete: Column) -> Column:
         """Framed result for the winning tier; rows that complete-
         matched never execute the partial regex (when() short-circuit)."""
         marked = F.concat(F.lit(_MARK), text)
-        return F.when(complete.startswith(_HIT), complete).otherwise(
-            F.regexp_replace(marked, self._partial_re, self._repl)
+        partial = (
+            self._tree_result(text, marked, 1)
+            if self._leaves
+            else F.regexp_replace(marked, self._partial_re, self._repl)
         )
+        return F.when(complete.startswith(_HIT), complete).otherwise(partial)
 
     @staticmethod
     def _ord0_of(res: Column) -> Column:

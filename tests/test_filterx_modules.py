@@ -162,3 +162,33 @@ def test_cache_json_file_builtin(spark, tmp_path):
         "$owner = $db[$tool + \".owner\"] ?? \"unknown\";",
     ).orderBy("tool").collect()
     assert [r["owner"] for r in out] == ["unknown", "alice"]
+
+
+def test_update_metric_counters(spark):
+    from axosyslog_spark.functions.filterx_lang import compile_filterx
+
+    df = spark.createDataFrame(
+        [(0, "ok", 10), (1, "error", 20), (2, "ok", 30), (3, "error", 40)],
+        "id int, status string, n int",
+    )
+    blk = compile_filterx(
+        """
+        update_metric("seen");
+        if ($status == "error") {
+          update_metric("errors");
+          drop;
+        };
+        update_metric("kept", $n);
+        """,
+        known_fields=df.columns,
+        string_fields={"status"},
+    )
+    out = blk.apply(df)
+    rows = out.collect()
+    assert sorted(r["id"] for r in rows) == [0, 2]
+    got = blk.observation.get
+    # every row reaches the first statement; the branch counter only
+    # fires on the error path; the post-drop counter only on survivors
+    assert got["seen"] == 4
+    assert got["errors"] == 2
+    assert got["kept"] == 40  # 10 + 30

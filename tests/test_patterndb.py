@@ -307,3 +307,42 @@ def test_large_ruleset_classification(spark):
     for i, r in enumerate(rows):
         assert r["rule_id"] == f"r{i}"
         assert r["op"] == "put" and r["code"] == i * 7 and r["msg"] == f"tail {i}"
+
+
+def test_dispatch_tree_equals_flat_alternation(spark):
+    """The literal-prefix dispatch tree (radix analog) must classify
+    and extract byte-identically to the flat combined alternation —
+    mixed exact/nested/empty prefixes, both tiers, unmatched rows."""
+    rules = [
+        PdbRule(f"svc{i:02d}", f"svc-{i:02d} op=@ESTRING:op: @n=@NUMBER:n@")
+        for i in range(20)
+    ] + [
+        # nested prefixes: 'svc-' is a proper prefix of every svcNN
+        PdbRule("svc_any", "svc-@ANYSTRING:rest@"),
+        # empty literal prefix: catch-all candidate for every leaf
+        PdbRule("num_first", "@NUMBER:lead@ tail=@ESTRING:tail:@"),
+    ]
+    pdb = PatternDB(rules)
+    assert pdb._leaves is not None and len(pdb._leaves) >= 20
+    lines = (
+        [f"svc-{i:02d} op=get n={i}" for i in range(20)]
+        + ["svc-99 odd shape", "7 tail=x", "svc-05 op=partial n=5 extra words",
+           "zzz beyond every prefix", "aaa below every prefix", ""]
+    )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(lines)], "id int, text string"
+    )
+    with_tree = {r["id"]: r.asDict() for r in pdb.apply(df).collect()}
+    pdb._leaves = None  # force the flat combined path
+    flat = {r["id"]: r.asDict() for r in pdb.apply(df).collect()}
+    assert with_tree == flat
+    # spot-check semantics, not just self-consistency
+    assert with_tree[3]["rule_id"] == "svc03" and with_tree[3]["n"] == 3
+    assert with_tree[20]["rule_id"] == "svc_any"
+    assert with_tree[21]["rule_id"] == "num_first"
+    # svc05 only partial-matches here, and svc_any's ANYSTRING is a
+    # COMPLETE match — the complete tier wins across rules (radix.c
+    # two-pass), through the tree exactly as through the flat path
+    assert with_tree[22]["rule_id"] == "svc_any"
+    assert with_tree[23]["rule_id"] is None
+    assert with_tree[24]["rule_id"] is None

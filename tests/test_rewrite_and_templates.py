@@ -150,6 +150,28 @@ def test_macros(spark):
     assert r.pri == "35" and r.sev == "err" and r.fac == "auth"
 
 
+def test_priority_alias_p_base_and_sdata_macro(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(
+            dt.datetime(2024, 3, 5, 7, 9, 11), 3,
+            {".SDATA.ex@1.k": "v", ".SDATA.ex@1.k2": "w"},
+        )],
+        "ts timestamp, severity int, sdata map<string,string>",
+    )
+    r = df.select(
+        # macros.c: PRIORITY is an alias of SEVERITY
+        tf.macro("PRIORITY", severity=F.col("severity")).alias("prio"),
+        # P_ time base resolves through the shared derived-name set
+        tf.macro("P_YEAR", F.col("ts")).alias("py"),
+        tf.macro("SDATA", sdata=F.col("sdata")).alias("sd"),
+    ).collect()[0]
+    assert r.prio == "err"
+    assert r.py == "2024"
+    assert r.sd == '[ex@1 k="v" k2="w"]'
+
+
 def test_stardate(spark):
     """modules/stardate/stardate.c: year + truncated elapsed fraction.
     2024-07-01T12:00:00Z is 182.5 days into leap-year 2024 ->

@@ -257,3 +257,20 @@ def test_misc_funcs(frame):
 
     os.environ["AXOSPARK_TEST_ENV"] = "yes"
     assert _render(frame, "$(env AXOSPARK_TEST_ENV)") == ["yes", "yes"]
+
+
+def test_tag_and_tags_head_funcs(spark, frame):
+    # tf-tag.c: $(tag) boolean form + custom values; $(tags-head)
+    # returns the first listed tag the message carries
+    f = frame.withColumn(
+        "tags",
+        F.when(F.col("severity") <= 3, F.array(F.lit("err"), F.lit("alertable")))
+        .otherwise(F.array(F.lit("info"))),
+    )
+    ctx = _ctx({"TAGS": F.col("tags")})
+    out = _render(f, "$(tag err):$(tag err yes no):$(tags-head missing alertable info)", ctx)
+    for severity, got in zip([r["severity"] for r in f.collect()], out):
+        if severity <= 3:
+            assert got == "1:yes:alertable"
+        else:
+            assert got == "0:no:info"
