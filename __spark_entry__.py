@@ -755,6 +755,39 @@ def q_op_filterx_funcs(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "vendor", "sev", "srcact", "xml", "vals")
 
 
+def q_op_scl_apache(spark: SparkSession, sf: str) -> DataFrame:
+    """SCL application adapter (scl/apache apache-accesslog-parser):
+    combined-format access-log lines synthesized from events, parsed
+    into the logstash-like schema; the oracle reconstructs every field
+    from the generating columns."""
+    from axosyslog_spark.operators.scl import apache_accesslog_parser
+
+    ev = _utc(spark).read.parquet(f"{sf}/events.parquet")
+    line = F.concat(
+        F.lit("10.0."), (F.col("user_id") % 200).cast("string"),
+        F.lit(".7 - user"), (F.col("user_id") % 50).cast("string"),
+        F.lit(" [10/Oct/2024:13:55:36 +0000] \"GET /api/"),
+        F.col("event_type"), F.lit("/"), F.col("event_id").cast("string"),
+        F.lit(" HTTP/1.1\" "), (200 + F.col("event_id") % 4).cast("string"),
+        F.lit(" "), (F.col("event_id") % 5000).cast("string"),
+        F.lit(' "https://ref.example/" "agent/1.0"'),
+    )
+    df = ev.select("event_id", line.alias("text"))
+    out = apache_accesslog_parser(df)
+    return out.select(
+        "event_id",
+        F.col("apache_clientip").alias("clientip"),
+        F.col("apache_auth").alias("auth"),
+        F.date_format("apache_timestamp", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.col("apache_verb").alias("verb"),
+        F.col("apache_request").alias("request"),
+        F.col("apache_httpversion").alias("httpversion"),
+        F.col("apache_response").alias("response"),
+        F.col("apache_bytes").alias("bytes"),
+        F.col("apache_referrer").alias("referrer"),
+    )
+
+
 def q_pipe_multiline(spark: SparkSession, sf: str) -> DataFrame:
     """regexp-prefix multi-line assembly over transcripts: syslog-
     headed turns start a message, everything else continues it."""
@@ -915,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_subst": q_op_subst,
         "op_cef_parse": q_op_cef_parse,
         "op_filterx_funcs": q_op_filterx_funcs,
+        "op_scl_apache": q_op_scl_apache,
         "pipe_multiline": q_pipe_multiline,
         "pipe_filterx": q_pipe_filterx,
         "pipe_smart_multiline": q_pipe_smart_multiline,
@@ -1393,6 +1427,19 @@ def oracle_sql() -> dict[str, str]:
                '</uid>' AS xml,
                CAST(event_id AS VARCHAR) || ';' || event_type || ';' ||
                CAST(user_id AS VARCHAR) AS vals
+        FROM events
+        """,
+        "op_scl_apache": """
+        SELECT event_id,
+               '10.0.' || CAST(user_id % 200 AS VARCHAR) || '.7' AS clientip,
+               'user' || CAST(user_id % 50 AS VARCHAR) AS auth,
+               '2024-10-10 13:55:36' AS ts_str,
+               'GET' AS verb,
+               '/api/' || event_type || '/' || CAST(event_id AS VARCHAR) AS request,
+               '1.1' AS httpversion,
+               CAST(200 + event_id % 4 AS INT) AS response,
+               CAST(event_id % 5000 AS BIGINT) AS bytes,
+               'https://ref.example/' AS referrer
         FROM events
         """,
         "pipe_multiline": W(

@@ -1,0 +1,242 @@
+"""SCL application adapters — the scl/ block library re-expressed.
+
+The reference ships ~57 app-specific configuration blocks (scl/) that
+compose the core operators (csv/kv/json/date parsers, filters,
+rewrites) into per-application parsers, plus the `app-parser()`
+auto-detection framework (first matching application's filter wins
+and its parser runs). Each adapter here is the same composition as
+one DataFrame projection stage:
+
+  - apache_accesslog_parser  — scl/apache/apache.conf (vhost_combined /
+    vhost_common / combined / common LogFormats, logstash-like schema)
+  - sudo_parser              — scl/sudo/sudo.conf
+  - iptables_parser          — scl/iptables/iptables.conf
+  - cee_parser               — scl/cee/adapter.conf (@cee: JSON)
+  - cisco_parser             — scl/cisco/plugin.conf (timestamp
+    variants + %FAC-SEV-MNEMONIC triplet, documented subset)
+  - app_parser               — lib/appmodel app-parser() analog:
+    ordered (name, filter, parser) table, first-match-wins routing
+
+Everything is column algebra; `drop-invalid` behaviors surface as an
+`*_ok` boolean so routing can keep the reference's path semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# scl/apache/apache.conf: vhost filter `^[A-Za-z0-9\-\._]+:[0-9]+ `
+_VHOST = r"[A-Za-z0-9\-\._]+:[0-9]+"
+# combined/common core:  %h %l %u [%t] "%r" %>s %b ["%{Referer}" "%{UA}"]
+_APACHE_RE = (
+    rf"^(?:({_VHOST}) )?"            # 1 vhost:port (vhost_* formats)
+    r"(\S+) (\S+) (\S+) "            # 2 clientip  3 ident  4 auth
+    r"\[([^\]]*)\] "                 # 5 timestamp ('[]' quote-pair)
+    r"\"((?:[^\"\\]|\\.)*)\" "       # 6 rawrequest (backslash escapes)
+    r"(\S+) (\S+)"                   # 7 response  8 bytes
+    r"(?: \"((?:[^\"\\]|\\.)*)\""    # 9 referrer (combined only)
+    r" \"((?:[^\"\\]|\\.)*)\")?$"    # 10 agent
+)
+
+
+def apache_accesslog_parser(
+    df: DataFrame, src_col: str = "text", prefix: str = "apache_"
+) -> DataFrame:
+    """scl/apache apache-accesslog-parser(): the four LogFormats into
+    the logstash-like schema; timestamp parsed with
+    '%d/%b/%Y:%H:%M:%S %z' (the block's date-parser), rawrequest split
+    into verb/request/httpversion with the HTTP/ prefix stripped
+    (the block's second csv-parser + subst), numeric casts for
+    response/bytes. Non-matching rows get {prefix}ok = false."""
+    src = F.col(src_col)
+    m = F.regexp_extract_all(src, F.lit(_APACHE_RE), 0)
+    ok = F.size(m) > 0
+
+    def g(i: int) -> Column:
+        return F.when(ok, F.regexp_extract(src, _APACHE_RE, i))
+
+    unesc = lambda c: F.regexp_replace(c, r"\\(.)", "$1")  # noqa: E731
+    raw = unesc(g(6))
+    # request-line: VERB SP REQUEST SP HTTPVERSION (drop-invalid in the
+    # block: anything else leaves the triplet null)
+    req_ok = raw.rlike(r"^\S+ \S+ \S+$")
+    out = df.withColumns(
+        {
+            f"{prefix}ok": ok,
+            f"{prefix}vhost": F.nullif(g(1), F.lit("")),
+            f"{prefix}clientip": g(2),
+            f"{prefix}ident": g(3),
+            f"{prefix}auth": g(4),
+            f"{prefix}timestamp": F.to_timestamp(
+                g(5), "dd/MMM/yyyy:HH:mm:ss XX"
+            ),
+            f"{prefix}rawrequest": raw,
+            f"{prefix}response": g(7).try_cast("int"),
+            f"{prefix}bytes": F.when(g(8) != "-", g(8)).try_cast("bigint"),
+            # common (no-referrer) format: the csv-parser would simply
+            # not set these columns -> NULL, not empty string
+            f"{prefix}referrer": F.nullif(unesc(g(9)), F.lit("")),
+            f"{prefix}agent": F.nullif(unesc(g(10)), F.lit("")),
+            f"{prefix}verb": F.when(req_ok, F.split(raw, " ")[0]),
+            f"{prefix}request": F.when(req_ok, F.split(raw, " ")[1]),
+            f"{prefix}httpversion": F.when(
+                req_ok, F.regexp_replace(F.split(raw, " ")[2], "^HTTP/", "")
+            ),
+        }
+    )
+    return out
+
+
+def sudo_parser(
+    df: DataFrame, src_col: str = "text", prefix: str = "sudo_"
+) -> DataFrame:
+    """scl/sudo sudo-parser(): ';'-separated kv pairs (TTY=... ; PWD=
+    ... ; USER=... ; COMMAND=...), the leading stray word becomes
+    SUBJECT (the invoking user), rows without COMMAND dropped (the
+    block's pam-noise filter)."""
+    from axosyslog_spark.operators.kvscan import kv_scan, kv_stray_words
+
+    src = F.col(src_col)
+    pairs = kv_scan(src, pair_separator=" ; ")
+    kv = F.map_from_entries(
+        F.transform(pairs, lambda p: F.struct(p["key"], p["value"]))
+    )
+    stray = kv_stray_words(src, pair_separator=" ; ")
+    out = df.withColumns(
+        {
+            f"{prefix}SUBJECT": F.split(stray, ",")[0],
+            **{
+                f"{prefix}{k}": F.element_at(kv, k)
+                for k in ("TTY", "PWD", "USER", "COMMAND")
+            },
+        }
+    )
+    return out.filter(F.col(f"{prefix}COMMAND").isNotNull())
+
+
+def iptables_parser(
+    df: DataFrame, src_col: str = "text", prefix: str = "iptables_"
+) -> DataFrame:
+    """scl/iptables iptables-parser(): plain kv-parser over the
+    netfilter log line (IN= OUT= SRC= DST= PROTO= SPT= DPT= ...);
+    empty-valued keys (IN=) stay as empty strings like the scanner."""
+    from axosyslog_spark.operators.kvscan import kv_scan
+
+    pairs = kv_scan(F.col(src_col), pair_separator=" ")
+    kv = F.map_from_entries(
+        F.transform(pairs, lambda p: F.struct(p["key"], p["value"]))
+    )
+    return df.withColumn(f"{prefix}kv", kv)
+
+
+def iptables_app_filter(
+    facility: Column, program: Column, message: Column
+) -> Column:
+    """application iptables[syslog] filter: facility(kern) and
+    program('kernel') and message contains 'PROTO='."""
+    return (facility == 0) & (program == "kernel") & message.contains("PROTO=")
+
+
+def cee_parser(
+    df: DataFrame, src_col: str = "text", out_col: str = "cee"
+) -> DataFrame:
+    """scl/cee: json-parser(marker('@cee:') prefix('.cee.'))."""
+    from axosyslog_spark.operators.jsonflatten import flatten_json_column
+
+    src = F.col(src_col)
+    flat = flatten_json_column(
+        F.when(
+            src.startswith("@cee:"), F.substring(src, 6, 2_000_000_000)
+        )
+    )
+    return df.withColumn(
+        out_col, F.transform_keys(flat, lambda k, _v: F.concat(F.lit(".cee."), k))
+    )
+
+
+# scl/cisco plugin.conf timestamp patterns (the three @define's)
+_CISCO_TS = (
+    r"^[\*\.]?([A-Za-z]{3} [0-9 ]\d (?:\d{4} )?\d{2}:\d{2}:\d{2}"
+    r"(?:\.\d{3})?(?: (?:AM|PM))?)"
+)
+_CISCO_TS_ISO = r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})"
+_CISCO_TS_NXOS = r"^(\d{4} [A-Za-z]{3} [0-9 ]\d \d{2}:\d{2}:\d{2})"
+_CISCO_TS_FORMATS = (
+    "MMM d h:mm:ss a.SSS", "MMM d h:mm:ss a", "MMM d HH:mm:ss.SSS",
+    "MMM d HH:mm:ss", "MMM d yyyy HH:mm:ss.SSS", "MMM d yyyy HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss", "yyyy MMM d HH:mm:ss",
+)
+# %FACILITY-SEVERITY-MNEMONIC: (cisco-triplet-parser; the 4-part
+# %FACILITY-SUBFACILITY-SEVERITY-MNEMONIC variant keeps field 2)
+_CISCO_TRIPLET = r"%([A-Z0-9_]+)(?:-[A-Z0-9_]+)?-([0-7])-([A-Z0-9_]+):"
+
+
+def cisco_parser(
+    df: DataFrame, src_col: str = "text", prefix: str = "cisco_"
+) -> DataFrame:
+    """scl/cisco cisco-parser() documented subset: optional leading
+    sequence number, the three timestamp shapes (IOS / ISO / NX-OS)
+    parsed through the block's strptime format ladder, and the
+    %FAC[-SUB]-SEV-MNEMONIC triplet with the remainder as message."""
+    src = F.col(src_col)
+    body = F.regexp_replace(src, r"^(?:<\d+>)?(?:\d+: )?", "")  # seqno
+    ts_str = F.coalesce(
+        *[
+            F.nullif(F.regexp_extract(body, p, 1), F.lit(""))
+            for p in (_CISCO_TS, _CISCO_TS_ISO, _CISCO_TS_NXOS)
+        ]
+    )
+    # normalize double-space day padding ('Jan  5' -> 'Jan 5')
+    ts_norm = F.regexp_replace(ts_str, r"\s+", " ")
+    ts = F.coalesce(
+        *[F.try_to_timestamp(ts_norm, F.lit(f)) for f in _CISCO_TS_FORMATS]
+    )
+    trip_ok = body.rlike(_CISCO_TRIPLET)
+    return df.withColumns(
+        {
+            f"{prefix}ts": ts,
+            f"{prefix}ok": trip_ok,
+            f"{prefix}facility": F.when(
+                trip_ok, F.regexp_extract(body, _CISCO_TRIPLET, 1)
+            ),
+            f"{prefix}severity": F.when(
+                trip_ok, F.regexp_extract(body, _CISCO_TRIPLET, 2)
+            ).try_cast("int"),
+            f"{prefix}mnemonic": F.when(
+                trip_ok, F.regexp_extract(body, _CISCO_TRIPLET, 3)
+            ),
+            f"{prefix}message": F.when(
+                trip_ok,
+                F.ltrim(F.regexp_extract(body, _CISCO_TRIPLET + r"\s*(.*)$", 4)),
+            ),
+        }
+    )
+
+
+def app_parser(
+    df: DataFrame,
+    apps: list[tuple[str, Column, Callable[[DataFrame], DataFrame]]],
+    out_col: str = "app",
+) -> DataFrame:
+    """lib/appmodel app-parser() analog: an ordered application table
+    of (name, detection filter, parser). Detection is first-match-wins
+    in declaration order (one when-chain, no shuffle); each matched
+    subset runs its application's parser and the branches re-unite
+    (unmatched rows pass through with app = NULL), mirroring the
+    auto-parsing junction the reference generates."""
+    sel = F.lit(None).cast("string")
+    for name, cond, _ in reversed(apps):
+        sel = F.when(cond, F.lit(name)).otherwise(sel)
+    tagged = df.withColumn(out_col, sel)
+    branches = [
+        parse(tagged.filter(F.col(out_col) == name))
+        for name, _, parse in apps
+    ]
+    rest = tagged.filter(F.col(out_col).isNull())
+    out = rest
+    for b in branches:
+        out = out.unionByName(b, allowMissingColumns=True)
+    return out

@@ -1,0 +1,156 @@
+"""SCL application adapters (scl/ block library) + app-parser().
+
+Reference: scl/apache/apache.conf LogFormat examples (the comment
+block's four sample lines are the goldens), scl/sudo/sudo.conf,
+scl/iptables/iptables.conf, scl/cee/adapter.conf, scl/cisco/plugin.conf.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from axosyslog_spark.operators import scl
+
+VHOST_COMBINED = (
+    'virtualhost:443 127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+    '"GET /apache_pb.gif HTTP/1.0" 200 2326 '
+    '"http://www.example.com/start.html" "Mozilla/4.08 [en] (Win98; I ;Nav)"'
+)
+COMMON = (
+    '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+    '"GET /apache_pb.gif HTTP/1.0" 200 2326'
+)
+
+
+def test_apache_accesslog_parser_formats(spark):
+    df = spark.createDataFrame(
+        [(0, VHOST_COMBINED), (1, COMMON), (2, "not an access log")],
+        "id int, text string",
+    )
+    out = {
+        r["id"]: r.asDict()
+        for r in scl.apache_accesslog_parser(df).collect()
+    }
+    a = out[0]
+    assert a["apache_ok"] and a["apache_vhost"] == "virtualhost:443"
+    assert a["apache_clientip"] == "127.0.0.1"
+    assert a["apache_auth"] == "frank"
+    assert a["apache_timestamp"] == dt.datetime(2000, 10, 10, 20, 55, 36)
+    assert a["apache_verb"] == "GET"
+    assert a["apache_request"] == "/apache_pb.gif"
+    assert a["apache_httpversion"] == "1.0"  # HTTP/ stripped (subst)
+    assert a["apache_response"] == 200 and a["apache_bytes"] == 2326
+    assert a["apache_referrer"] == "http://www.example.com/start.html"
+    assert a["apache_agent"].startswith("Mozilla/4.08")
+    c = out[1]
+    assert c["apache_ok"] and c["apache_vhost"] is None
+    assert c["apache_referrer"] is None and c["apache_agent"] is None
+    assert not out[2]["apache_ok"]
+
+
+def test_apache_nonhttp_rawrequest_drops_triplet(spark):
+    # scl/apache: rawrequest that is not VERB SP URI SP HTTPVERSION
+    # leaves verb/request/httpversion unset (drop-invalid)
+    line = (
+        '106.75.178.169 - - [22/Nov/2022:00:03:53 +0100] '
+        '"{\\"id\\": 4, \\"method\\": \\"mining.submit\\"}" 400 226'
+    )
+    df = spark.createDataFrame([(line,)], "text string")
+    r = scl.apache_accesslog_parser(df).first()
+    assert r["apache_ok"]
+    assert r["apache_response"] == 400
+    assert r["apache_verb"] is None and r["apache_httpversion"] is None
+
+
+def test_sudo_parser(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "alice : TTY=pts/0 ; PWD=/home/alice ; USER=root ; COMMAND=/bin/ls -l"),
+            (1, "bob : pam_unix(sudo:session): session opened"),
+        ],
+        "id int, text string",
+    )
+    rows = scl.sudo_parser(df).collect()
+    assert len(rows) == 1  # pam noise (no COMMAND) dropped
+    r = rows[0]
+    assert r["sudo_SUBJECT"] == "alice"
+    assert r["sudo_TTY"] == "pts/0"
+    assert r["sudo_USER"] == "root"
+    assert r["sudo_COMMAND"] == "/bin/ls -l"
+
+
+def test_iptables_parser_and_filter(spark):
+    line = "IN=eth0 OUT= SRC=10.0.0.5 DST=10.0.0.9 PROTO=TCP SPT=4432 DPT=443"
+    df = spark.createDataFrame([(line,)], "text string")
+    kv = scl.iptables_parser(df).first()["iptables_kv"]
+    assert kv["SRC"] == "10.0.0.5" and kv["PROTO"] == "TCP"
+    assert kv["OUT"] == ""
+    flt = spark.createDataFrame(
+        [(0, 0, "kernel", line), (1, 4, "sshd", "no")],
+        "id int, facility int, program string, text string",
+    )
+    kept = flt.filter(
+        scl.iptables_app_filter(F.col("facility"), F.col("program"), F.col("text"))
+    ).collect()
+    assert [r["id"] for r in kept] == [0]
+
+
+def test_cee_parser(spark):
+    df = spark.createDataFrame(
+        [(0, '@cee:{"event": "login", "ok": true}'), (1, "plain")],
+        "id int, text string",
+    )
+    out = {r["id"]: r["cee"] for r in scl.cee_parser(df).collect()}
+    assert out[0][".cee.event"] == "login"
+    assert out[0][".cee.ok"] == "true"
+    assert out[1] in (None, {})
+
+
+def test_cisco_parser(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "*Mar  1 18:46:11: %SYS-5-CONFIG_I: Configured from console"),
+            (1, "2023-03-01T18:46:11 %LINK-3-UPDOWN: Interface up"),
+            (2, "%ASA-SESSION-5-106100: access-list inside permitted"),
+            (3, "just noise"),
+        ],
+        "id int, text string",
+    )
+    out = {r["id"]: r.asDict() for r in scl.cisco_parser(df).collect()}
+    assert out[0]["cisco_facility"] == "SYS" and out[0]["cisco_severity"] == 5
+    assert out[0]["cisco_mnemonic"] == "CONFIG_I"
+    assert out[0]["cisco_message"] == "Configured from console"
+    assert out[0]["cisco_ts"] is not None and out[0]["cisco_ts"].month == 3
+    assert out[1]["cisco_ts"] == dt.datetime(2023, 3, 1, 18, 46, 11)
+    # 4-part %FAC-SUB-SEV-MNEMONIC keeps facility + severity + mnemonic
+    assert out[2]["cisco_facility"] == "ASA" and out[2]["cisco_severity"] == 5
+    assert out[2]["cisco_mnemonic"] == "106100"
+    assert not out[3]["cisco_ok"] and out[3]["cisco_ts"] is None
+
+
+def test_app_parser_first_match_wins(spark):
+    df = spark.createDataFrame(
+        [
+            (0, 0, "kernel", "IN=eth0 OUT= SRC=1.2.3.4 DST=4.3.2.1 PROTO=UDP"),
+            (1, 10, "sudo", "root : TTY=tty1 ; PWD=/ ; USER=root ; COMMAND=/sbin/reboot"),
+            (2, 16, "app", "hello world"),
+        ],
+        "id int, facility int, program string, text string",
+    )
+    apps = [
+        (
+            "iptables",
+            scl.iptables_app_filter(
+                F.col("facility"), F.col("program"), F.col("text")
+            ),
+            scl.iptables_parser,
+        ),
+        ("sudo", F.col("program") == "sudo", scl.sudo_parser),
+    ]
+    out = {r["id"]: r.asDict() for r in scl.app_parser(df, apps).collect()}
+    assert out[0]["app"] == "iptables"
+    assert out[0]["iptables_kv"]["PROTO"] == "UDP"
+    assert out[1]["app"] == "sudo" and out[1]["sudo_COMMAND"] == "/sbin/reboot"
+    assert out[2]["app"] is None and out[2]["iptables_kv"] is None
