@@ -134,3 +134,18 @@ def test_iterate_outliers(spark):
 
 def test_default_delimiters_constant():
     assert DEFAULT_DELIMITERS == " :&~?![]=,;()'\""
+
+
+def test_pdbtool_dump_smoke(capsys):
+    # pdbtool dump: plan-time only (no Spark); shows the dispatch
+    # leaves with members in precedence order
+    import tools.pdbtool as pt
+
+    rc = pt.main(
+        ["dump", "--ruleset", "axosyslog_spark/fixtures/transcripts.pdb"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "prefix 'status='" in out
+    assert "rule_id='kv_retry'" in out
+    assert out.index("kv_retry") < out.index("kv_plain")  # precedence

@@ -138,6 +138,15 @@ def main() -> None:
     t_small, t_big = rows / secs[n_small], rows / secs[n_big]
     eff = (t_big / t_small) / (n_big / n_small)
     best_norm = max(r["norm_eff"] for r in per_round)
+    # never claim the target is met when this session's own windows
+    # didn't show it — point at the cross-session history instead
+    verdict = (
+        "met on the machine-normalized measure in this session"
+        if best_norm >= 0.8
+        else "NOT met in this session's windows; see BENCH/HISTORY.md "
+        "for sessions whose windows did meet it on the normalized "
+        "measure"
+    )
     machine_best = cal[n_big] / cal[n_small]
     eff_vs_machine = (t_big / t_small) / machine_best
     print(
@@ -205,9 +214,11 @@ Best per level across rounds:
 **Scaling efficiency ({n_small} -> {n_big} cores, the N -> 4N proxy):
 raw {eff:.3f}; against the machine's own deliverable speedup
 ({machine_best:.2f}x) {eff_vs_machine:.3f}; best same-window normalized
-{best_norm:.3f}** (target >= 0.8 per BASELINE.json — met on the
-machine-normalized measures; the raw number is bounded above by
-steal, see calibration). Cross-session evidence: BENCH/HISTORY.md.
+{best_norm:.3f}** (target >= 0.8 per BASELINE.json — {verdict}).
+The raw number is bounded above by hypervisor steal, see the
+calibration. Cross-session evidence: BENCH/HISTORY.md (windows vary
+by >2x minute-to-minute on this box; the best recorded sessions are
+the honest capability number, per-session rows record the spread).
 
 ## Why this extrapolates to a real 4N-executor cluster
 

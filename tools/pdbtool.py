@@ -127,11 +127,63 @@ def cmd_patternize(args) -> int:
     return 0
 
 
+def cmd_dump(args) -> int:
+    """pdbtool dump analog (pdbtool.c pdbtool_walk_tree): the reference
+    prints the radix trie; this engine's equivalent structures are the
+    precedence-ordered compiled pattern list and the literal-prefix
+    dispatch tree, so that's what dump shows — per leaf: the dispatch
+    prefix, then each member pattern's ordinal, rule_id, field set and
+    compiled regex body (no Spark session needed, plan-time only)."""
+    from axosyslog_spark.operators.pdb_load import load_pdb_xml
+
+    for rs in load_pdb_xml(args.ruleset):
+        pdb = rs.pattern_db()
+        print(f"ruleset '{rs.name}' ({len(pdb.patterns)} compiled patterns)")
+        if args.program_tree:
+            print(f"  program selectors: {list(pdb.programs) or '(all)'}")
+            continue
+        leaves = pdb._leaves
+        if leaves is None:
+            groups = [("(flat alternation)", pdb.patterns)]
+        else:
+            by = {}
+            for c in pdb.patterns:
+                if c.literal_prefix:
+                    by.setdefault(c.literal_prefix, [])
+            groups = [
+                (
+                    f"prefix '{k}'",
+                    [
+                        c for c in pdb.patterns
+                        if c.literal_prefix == k
+                        or (c.literal_prefix != k and k.startswith(c.literal_prefix))
+                    ],
+                )
+                for k in sorted(by)
+            ]
+        for label, members in groups:
+            print(f"  [{label}]")
+            for c in sorted(members, key=lambda c: c.ordinal):
+                fields = " ".join(
+                    f"@{f.cast or 'string'}:{f.name}@" for f in c.fields
+                )
+                print(
+                    f"    [{c.ordinal}] rule_id='{c.rule.rule_id}' "
+                    f"{fields} /{c.body}/"
+                )
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
     t = sub.add_parser("test", help="replay the ruleset's <examples>")
     t.add_argument("--ruleset", required=True)
+    d = sub.add_parser(
+        "dump", help="print the compiled pattern/dispatch structure"
+    )
+    d.add_argument("--ruleset", required=True)
+    d.add_argument("--program-tree", "-T", action="store_true")
     m = sub.add_parser("match", help="classify one message")
     m.add_argument("--ruleset", required=True)
     m.add_argument("--message", required=True)
@@ -148,6 +200,8 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     if args.cmd == "patternize":
         return cmd_patternize(args)
+    if args.cmd == "dump":
+        return cmd_dump(args)
     return cmd_test(args) if args.cmd == "test" else cmd_match(args)
 
 
