@@ -788,6 +788,34 @@ def q_op_scl_apache(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_op_kmsg_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """linux-kmsg-format records synthesized from events (header +
+    SUBSYSTEM continuation + block DEVICE decode); the oracle rebuilds
+    every output from the generating columns."""
+    from axosyslog_spark.operators.kmsg import kmsg_parser
+
+    ev = _utc(spark).read.parquet(f"{sf}/events.parquet")
+    rec = F.concat(
+        (F.col("event_id") % 192).cast("string"), F.lit(","),
+        F.col("event_id").cast("string"), F.lit(","),
+        (F.col("user_id") * 1000).cast("string"), F.lit(",-;"),
+        F.col("event_type"), F.lit(": device event\n SUBSYSTEM="),
+        F.col("event_type"), F.lit("\n DEVICE=b"),
+        (F.col("event_id") % 16).cast("string"), F.lit(":"),
+        (F.col("user_id") % 4).cast("string"), F.lit("\n"),
+    )
+    df = ev.select("event_id", rec.alias("text"))
+    out = kmsg_parser(df)
+    return out.select(
+        "event_id", "pri", "severity", "facility", "kmsg_seq", "kmsg_ts_us",
+        "message",
+        F.col("kmsg_nv")[".linux.SUBSYSTEM"].alias("subsystem"),
+        F.col("kmsg_nv")[".linux.DEVICE.type"].alias("dev_type"),
+        F.col("kmsg_nv")[".linux.DEVICE.major"].alias("dev_major"),
+        F.col("kmsg_nv")[".linux.DEVICE.minor"].alias("dev_minor"),
+    )
+
+
 def q_pipe_multiline(spark: SparkSession, sf: str) -> DataFrame:
     """regexp-prefix multi-line assembly over transcripts: syslog-
     headed turns start a message, everything else continues it."""
@@ -949,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_cef_parse": q_op_cef_parse,
         "op_filterx_funcs": q_op_filterx_funcs,
         "op_scl_apache": q_op_scl_apache,
+        "op_kmsg_parse": q_op_kmsg_parse,
         "pipe_multiline": q_pipe_multiline,
         "pipe_filterx": q_pipe_filterx,
         "pipe_smart_multiline": q_pipe_smart_multiline,
@@ -1440,6 +1469,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(200 + event_id % 4 AS INT) AS response,
                CAST(event_id % 5000 AS BIGINT) AS bytes,
                'https://ref.example/' AS referrer
+        FROM events
+        """,
+        "op_kmsg_parse": """
+        SELECT event_id,
+               CAST(event_id % 192 AS INT) AS pri,
+               CAST(event_id % 192 % 8 AS INT) AS severity,
+               CAST((event_id % 192) // 8 AS INT) AS facility,
+               CAST(event_id AS BIGINT) AS kmsg_seq,
+               CAST(user_id * 1000 AS BIGINT) AS kmsg_ts_us,
+               event_type || ': device event' AS message,
+               event_type AS subsystem,
+               'block' AS dev_type,
+               CAST(event_id % 16 AS VARCHAR) AS dev_major,
+               CAST(user_id % 4 AS VARCHAR) AS dev_minor
         FROM events
         """,
         "pipe_multiline": W(

@@ -644,6 +644,53 @@ def _apply_func(call: FuncCall, ctx: TemplateContext) -> Column:
         if ts is None:
             raise TemplateError("$(format-date) needs a stamp in the context")
         return F.date_format(ts, strftime_to_java(args[0].lit))
+    if name == "graphite-output":
+        # $(graphite-output k=tmpl ...) — same explicit-pairs calling
+        # convention as $(format-welf); stamp provides the unixtime
+        # column (modules/graphite/graphite-output.c)
+        if ctx.stamp is None:
+            raise TemplateError("$(graphite-output) needs a stamp in the context")
+        pairs = []
+        for a in raw_args:
+            k, _, v = a.partition("=")
+            pairs.append((F.lit(k), compile_template(v, ctx)))
+        m = F.map_from_arrays(
+            F.array(*[p[0] for p in pairs]), F.array(*[p[1] for p in pairs])
+        )
+        return tf.format_graphite(m, ctx.stamp)
+    if name == "getent":
+        # $(getent passwd 0) / $(getent group 0) etc (modules/getent):
+        # a config-time host-database lookup; literal args fold to a
+        # literal like $(env) does. Non-literal args would need the
+        # worker's NSS databases — not meaningful for a batch table.
+        if len(raw_args) < 2 or args[0].lit is None or args[1].lit is None:
+            raise TemplateError("$(getent DB KEY [field]) takes literal args")
+        db, key = args[0].lit, args[1].lit
+        fld = args[2].lit if len(args) > 2 and args[2].lit else None
+        try:
+            if db == "passwd":
+                import pwd
+
+                ent = pwd.getpwuid(int(key)) if key.isdigit() else pwd.getpwnam(key)
+                val = {
+                    None: ent.pw_name, "name": ent.pw_name,
+                    "uid": str(ent.pw_uid), "gid": str(ent.pw_gid),
+                    "dir": ent.pw_dir, "shell": ent.pw_shell,
+                }[fld]
+            elif db == "group":
+                import grp
+
+                ent = grp.getgrgid(int(key)) if key.isdigit() else grp.getgrnam(key)
+                val = {
+                    None: ent.gr_name, "name": ent.gr_name,
+                    "gid": str(ent.gr_gid),
+                    "members": ",".join(ent.gr_mem),
+                }[fld]
+            else:
+                raise TemplateError(f"$(getent) unsupported database {db!r}")
+        except (KeyError, OSError):
+            val = ""
+        return F.lit(val)
     if name == "format-welf":
         pairs = []
         for a in raw_args:

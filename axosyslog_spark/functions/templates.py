@@ -225,6 +225,22 @@ def format_date(c: Column, fmt: str) -> Column:
     return F.date_format(c, fmt)
 
 
+def format_graphite(m: Column, ts: Column) -> Column:
+    """$(graphite-output) over a map column — one graphite plaintext
+    line per pair: ``name value unixtime\\n`` including the trailing
+    newline (modules/graphite/graphite-output.c
+    tf_graphite_foreach_func); keys sorted for determinism (the
+    reference iterates value-pairs in sorted order)."""
+    unixtime = F.unix_timestamp(ts).cast("string")
+    lines = F.transform(
+        F.array_sort(F.map_entries(m)),
+        lambda e: F.concat(
+            e["key"], F.lit(" "), e["value"], F.lit(" "), unixtime, F.lit("\n")
+        ),
+    )
+    return F.array_join(lines, "")
+
+
 def tf_stardate(c: Column, digits: int = 2) -> Column:
     """$(stardate [--digits N] $UNIXTIME) — modules/stardate/stardate.c:
     calendar year + the TRUNCATED fraction of the (leap-aware) year
