@@ -14,6 +14,9 @@ one DataFrame projection stage:
   - cee_parser               — scl/cee/adapter.conf (@cee: JSON)
   - cisco_parser             — scl/cisco/plugin.conf (timestamp
     variants + %FAC-SEV-MNEMONIC triplet, documented subset)
+  - fortigate_parser         — scl/fortigate/fortigate.conf
+  - panos_parser             — scl/paloalto/panos.conf (TRAFFIC /
+    THREAT / SYSTEM / CONFIG positional schemas)
   - app_parser               — lib/appmodel app-parser() analog:
     ordered (name, filter, parser) table, first-match-wins routing
 
@@ -240,3 +243,112 @@ def app_parser(
     for b in branches:
         out = out.unionByName(b, allowMissingColumns=True)
     return out
+
+
+def fortigate_parser(
+    df: DataFrame, src_col: str = "text", prefix: str = "fortigate_"
+) -> DataFrame:
+    """scl/fortigate fortigate-parser(): the whole message is kv pairs
+    (date=.. time=.. devname=.. logid=..); stamp assembled from
+    date+time, HOST taken from devname, rows without devname dropped
+    (the block's filter)."""
+    from axosyslog_spark.operators.kvscan import kv_scan
+
+    pairs = kv_scan(F.col(src_col), pair_separator=" ")
+    kv = F.map_from_entries(
+        F.transform(pairs, lambda p: F.struct(p["key"], p["value"]))
+    )
+    get = lambda k: F.element_at(kv, k)  # noqa: E731
+    out = df.withColumns(
+        {
+            f"{prefix}kv": kv,
+            f"{prefix}ts": F.try_to_timestamp(
+                F.concat_ws(" ", get("date"), get("time")),
+                F.lit("yyyy-MM-dd HH:mm:ss"),
+            ),
+            "host": get("devname"),
+        }
+    )
+    return out.filter(F.col("host").isNotNull() & (F.col("host") != ""))
+
+
+# scl/paloalto/panos.conf: 7 shared header columns, then a per-type
+# positional schema parsed out of the greedy remainder
+_PANOS_HEADER = (
+    "future_use1", "receive_time", "serial", "type", "subtype",
+    "future_use2", "time_generated",
+)
+_PANOS_FIELDS: dict[str, tuple[str, ...]] = {
+    "TRAFFIC": (
+        "src", "dst", "natsrc", "natdst", "rule", "srcuser", "dstuser",
+        "app", "vsys", "from", "to", "inbound_if", "outbound_if", "logset",
+        "future_use3", "sessionid", "repeatcnt", "sport", "dport",
+        "natsport", "natdport", "flags", "proto", "action", "bytes",
+        "bytes_sent", "bytes_received", "packets", "start", "sec",
+        "category", "future_use4", "seqno", "actionflags", "srcloc",
+        "dstloc", "future_use5", "pkts_sent", "pkts_received",
+        "session_end_reason", "dg_hier_level_1", "dg_hier_level_2",
+        "dg_hier_level_3", "dg_hier_level_4", "vsys_name", "device_name",
+        "action_source",
+    ),
+    "THREAT": (
+        "src", "dst", "natsrc", "natdst", "rule", "srcuser", "dstuser",
+        "app", "vsys", "from", "to", "inbound_if", "outbound_if", "logset",
+        "future_use3", "sessionid", "repeatcnt", "sport", "dport",
+        "natsport", "natdport", "flags", "proto", "action", "misc",
+        "threatid", "category", "severity", "direction", "seqno",
+        "actionflags", "srcloc", "dstloc", "future_use4", "contenttype",
+        "pcap_id", "filedigest", "cloud", "url_idx", "user_agent",
+        "filetype", "xff", "referer", "sender", "subject", "recipient",
+        "reportid", "dg_hier_level_1", "dg_hier_level_2",
+        "dg_hier_level_3", "dg_hier_level_4", "vsys_name", "device_name",
+    ),
+    "SYSTEM": (
+        "vsys", "eventid", "object", "future_use3", "future_use4",
+        "module", "severity", "opaque", "seqno", "actionflags",
+        "dg_hier_level_1", "dg_hier_level_2", "dg_hier_level_3",
+        "dg_hier_level_4", "vsys_name", "device_name",
+    ),
+    "CONFIG": (
+        "host", "vsys", "cmd", "admin", "client", "result", "path",
+        "seqno", "actionflags", "dg_hier_level_1", "dg_hier_level_2",
+        "dg_hier_level_3", "dg_hier_level_4", "vsys_name", "device_name",
+    ),
+}
+
+
+def panos_parser(
+    df: DataFrame, src_col: str = "text", prefix: str = "panos_"
+) -> DataFrame:
+    """scl/paloalto panos-parser() documented subset (TRAFFIC / THREAT
+    / SYSTEM / CONFIG): header columns as typed fields, the per-type
+    positional schema into one map column (the reference emits
+    open-schema NV pairs — a map is the faithful shape), ok=false for
+    unknown types or rows without a device_name (the blocks'
+    drop-invalid + 'device_name ne \"\"' filters)."""
+    src = F.col(src_col)
+    parts = F.split(src, ",")
+    hdr = {n: F.try_element_at(parts, F.lit(i + 1)) for i, n in enumerate(_PANOS_HEADER)}
+    typ = hdr["type"]
+    pad = F.concat(parts, F.array_repeat(F.lit(""), 80))
+    fields = F.lit(None).cast("map<string,string>")
+    for t, names in _PANOS_FIELDS.items():
+        m = F.map_from_arrays(
+            F.array(*[F.lit(n) for n in names]),
+            F.slice(pad, len(_PANOS_HEADER) + 1, len(names)),
+        )
+        fields = F.when(typ == t, m).otherwise(fields)
+    dev = F.element_at(fields, "device_name")
+    ok = fields.isNotNull() & dev.isNotNull() & (dev != "")
+    return df.withColumns(
+        {
+            f"{prefix}ok": ok,
+            f"{prefix}type": typ,
+            f"{prefix}subtype": hdr["subtype"],
+            f"{prefix}serial": hdr["serial"],
+            f"{prefix}time_generated": F.try_to_timestamp(
+                hdr["time_generated"], F.lit("yyyy/MM/dd HH:mm:ss")
+            ),
+            f"{prefix}fields": F.when(ok, fields),
+        }
+    )

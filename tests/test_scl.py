@@ -154,3 +154,48 @@ def test_app_parser_first_match_wins(spark):
     assert out[0]["iptables_kv"]["PROTO"] == "UDP"
     assert out[1]["app"] == "sudo" and out[1]["sudo_COMMAND"] == "/sbin/reboot"
     assert out[2]["app"] is None and out[2]["iptables_kv"] is None
+
+
+def test_fortigate_parser(spark):
+    line = (
+        "date=2024-05-01 time=10:20:30 devname=FGT60E devid=FG60E123 "
+        "logid=0000000013 type=traffic srcip=10.0.0.5 dstip=8.8.8.8 action=accept"
+    )
+    df = spark.createDataFrame([(0, line), (1, "type=traffic no devname")],
+                               "id int, text string")
+    rows = scl.fortigate_parser(df).collect()
+    assert len(rows) == 1  # devname filter
+    r = rows[0]
+    assert r["host"] == "FGT60E"
+    assert r["fortigate_kv"]["srcip"] == "10.0.0.5"
+    assert r["fortigate_ts"] == dt.datetime(2024, 5, 1, 10, 20, 30)
+
+
+def test_panos_parser_traffic_and_system(spark):
+    traffic = (
+        "1,2024/05/01 10:00:00,0123456789,TRAFFIC,end,1,2024/05/01 10:00:01,"
+        "10.0.0.5,8.8.8.8,0.0.0.0,0.0.0.0,allow-dns,bob,,dns,vsys1,trust,untrust,"
+        "ethernet1/1,ethernet1/2,fwd,1,12345,1,53211,53,0,0,0x0,udp,allow,"
+        "120,60,60,2,2024/05/01 09:59:59,1,any,0,987654,0x0,10.0.0.0-10.255.255.255,"
+        "US,0,1,1,aged-out,0,0,0,0,,PA-VM,from-policy"
+    )
+    system = (
+        "1,2024/05/01 10:00:00,0123456789,SYSTEM,general,1,2024/05/01 10:00:01,"
+        "vsys1,general,,0,0,general,informational,desc,112,0x0,0,0,0,0,,PA-VM"
+    )
+    df = spark.createDataFrame(
+        [(0, traffic), (1, system), (2, "garbage,line")],
+        "id int, text string",
+    )
+    out = {r["id"]: r.asDict() for r in scl.panos_parser(df).collect()}
+    t = out[0]
+    assert t["panos_ok"] and t["panos_type"] == "TRAFFIC"
+    assert t["panos_fields"]["src"] == "10.0.0.5"
+    assert t["panos_fields"]["dport"] == "53"
+    assert t["panos_fields"]["action"] == "allow"
+    assert t["panos_fields"]["device_name"] == "PA-VM"
+    assert t["panos_time_generated"] == dt.datetime(2024, 5, 1, 10, 0, 1)
+    s = out[1]
+    assert s["panos_ok"] and s["panos_fields"]["severity"] == "informational"
+    assert s["panos_fields"]["device_name"] == "PA-VM"
+    assert not out[2]["panos_ok"] and out[2]["panos_fields"] is None
