@@ -816,6 +816,22 @@ def q_op_kmsg_parse(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pipe_slog(spark: SparkSession, sf: str) -> DataFrame:
+    """secure-logging: forward-secure sealing of each conversation's
+    turn chain (slog.c protocol over hash primitives — key evolution,
+    per-entry MAC, aggregated MAC). Crypto chains aren't
+    SQL-expressible, so this is a declared rows-only gate entry; the
+    protocol itself is unit-verified (tamper/truncation/reorder
+    detection, test_slog.py)."""
+    from axosyslog_spark.operators.slog import slog_seal
+
+    t = _transcripts(spark, sf)
+    out = slog_seal(t, "00" * 32)
+    return out.select(
+        "conv_id", "turn_idx", "slog_ctr", "slog_ct", "slog_mac", "slog_agg"
+    )
+
+
 def q_pipe_multiline(spark: SparkSession, sf: str) -> DataFrame:
     """regexp-prefix multi-line assembly over transcripts: syslog-
     headed turns start a message, everything else continues it."""
@@ -978,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_filterx_funcs": q_op_filterx_funcs,
         "op_scl_apache": q_op_scl_apache,
         "op_kmsg_parse": q_op_kmsg_parse,
+        "pipe_slog": q_pipe_slog,
         "pipe_multiline": q_pipe_multiline,
         "pipe_filterx": q_pipe_filterx,
         "pipe_smart_multiline": q_pipe_smart_multiline,
