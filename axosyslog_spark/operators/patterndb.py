@@ -568,10 +568,19 @@ class PatternDB:
         The isNotNull guard is load-bearing: Spark's element_at with a
         NULL *column* index returns the LAST element (it behaves like
         index -1) instead of NULL — unmatched rows would read rule N-1's
-        metadata."""
-        arr = F.array(
-            *[F.lit(v) if v is not None else F.lit(None).cast(typ) for v in values]
-        )
+        metadata.
+
+        The array MUST be a foldable Literal (F.lit(list)), not
+        CreateArray (F.array(*lits)): this plan runs interpreted (the
+        stage-break transform disables whole-stage codegen), where
+        CreateArray re-allocates the N-element array PER ROW PER
+        REFERENCE — measured ~12s of the 50-rule 5M-row apply() before
+        this change, i.e. the lookup tables themselves were the O(N)
+        cost the LUTs exist to avoid. A Literal array is built once at
+        plan time."""
+        if all(v is None for v in values):
+            return F.lit(None).cast(typ)
+        arr = F.lit(values).cast(f"array<{typ}>")
         return F.when(idx_mod.isNotNull(), F.element_at(arr, idx_mod + 1))
 
     def _rule_id_for(self, idx: Column) -> Column:

@@ -140,3 +140,27 @@ def test_new_parsers_are_streaming_safe(spark, staged):
         for r in want.select("conv_id", "turn_idx", "kv_status", "jf_ok").collect()
     )
     assert a == b and a
+
+
+def test_round3_parsers_are_streaming_safe(spark, staged):
+    """Round-3 stateless stages (SCL adapters, kmsg, the filterx
+    event-format builtins) are pure projections too — identical
+    results on a streaming frame."""
+    from axosyslog_spark.functions.filterx_lang import filterx
+    from axosyslog_spark.operators.kmsg import kmsg_parser
+    from axosyslog_spark.operators.scl import cisco_parser
+
+    def stage(df):
+        out = cisco_parser(df, "text")
+        out = kmsg_parser(out, "text")
+        return filterx(out, '$cefm = parse_cef($text); $has = has_sdata();') \
+            if "sdata" in out.columns else out.withColumn(
+                "cef_null", F.lit(None).cast("string"))
+
+    stream = sp.stream_transcripts(spark, staged)
+    got = _run_to_memory(spark, stage(stream), "r3_parsers_mem")
+    want = stage(spark.read.parquet(staged))
+    cols = ["conv_id", "turn_idx", "cisco_ok", "kmsg_ok"]
+    a = sorted(tuple(r[c] for c in cols) for r in got.select(*cols).collect())
+    b = sorted(tuple(r[c] for c in cols) for r in want.select(*cols).collect())
+    assert a == b and a
