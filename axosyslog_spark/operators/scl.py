@@ -352,3 +352,55 @@ def panos_parser(
             f"{prefix}fields": F.when(ok, fields),
         }
     )
+
+
+def ewmm_parser(
+    df: DataFrame, src_col: str = "text", program_col: str | None = "program"
+) -> DataFrame:
+    """scl/ewmm ewmm-parser(): the enterprise-wide message model —
+    rows whose PROGRAM is '@syslog-ng' carry a JSON payload that
+    replaces the NV pairs; ``._TAGS`` inside it becomes the tags list
+    and is removed (the block's tags-parser + unset)."""
+    from axosyslog_spark.operators.jsonflatten import flatten_json_column
+
+    src = F.col(src_col)
+    out = df
+    if program_col is not None:
+        out = out.filter(F.col(program_col) == "@syslog-ng")
+    flat = flatten_json_column(src)
+    return (
+        out.withColumn(
+            "tags", F.split(F.element_at(flat, "._TAGS"), ",")
+        )
+        .withColumn(
+            "ewmm",
+            F.map_filter(flat, lambda k, _v: k != "._TAGS"),
+        )
+    )
+
+
+def format_gelf(
+    host: Column, msg: Column, level_num: Column, unixtime: Column,
+    program: Column | None = None, pid: Column | None = None,
+) -> Column:
+    """scl/graylog2 $(format-gelf): GELF 1.1 JSON (fixed version,
+    '-' fallbacks for host/short_message, numeric level + timestamp,
+    _-prefixed additional fields; omit-empty-values)."""
+    fields: list[Column] = [
+        F.lit("version"), F.lit("1.1"),
+        F.lit("host"), F.coalesce(host, F.lit("-")),
+        F.lit("short_message"), F.coalesce(msg, F.lit("-")),
+        F.lit("level"), level_num.cast("string"),
+        F.lit("timestamp"), unixtime.cast("bigint").cast("string"),
+    ]
+    if program is not None:
+        fields += [F.lit("_program"), program]
+    if pid is not None:
+        fields += [F.lit("_pid"), pid.cast("string")]
+    m = F.map_filter(
+        F.map_from_arrays(
+            F.array(*fields[0::2]), F.array(*fields[1::2])
+        ),
+        lambda _k, v: v.isNotNull() & (v != ""),
+    )
+    return F.to_json(m)

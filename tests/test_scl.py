@@ -199,3 +199,39 @@ def test_panos_parser_traffic_and_system(spark):
     assert s["panos_ok"] and s["panos_fields"]["severity"] == "informational"
     assert s["panos_fields"]["device_name"] == "PA-VM"
     assert not out[2]["panos_ok"] and out[2]["panos_fields"] is None
+
+
+def test_ewmm_parser(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "@syslog-ng", '{"MESSAGE": "hello", "HOST": "h1", "._TAGS": "a,b"}'),
+            (1, "other", '{"x": 1}'),
+        ],
+        "id int, program string, text string",
+    )
+    rows = scl.ewmm_parser(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["tags"] == ["a", "b"]
+    assert r["ewmm"]["MESSAGE"] == "hello" and r["ewmm"]["HOST"] == "h1"
+    assert "._TAGS" not in r["ewmm"]
+
+
+def test_format_gelf(spark):
+    import json
+
+    df = spark.createDataFrame(
+        [("h1", "boom", 3, 1704067200, "prog", None)],
+        "host string, msg string, lvl int, ut bigint, prog string, pid string",
+    )
+    out = df.select(
+        scl.format_gelf(
+            F.col("host"), F.col("msg"), F.col("lvl"), F.col("ut"),
+            F.col("prog"), F.col("pid"),
+        ).alias("g")
+    ).first()["g"]
+    d = json.loads(out)
+    assert d["version"] == "1.1" and d["host"] == "h1"
+    assert d["short_message"] == "boom" and d["level"] == "3"
+    assert d["_program"] == "prog"
+    assert "_pid" not in d  # omit-empty-values
