@@ -180,7 +180,11 @@ def _merge(cond: Column, then: _State, other: _State, base: _State, ref) -> _Sta
     out.metrics = (
         list(base.metrics)
         + [(n, F.when(cond, c).otherwise(F.lit(0))) for n, c in then.metrics[nb:]]
-        + [(n, F.when(~cond, c).otherwise(F.lit(0))) for n, c in other.metrics[nb:]]
+        # else-branch mask must mirror the phi: when cond is NULL the
+        # value phis route to the else branch (otherwise(...)), so the
+        # else increment must fire too — F.when(~cond, c) would yield
+        # 0 for NULL cond and the counters would undercount
+        + [(n, F.when(cond, F.lit(0)).otherwise(c)) for n, c in other.metrics[nb:]]
     )
     return out
 

@@ -8,13 +8,39 @@ CEF:  CEF:version|vendor|product|device_version|event_class|name|severity|ext
 LEEF: LEEF:version|vendor|product|firmware|event_id|ext(tab- or |-separated)
 
 Spark mapping: bounded split for the header (7 fields + greedy
-extension), str_to_map for extensions — single projection.
+extension), a dup-safe split+fold for extensions — single projection.
+(str_to_map / map_from_entries / map_concat all abort the job on a
+duplicate key under Spark's default mapKeyDedupPolicy=EXCEPTION; the
+reference parser overwrites — last occurrence wins.)
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from axosyslog_spark.operators.kvscan import entries_to_map
+
+
+def _ext_entries(ext: Column, pair_re: Column) -> Column:
+    """Extension section -> array<struct<key,value>>: split on the
+    pair delimiter regex, first '=' separates key from value (no '='
+    -> NULL value, like str_to_map), empty tokens dropped."""
+    toks = F.filter(F.split(ext, pair_re), lambda t: t != "")
+    return F.transform(
+        toks,
+        lambda t: F.struct(
+            F.substring_index(t, "=", 1).alias("key"),
+            F.when(
+                t.contains("="),
+                F.substring(
+                    t,
+                    F.length(F.substring_index(t, "=", 1)) + 2,
+                    F.lit(2_000_000_000),
+                ),
+            ).alias("value"),
+        ),
+    )
 
 CEF_HEADER_FIELDS = (
     "cef_version", "vendor", "product", "device_version",
@@ -32,7 +58,9 @@ def parse_cef(df: DataFrame, src_col: str = "text", prefix: str = "") -> DataFra
         val = F.when(F.col(f"{prefix}cef_ok"), F.element_at(parts, i + 1))
         out = out.withColumn(prefix + name, F.regexp_replace(val, r"\\([|\\])", "$1"))
     ext = F.when(F.col(f"{prefix}cef_ok"), F.element_at(parts, 8))
-    return out.withColumn(f"{prefix}cef_ext", F.str_to_map(ext, F.lit(" "), F.lit("=")))
+    return out.withColumn(
+        f"{prefix}cef_ext", entries_to_map(_ext_entries(ext, F.lit(" ")))
+    )
 
 
 def parse_leef(df: DataFrame, src_col: str = "text", prefix: str = "") -> DataFrame:
@@ -45,7 +73,9 @@ def parse_leef(df: DataFrame, src_col: str = "text", prefix: str = "") -> DataFr
         val = F.when(F.col(f"{prefix}leef_ok"), F.element_at(parts, i + 1))
         out = out.withColumn(prefix + name, val)
     ext = F.when(F.col(f"{prefix}leef_ok"), F.element_at(parts, 6))
-    return out.withColumn(f"{prefix}leef_ext", F.str_to_map(ext, F.lit("\t"), F.lit("=")))
+    return out.withColumn(
+        f"{prefix}leef_ext", entries_to_map(_ext_entries(ext, F.lit("\t")))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -80,15 +110,27 @@ def parse_cef_fx(src: Column) -> Column:
 
     is_cef = src.startswith("CEF:")
     parts = F.split(F.regexp_replace(src, "^CEF:", ""), r"(?<!\\)\|", 8)
-    hdr = F.map_from_arrays(
-        F.array(*[F.lit(n) for n in CEF_FX_FIELDS]),
-        F.array(*[_unescape_hdr(F.element_at(parts, i + 1)) for i in range(7)]),
+    hdr = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("key"),
+                _unescape_hdr(F.element_at(parts, i + 1)).alias("value"),
+            )
+            for i, n in enumerate(CEF_FX_FIELDS)
+        ]
     )
     pairs = kv_scan(F.element_at(parts, 8))
-    ext = F.map_from_entries(
-        F.transform(pairs, lambda p: F.struct(p["key"], p["value"]))
+    ext = F.transform(
+        pairs,
+        lambda p: F.struct(p["key"].alias("key"), p["value"].alias("value")),
     )
-    return F.when(is_cef & (F.size(parts) >= 8), F.map_concat(hdr, ext))
+    # single last-wins fold over header+extension entries: an
+    # extension key that collides with a header name overwrites it
+    # (dict-insert order in the filterx builtin), and duplicate
+    # extension keys don't abort the job
+    return F.when(
+        is_cef & (F.size(parts) >= 8), entries_to_map(F.concat(hdr, ext))
+    )
 
 
 def parse_leef_fx(src: Column) -> Column:
@@ -113,15 +155,22 @@ def parse_leef_fx(src: Column) -> Column:
     pair_re = F.when(is20, F.concat(F.lit(r"\Q"), delim, F.lit(r"\E"))).otherwise(
         F.lit("\t")
     )
-    hdr = F.map_from_arrays(
-        F.array(*[F.lit(n) for n in LEEF_FX_FIELDS]),
-        F.array(*[_unescape_hdr(F.element_at(p2, i + 1)) for i in range(5)]),
+    hdr = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("key"),
+                _unescape_hdr(F.element_at(p2, i + 1)).alias("value"),
+            )
+            for i, n in enumerate(LEEF_FX_FIELDS)
+        ]
     )
     ok = is_leef & (
         (is20 & (F.size(p2) >= 7) & delim.isNotNull())
         | (~is20 & (F.size(p1) >= 6))
     )
-    return F.when(ok, F.map_concat(hdr, F.str_to_map(ext_raw, pair_re, F.lit("="))))
+    return F.when(
+        ok, entries_to_map(F.concat(hdr, _ext_entries(ext_raw, pair_re)))
+    )
 
 
 def _escape_hdr(c: Column) -> Column:

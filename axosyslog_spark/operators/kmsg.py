@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from axosyslog_spark.operators.kvscan import entries_to_map
+
 _DEV_KEY = ".linux.DEVICE."
 
 
@@ -108,9 +110,9 @@ def kmsg_parser(df: DataFrame, src_col: str = "text") -> DataFrame:
             e["value"].alias("value"),
         ),
     )
-    dv = F.try_element_at(
-        F.map_from_entries(kv), F.lit("DEVICE")
-    )
+    # dup-safe (map_from_entries aborts on a repeated continuation
+    # key under mapKeyDedupPolicy=EXCEPTION; hostile input can repeat)
+    dv = F.try_element_at(entries_to_map(kv), F.lit("DEVICE"))
     entries = F.concat(
         plain,
         F.when(dv.isNotNull(), _device_entries(dv)).otherwise(
@@ -126,6 +128,6 @@ def kmsg_parser(df: DataFrame, src_col: str = "text") -> DataFrame:
             "kmsg_seq": F.when(ok, F.try_element_at(h, F.lit(2))).try_cast("bigint"),
             "kmsg_ts_us": F.when(ok, F.try_element_at(h, F.lit(3))).try_cast("bigint"),
             "message": F.when(ok, F.element_at(lines, 1)),
-            "kmsg_nv": F.when(ok, F.map_from_entries(entries)),
+            "kmsg_nv": F.when(ok, entries_to_map(entries)),
         }
     )

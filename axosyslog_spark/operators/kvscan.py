@@ -32,11 +32,12 @@ from pyspark.sql import functions as F
 
 _KEY = r"[A-Za-z0-9._-]+"
 # Placeholder for escaped backslash during staged unescape.
-# IN-BAND ASSUMPTION (same contract as patterndb.py's \x01 sentinel):
-# input text must not contain a literal \x02 control byte — if it did,
-# the staged unescape would garble that value. Syslog payloads never
-# legitimately carry STX; callers feeding arbitrary binary should strip
-# control bytes first (parse.py's sanitization does).
+# IN-BAND contract (same as patterndb.py's framing bytes), ENFORCED
+# below: _unescape and kv_stray_words strip a literal \x02 from their
+# input before using it as a marker, so hostile/binary input loses the
+# STX byte instead of garbling the value. Syslog payloads never
+# legitimately carry STX, so behavior matches the reference's
+# control-stripping line sources.
 _BS = "\x02"
 
 
@@ -61,7 +62,9 @@ def _pair_regex(value_separator: str = "=", pair_separator: str = ", ") -> str:
 
 def _unescape(v: Column) -> Column:
     """C-string unquote (str-repr): \\n/\\t/\\r named escapes, \\X -> X,
-    staged so escaped backslashes don't feed later rules."""
+    staged so escaped backslashes don't feed later rules. A literal
+    \\x02 in the input is stripped first — it's the stage marker."""
+    v = F.replace(v, F.lit(_BS), F.lit(""))
     v = F.regexp_replace(v, r"\\\\", _BS)
     v = F.regexp_replace(v, r"\\n", "\n")
     v = F.regexp_replace(v, r"\\t", "\t")
@@ -100,9 +103,12 @@ def kv_stray_words(
     pair_separator: str = ", ",
 ) -> Column:
     """KVSSWM_COLLECT analog: input minus the pair spans, leftover
-    words comma-joined (kv-scanner.c _extract_stray_word)."""
+    words comma-joined (kv-scanner.c _extract_stray_word). A literal
+    \\x02 in the input is stripped first — it's the span marker."""
     leftover = F.regexp_replace(
-        text, _pair_regex(value_separator, pair_separator), _BS
+        F.replace(text, F.lit(_BS), F.lit("")),
+        _pair_regex(value_separator, pair_separator),
+        _BS,
     )
     words = F.filter(
         F.split(leftover, rf"(?:{re.escape(pair_separator)}|[ ]|{_BS})+"),
@@ -160,6 +166,59 @@ def linux_audit_parse(
     )
 
 
+def entries_to_map(entries: Column) -> Column:
+    """array<struct<key,value>> -> map<string,string> with LAST
+    occurrence of a duplicate key winning (repeated NV-set calls
+    overwrite in the reference's kv-scanner / log-msg).
+
+    ``F.map_from_entries`` is NOT a drop-in here: Spark's default
+    ``spark.sql.mapKeyDedupPolicy=EXCEPTION`` makes one duplicate key
+    abort the whole job (DUPLICATED_MAP_KEY) — e.g. a netfilter ICMP
+    line whose bracketed inner header repeats SRC=/DST=.
+
+    Order matters too: the reference's NVTable overwrites IN PLACE, so
+    the map keeps first-occurrence ORDER with last-occurrence VALUE
+    (the CEF/LEEF formatters re-emit extensions in map order, which
+    round-trips only under this ordering). O(k²) per row in the pair
+    count, but k is tens at most for every log format we parse."""
+    uniq = F.filter(
+        entries,
+        lambda e, i: F.size(
+            F.filter(F.slice(entries, 1, i), lambda p: p["key"] == e["key"])
+        )
+        == 0,
+    )
+    return F.map_from_entries(
+        F.transform(
+            uniq,
+            lambda e: F.struct(
+                e["key"].alias("key"),
+                F.element_at(
+                    F.filter(entries, lambda p: p["key"] == e["key"]), -1
+                )["value"].alias("value"),
+            ),
+        )
+    )
+
+
+def kv_pairs_to_map(pairs: Column, prefix: str = "") -> Column:
+    """kv_scan() output -> dup-safe map (last wins), optional key
+    prefix like the driver's prefix() option."""
+    key = (
+        (lambda p: F.concat(F.lit(prefix), p["key"]))
+        if prefix
+        else (lambda p: p["key"])
+    )
+    return entries_to_map(
+        F.transform(
+            pairs,
+            lambda p: F.struct(
+                key(p).alias("key"), p["value"].alias("value")
+            ),
+        )
+    )
+
+
 def kv_parse(
     df: DataFrame,
     src_col: str = "text",
@@ -173,24 +232,7 @@ def kv_parse(
     (duplicate keys: last wins, matching repeated NV set calls).
     ``prefix`` namespaces keys like the driver's prefix() option."""
     pairs = kv_scan(F.col(src_col), value_separator, pair_separator)
-    entries = F.transform(
-        pairs,
-        lambda p: F.struct(
-            F.concat(F.lit(prefix), p["key"]).alias("key"),
-            p["value"].alias("value"),
-        ),
-    )
-    # fold reversed so the LAST occurrence of a duplicate key wins
-    # (repeated NV sets overwrite in the reference); map_from_entries
-    # would throw under the default EXCEPTION dedup policy
-    kv_map = F.aggregate(
-        F.reverse(entries),
-        F.expr("map()").cast("map<string,string>"),
-        lambda acc, e: F.when(
-            F.map_contains_key(acc, e["key"]), acc
-        ).otherwise(F.map_concat(acc, F.create_map(e["key"], e["value"]))),
-    )
-    out = df.withColumn(out_col, kv_map)
+    out = df.withColumn(out_col, kv_pairs_to_map(pairs, prefix))
     if stray_words_to:
         out = out.withColumn(
             stray_words_to,

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from axosyslog_spark.operators.kvscan import entries_to_map
+
 # RFC5424-ish: <PRI>VERSION SP TIMESTAMP SP HOSTNAME SP APP-NAME SP
 #              PROCID SP MSGID SP STRUCTURED-DATA SP MSG
 RFC5424_RE = r"^<([0-9]{1,3})>([0-9]) ([^ ]+) ([^ ]+) ([^ ]+) ([^ ]+) ([^ ]+) ([^ ]+) (.*)$"
@@ -317,7 +319,10 @@ def parse_sdata(df: DataFrame, sd_col: str, out_col: str = "sdata") -> DataFrame
     return df.withColumn(
         out_col,
         F.when(src.isNull() | (src == "-"), F.expr("map()").cast("map<string,string>"))
-        .otherwise(F.map_from_entries(entries)),
+        # last-wins fold: RFC5424 allows a param name to repeat inside
+        # an SD block; the reference's nv-table overwrites, while
+        # map_from_entries would abort the job (DUPLICATED_MAP_KEY)
+        .otherwise(entries_to_map(entries)),
     )
 
 

@@ -80,8 +80,13 @@ This composition is the scale path: at 10^12 rows a pandas-UDF trie
 would move every text through Arrow; the alternation regex moves
 nothing and lets Catalyst prune unreferenced field columns.
 
-In-band framing contract: message text must not contain the control
-bytes \\x01-\\x04 (syslog payloads never do; parse.py sanitizes).
+In-band framing contract: the framed decode requires the message text
+to be free of the control bytes \\x01-\\x04. This is ENFORCED here:
+match_idx()/apply() strip them with one F.translate before the text
+reaches either tier regex (syslog payloads never legitimately carry
+them — the reference's line-based sources strip control bytes too, so
+behavior matches; hostile/binary input degrades to classification of
+the stripped text instead of garbled rule_ids).
 """
 
 from __future__ import annotations
@@ -101,6 +106,14 @@ _BLOCK_SEP = "\x01"   # separates sentinels in the classify header
 _MARK = "\x02"        # prepended to the text; each alt's sentinel captures it
 _HIT = "\x03"         # result prefix proving the tier regex matched
 _FIELD_SEP = "\x04"   # separates field values in the extract result
+
+
+def _strip_framing_bytes(text: Column) -> Column:
+    """Enforce the in-band framing contract (module docstring): one
+    JVM-side translate removing \\x01-\\x04 before the text meets the
+    framed classify/extract. Without this a literal \\x02 in hostile
+    input would silently yield a wrong rule_id/field values."""
+    return F.translate(text, _BLOCK_SEP + _MARK + _HIT + _FIELD_SEP, "")
 # back-compat name (round-1/2 API used \x01 as the group joiner)
 _GROUP_SEP = _BLOCK_SEP
 
@@ -549,6 +562,7 @@ class PatternDB:
         materialized columns so each regex runs once per row."""
         if not self.patterns:
             return F.lit(None).cast("int")
+        text = _strip_framing_bytes(text)
         complete = self._complete_result(text)
         res = self._result(text, complete)
         return self._idx_of(self._ord0_of(res), complete.startswith(_HIT))
@@ -570,14 +584,15 @@ class PatternDB:
         index -1) instead of NULL — unmatched rows would read rule N-1's
         metadata.
 
-        The array MUST be a foldable Literal (F.lit(list)), not
-        CreateArray (F.array(*lits)): this plan runs interpreted (the
-        stage-break transform disables whole-stage codegen), where
-        CreateArray re-allocates the N-element array PER ROW PER
-        REFERENCE — measured ~12s of the 50-rule 5M-row apply() before
-        this change, i.e. the lookup tables themselves were the O(N)
-        cost the LUTs exist to avoid. A Literal array is built once at
-        plan time."""
+        Note on construction: F.lit(values) in PySpark 4.1.2 expands
+        to array(*[lit(x)...]) — the same CreateArray expression as
+        F.array(*lits); either way the all-literal CreateArray (plus
+        the single array-level cast) is foldable, and Catalyst's
+        ConstantFolding collapses it to one plan-time Literal during
+        optimization, so the table is NOT rebuilt per row. The real
+        changes behind the measured ~12s win on the 50-rule 5M-row
+        apply() were the all-None short-circuit below and casting
+        once at array level instead of per element."""
         if all(v is None for v in values):
             return F.lit(None).cast(typ)
         arr = F.lit(values).cast(f"array<{typ}>")
@@ -734,7 +749,7 @@ class PatternDB:
         CollapseProject keeps multiply-referenced non-cheap aliases
         staged, which is exactly what we rely on).
         """
-        text = F.col(text_col)
+        text = _strip_framing_bytes(F.col(text_col))
         n = len(self.patterns)
         idx_col, groups_col = f"__pdb_idx{prefix}", f"__pdb_groups{prefix}"
         c_col, r_col = f"__pdb_c{prefix}", f"__pdb_r{prefix}"

@@ -73,8 +73,13 @@ def apache_accesslog_parser(
             f"{prefix}clientip": g(2),
             f"{prefix}ident": g(3),
             f"{prefix}auth": g(4),
-            f"{prefix}timestamp": F.to_timestamp(
-                g(5), "dd/MMM/yyyy:HH:mm:ss XX"
+            # try_to_timestamp: the shape regex accepts any [...]
+            # content, and under Spark 4's ANSI default a malformed
+            # date inside the brackets must yield NULL (the block's
+            # drop-invalid semantics), not abort the job — same
+            # contract as the cisco/fortigate/panos siblings.
+            f"{prefix}timestamp": F.try_to_timestamp(
+                g(5), F.lit("dd/MMM/yyyy:HH:mm:ss XX")
             ),
             f"{prefix}rawrequest": raw,
             f"{prefix}response": g(7).try_cast("int"),
@@ -100,13 +105,15 @@ def sudo_parser(
     ... ; USER=... ; COMMAND=...), the leading stray word becomes
     SUBJECT (the invoking user), rows without COMMAND dropped (the
     block's pam-noise filter)."""
-    from axosyslog_spark.operators.kvscan import kv_scan, kv_stray_words
+    from axosyslog_spark.operators.kvscan import (
+        kv_pairs_to_map,
+        kv_scan,
+        kv_stray_words,
+    )
 
     src = F.col(src_col)
     pairs = kv_scan(src, pair_separator=" ; ")
-    kv = F.map_from_entries(
-        F.transform(pairs, lambda p: F.struct(p["key"], p["value"]))
-    )
+    kv = kv_pairs_to_map(pairs)
     stray = kv_stray_words(src, pair_separator=" ; ")
     out = df.withColumns(
         {
@@ -125,14 +132,15 @@ def iptables_parser(
 ) -> DataFrame:
     """scl/iptables iptables-parser(): plain kv-parser over the
     netfilter log line (IN= OUT= SRC= DST= PROTO= SPT= DPT= ...);
-    empty-valued keys (IN=) stay as empty strings like the scanner."""
-    from axosyslog_spark.operators.kvscan import kv_scan
+    empty-valued keys (IN=) stay as empty strings like the scanner.
+    Duplicate keys (the bracketed inner header of an ICMP error line
+    repeats SRC=/DST=/PROTO=) keep the LAST occurrence — the inner
+    header — matching kv-parser's repeated NV-set overwrite; the
+    reference never aborts on duplicates."""
+    from axosyslog_spark.operators.kvscan import kv_pairs_to_map, kv_scan
 
     pairs = kv_scan(F.col(src_col), pair_separator=" ")
-    kv = F.map_from_entries(
-        F.transform(pairs, lambda p: F.struct(p["key"], p["value"]))
-    )
-    return df.withColumn(f"{prefix}kv", kv)
+    return df.withColumn(f"{prefix}kv", kv_pairs_to_map(pairs))
 
 
 def iptables_app_filter(
@@ -252,12 +260,10 @@ def fortigate_parser(
     (date=.. time=.. devname=.. logid=..); stamp assembled from
     date+time, HOST taken from devname, rows without devname dropped
     (the block's filter)."""
-    from axosyslog_spark.operators.kvscan import kv_scan
+    from axosyslog_spark.operators.kvscan import kv_pairs_to_map, kv_scan
 
     pairs = kv_scan(F.col(src_col), pair_separator=" ")
-    kv = F.map_from_entries(
-        F.transform(pairs, lambda p: F.struct(p["key"], p["value"]))
-    )
+    kv = kv_pairs_to_map(pairs)
     get = lambda k: F.element_at(kv, k)  # noqa: E731
     out = df.withColumns(
         {
@@ -383,24 +389,26 @@ def format_gelf(
     host: Column, msg: Column, level_num: Column, unixtime: Column,
     program: Column | None = None, pid: Column | None = None,
 ) -> Column:
-    """scl/graylog2 $(format-gelf): GELF 1.1 JSON (fixed version,
-    '-' fallbacks for host/short_message, numeric level + timestamp,
-    _-prefixed additional fields; omit-empty-values)."""
+    """scl/graylog2 $(format-gelf): GELF 1.1 JSON — fixed version,
+    '-' fallbacks for host/short_message, NUMERIC level / timestamp /
+    _pid (the block casts level=int(${LEVEL_NUM}),
+    timestamp=int64(${R_UNIXTIME}), _pid=int(${PID}); GELF 1.1
+    requires numeric level+timestamp), _-prefixed additional fields,
+    --omit-empty-values (NULL / empty-string fields dropped).
+
+    Rendered via to_json over a typed struct so the numeric fields
+    stay numeric in the JSON (a map<string,string> would quote them).
+    Ref: scl/graylog2/plugin.conf template-function "format-gelf"."""
+    s = lambda c: F.nullif(c, F.lit(""))  # noqa: E731
     fields: list[Column] = [
-        F.lit("version"), F.lit("1.1"),
-        F.lit("host"), F.coalesce(host, F.lit("-")),
-        F.lit("short_message"), F.coalesce(msg, F.lit("-")),
-        F.lit("level"), level_num.cast("string"),
-        F.lit("timestamp"), unixtime.cast("bigint").cast("string"),
+        F.lit("1.1").alias("version"),
+        F.coalesce(s(host), F.lit("-")).alias("host"),
+        F.coalesce(s(msg), F.lit("-")).alias("short_message"),
+        level_num.cast("int").alias("level"),
+        unixtime.cast("bigint").alias("timestamp"),
     ]
     if program is not None:
-        fields += [F.lit("_program"), program]
+        fields.append(s(program).alias("_program"))
     if pid is not None:
-        fields += [F.lit("_pid"), pid.cast("string")]
-    m = F.map_filter(
-        F.map_from_arrays(
-            F.array(*fields[0::2]), F.array(*fields[1::2])
-        ),
-        lambda _k, v: v.isNotNull() & (v != ""),
-    )
-    return F.to_json(m)
+        fields.append(s(pid.cast("string")).try_cast("int").alias("_pid"))
+    return F.to_json(F.struct(*fields), {"ignoreNullFields": "true"})

@@ -64,3 +64,39 @@ def test_parse_leef(spark):
     assert r.leef_ok is True
     assert r.vendor == "IBM" and r.event_id == "12345"
     assert r.leef_ext == {"src": "1.2.3.4", "act": "allow"}
+
+
+def test_cef_duplicate_ext_keys_no_abort(spark):
+    """Duplicate extension keys (and ext keys colliding with header
+    names) overwrite last-wins instead of aborting the job under
+    mapKeyDedupPolicy=EXCEPTION."""
+    from axosyslog_spark.operators.cef import parse_cef_fx, parse_leef_fx
+
+    df = spark.createDataFrame(
+        [
+            (0, "CEF:0|V|P|1.0|id|nm|5|src=1.1.1.1 src=2.2.2.2 event_name=x"),
+            (1, "LEEF:1.0|V|P|1.0|id|k=a\tk=b\tvendor_name=y"),
+        ],
+        "id int, text string",
+    )
+    out = {
+        r["id"]: (r["c"], r["l"])
+        for r in df.select(
+            "id",
+            parse_cef_fx(F.col("text")).alias("c"),
+            parse_leef_fx(F.col("text")).alias("l"),
+        ).collect()
+    }
+    c = out[0][0]
+    assert c["src"] == "2.2.2.2"          # dup ext key: last wins
+    assert c["event_name"] == "x"          # ext overwrites header slot
+    l = out[1][1]
+    assert l["k"] == "b" and l["vendor_name"] == "y"
+
+
+def test_cef_df_parser_duplicate_ext_keys(spark):
+    df = spark.createDataFrame(
+        [("CEF:0|V|P|1.0|id|nm|5|a=1 a=2 b=3",)], "text string"
+    )
+    ext = parse_cef(df).first()["cef_ext"]
+    assert ext["a"] == "2" and ext["b"] == "3"

@@ -192,3 +192,37 @@ def test_update_metric_counters(spark):
     assert got["seen"] == 4
     assert got["errors"] == 2
     assert got["kept"] == 40  # 10 + 30
+
+
+def test_update_metric_else_branch_counts_null_cond(spark):
+    """ADVICE r3 (low): when the if-condition is NULL (comparison on a
+    missing value), the value phis route the row to the ELSE branch —
+    the else-branch metric must fire for it too, not sit in the
+    ~cond NULL gap and undercount."""
+    from axosyslog_spark.functions.filterx_lang import compile_filterx
+
+    df = spark.createDataFrame(
+        [(0, "error"), (1, "ok"), (2, None)],
+        "id int, status string",
+    )
+    blk = compile_filterx(
+        """
+        if ($status == "error") {
+          update_metric("err");
+          $route = "e";
+        } else {
+          update_metric("other");
+          $route = "o";
+        };
+        """,
+        known_fields=df.columns,
+        string_fields={"status"},
+    )
+    out = blk.apply(df)
+    routes = {r["id"]: r["route"] for r in out.collect()}
+    got = blk.observation.get
+    # row 2 (NULL status) takes the else data path...
+    assert routes == {0: "e", 1: "o", 2: "o"}
+    # ...and the metric path must agree with the data path
+    assert got["err"] == 1
+    assert got["other"] == 2

@@ -175,3 +175,24 @@ def test_linux_audit_parse(spark):
     assert audit["comm"] == "cat"                        # was quoted
     assert audit["exe"] == "/bin/cat"
     assert audit["proctitle"] == "/sbin/foo -a b"        # hex-decoded
+
+
+def test_stx_byte_stripped_not_garbled(spark):
+    """The \\x02 stage-marker contract is enforced: a literal STX in a
+    quoted value (or among stray words) is stripped rather than
+    colliding with the internal marker and garbling the decode."""
+    from axosyslog_spark.operators.kvscan import kv_parse
+
+    df = spark.createDataFrame(
+        [(0, 'a="x\x02y \\\\ z", b=2 '), (1, "str\x02ay w, k=v")],
+        "id int, text string",
+    )
+    out = {
+        r["id"]: r.asDict()
+        for r in kv_parse(df, stray_words_to="stray").collect()
+    }
+    # STX dropped; the staged backslash unescape still decodes \\ -> \
+    assert out[0]["kv"]["a"] == "xy \\ z"
+    assert out[0]["kv"]["b"] == "2"
+    assert out[1]["stray"] == "stray,w"
+    assert out[1]["kv"]["k"] == "v"

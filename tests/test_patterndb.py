@@ -346,3 +346,36 @@ def test_dispatch_tree_equals_flat_alternation(spark):
     assert with_tree[22]["rule_id"] == "svc_any"
     assert with_tree[23]["rule_id"] is None
     assert with_tree[24]["rule_id"] is None
+
+
+def test_control_bytes_sanitized(spark):
+    """The framed-decode contract is enforced, not assumed: a literal
+    \\x01-\\x04 byte in hostile input is stripped before classification
+    (the reference's line sources strip control bytes), so it can
+    neither garble the winning ordinal nor leak into field values."""
+    lines = [
+        # \x02 is the winner-mark byte: prepended mid-text it must not
+        # fake a match or shift the ordinal
+        "\x02status=ok latency_ms=1 path=/x",
+        "status=ok latency_ms=2 path=/\x02y",
+        # \x03 fakes the HIT prefix, \x01/\x04 fake frame separators
+        "\x03Accepted password for eve from 1.2.3.4",
+        "status=ok\x01 latency_ms=3 path=/z",
+        "status=\x04ok latency_ms=4 path=/w",
+        # all four at once on a non-matching line stays unmatched
+        "\x01\x02\x03\x04 nothing",
+    ]
+    rows = _apply(spark, F4_RULES, lines)
+    assert rows[0]["rule_id"] == "kv_status" and rows[0]["status"] == "ok"
+    assert rows[1]["rule_id"] == "kv_status" and rows[1]["path"] == "/y"
+    assert rows[2]["rule_id"] == "login" and rows[2]["user"] == "eve"
+    assert rows[3]["rule_id"] == "kv_status" and rows[3]["latency_ms"] == 3
+    assert rows[4]["rule_id"] == "kv_status" and rows[4]["status"] == "ok"
+    assert rows[5]["rule_id"] is None
+    # classify() (the standalone expression form) enforces it too
+    df = spark.createDataFrame([(l,) for l in lines], "text string")
+    from pyspark.sql import functions as F
+
+    pdb = PatternDB(F4_RULES)
+    got = [r[0] for r in df.select(pdb.classify(F.col("text"))).collect()]
+    assert got == ["kv_status", "kv_status", "login", "kv_status", "kv_status", None]

@@ -232,6 +232,57 @@ def test_format_gelf(spark):
     ).first()["g"]
     d = json.loads(out)
     assert d["version"] == "1.1" and d["host"] == "h1"
-    assert d["short_message"] == "boom" and d["level"] == "3"
+    # GELF 1.1 / the block's int() casts: numeric, not strings
+    assert d["short_message"] == "boom" and d["level"] == 3
+    assert d["timestamp"] == 1704067200
     assert d["_program"] == "prog"
     assert "_pid" not in d  # omit-empty-values
+
+
+def test_format_gelf_numeric_pid(spark):
+    import json
+
+    df = spark.createDataFrame(
+        [("h1", "x", 6, 1704067201, "p", "412")],
+        "host string, msg string, lvl int, ut bigint, prog string, pid string",
+    )
+    out = df.select(
+        scl.format_gelf(
+            F.col("host"), F.col("msg"), F.col("lvl"), F.col("ut"),
+            F.col("prog"), F.col("pid"),
+        ).alias("g")
+    ).first()["g"]
+    d = json.loads(out)
+    assert d["_pid"] == 412 and d["level"] == 6
+
+
+def test_iptables_duplicate_keys_no_abort(spark):
+    """ADVICE r3 (high): a netfilter ICMP error line embeds the
+    offending packet's header in brackets, repeating SRC/DST/PROTO/
+    LEN. map_from_entries would abort the whole job under Spark's
+    default mapKeyDedupPolicy=EXCEPTION; the reference kv-parser
+    overwrites — last occurrence (the inner header) wins."""
+    line = (
+        "IN=eth0 OUT= MAC=00:11:22:33:44:55:66:77:88:99:aa:bb:cc:dd "
+        "SRC=10.0.0.9 DST=10.0.0.5 LEN=112 TOS=0x00 PREC=0xC0 TTL=64 "
+        "ID=54321 PROTO=ICMP TYPE=3 CODE=3 "
+        "[SRC=10.0.0.5 DST=8.8.8.8 LEN=84 TTL=63 ID=777 PROTO=UDP "
+        "SPT=53124 DPT=53 LEN=64 ]"
+    )
+    df = spark.createDataFrame([(line,)], "text string")
+    kv = scl.iptables_parser(df).first()["iptables_kv"]  # must not raise
+    assert kv["SRC"] == "10.0.0.5" and kv["DST"] == "8.8.8.8"
+    assert kv["PROTO"] == "UDP" and kv["TYPE"] == "3"
+
+
+def test_apache_malformed_date_yields_null(spark):
+    """ADVICE r3 (medium): the shape regex accepts any [...] content;
+    a malformed date must yield NULL (drop-invalid semantics), not
+    abort under Spark 4's ANSI-on to_timestamp."""
+    df = spark.createDataFrame(
+        [('1.2.3.4 - - [not/a/date] "GET / HTTP/1.0" 200 5',)],
+        "text string",
+    )
+    r = scl.apache_accesslog_parser(df).first()
+    assert r["apache_ok"] and r["apache_timestamp"] is None
+    assert r["apache_response"] == 200
