@@ -114,6 +114,8 @@ def _strip_framing_bytes(text: Column) -> Column:
     framed classify/extract. Without this a literal \\x02 in hostile
     input would silently yield a wrong rule_id/field values."""
     return F.translate(text, _BLOCK_SEP + _MARK + _HIT + _FIELD_SEP, "")
+
+
 # back-compat name (round-1/2 API used \x01 as the group joiner)
 _GROUP_SEP = _BLOCK_SEP
 
@@ -454,6 +456,22 @@ class PatternDB:
             members.sort(key=lambda c: c.ordinal)
             leaves.append((k, *self._leaf_res(members)))
         self._leaves = leaves
+        # JIT note (round-4): one monolithic when()-tree over many
+        # leaves generates a single codegen method whose bytecode
+        # grows ~linearly with the leaf count (~1 KB/leaf; 48,889 at
+        # 50 leaves) — past HotSpot's default DontCompileHugeMethods
+        # ceiling (8000) such a method silently runs interpreted at a
+        # measured ~30x per-expression cost. The fix that MEASURED
+        # fastest is lifting the ceiling (-XX:-DontCompileHugeMethods,
+        # set by session.get_spark; 50-rule 5M-row apply 31s -> 10s,
+        # within 1.4x of the 4-rule flagship; C2 still compiles the
+        # tree at 200 leaves, 13.3s/2M rows). Plan-restructuring
+        # alternatives were all built and measured slower: chained
+        # 6-leaf chunk columns (11.7s @50, 25s+ @200 — Spark never
+        # splits per-operator consume methods because
+        # ProjectExec.usedInputs only counts attrs referenced twice),
+        # per-leaf guard columns, row-mode islands, and
+        # methodSplitThreshold (no-ops on a monolithic CaseWhen).
 
     def _leaf_res(self, members) -> tuple[str, str, str]:
         """(complete_re, partial_re, repl) for one dispatch leaf:
@@ -765,6 +783,13 @@ class PatternDB:
                 # run the message regexes (the program-trie hop of
                 # radix.c) — NULL text short-circuits both tiers
                 gated = F.when(self.program_filter(F.col(program_col)), text)
+            # materialize the sanitized (and program-gated) text ONCE:
+            # the dispatch-tree compares reference it at every node,
+            # and an inline expression would re-run the translate per
+            # reference per row
+            txt_col = f"__pdb_txt{prefix}"
+            df = df.withColumn(txt_col, gated)
+            gated = F.col(txt_col)
             # stage 1: complete tier (ONE regex execution per row)
             df = df.withColumn(c_col, self._complete_result(gated))
             # stage 2: fall back to the partial tier only where needed
@@ -780,7 +805,7 @@ class PatternDB:
             df = df.withColumn(
                 groups_col,
                 self._groups_from_result(F.col(r_col), F.col(idx_col) % n),
-            ).drop(c_col, r_col)
+            ).drop(c_col, r_col, txt_col)
         idx = F.col(idx_col)
         mod = idx % max(n, 1)
         proj2 = {

@@ -43,6 +43,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # Wide generated spans (e.g. a 50-rule PatternDB dispatch tree:
+        # ~49 KB of bytecode in one whole-stage method) exceed
+        # HotSpot's DontCompileHugeMethods ceiling (8000 bytecodes) and
+        # silently run interpreted, a measured ~30x per-expression
+        # cost. Lift the ceiling so the JIT compiles them; on a real
+        # cluster the same flag goes in spark.executor.extraJavaOptions
+        # (local mode: driver JVM == executor JVM).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:-DontCompileHugeMethods",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
