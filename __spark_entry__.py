@@ -214,10 +214,13 @@ def q_pipe_pdb_actions(spark: SparkSession, sf: str) -> DataFrame:
     """PatternDB <actions>: match-triggered synthetic messages
     (pdb-action.c / synthetic-message.c) — every kv_retry match emits
     one synthetic row (alert template + tag) plus a second, condition-
-    gated one for error statuses; originals pass through
-    (inject-mode pass-through). The oracle reconstructs both the
-    classification (hand-written fixture regexes) and the synthetic
-    multiset independently in SQL."""
+    gated one for error statuses, plus a RATED third (<action
+    rate="5/3600">, pdb-ratelimit.c analog: first 5 per correlation
+    key per hour-long event-time bucket); originals pass through
+    (inject-mode pass-through). The oracle reconstructs the
+    classification (hand-written fixture regexes), the synthetic
+    multiset, and the rate window (row_number over the same bucket
+    and ordering) independently in SQL."""
     from axosyslog_spark.operators.parse import parse_header
     from axosyslog_spark.operators.patterndb import PdbAction
 
@@ -232,13 +235,24 @@ def q_pipe_pdb_actions(spark: SparkSession, sf: str) -> DataFrame:
                     values=(("alert", "ERROR ${path}"),),
                     tags=("alerted",),
                 ),
+                PdbAction(
+                    rate=5, rate_quantum=3600,
+                    values=(("alert", "ratelimited ${path}"),),
+                    tags=("rate",),
+                ),
             ),
         ),
         *[r for r in PDB_RULES if r.rule_id != "kv_retry"],
     ]
     pdb = PatternDB(rules)
     p = parse_header(_transcripts(spark, sf))
-    out = pdb.apply_match_actions(pdb.apply(p, text_col="body"))
+    # unique, oracle-mirrorable within-bucket ordering for the rated
+    # action (turn_idx alone repeats across conversations)
+    p = p.withColumn(
+        "ordk",
+        F.concat_ws("#", F.col("conv_id"), F.format_string("%09d", "turn_idx")),
+    )
+    out = pdb.apply_match_actions(pdb.apply(p, text_col="body"), order_col="ordk")
     return out.select(
         "conv_id", "turn_idx", "rule_id", "synthetic", "alert",
         F.array_join(F.col("pdb_tags"), ",").alias("tags"),
@@ -816,6 +830,67 @@ def q_op_kmsg_parse(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_op_snmptrapd(spark: SparkSession, sf: str) -> DataFrame:
+    """snmptrapd-parser(): v1/v2 trap records synthesized from events
+    (header + transport info + v1 trap info + tab-separated varbind
+    list with SNMP type annotations); invalid records (debug noise)
+    are dropped like the reference parser. Oracle rebuilds every
+    output from the generating columns.
+
+    Ref: modules/afsnmp/snmptrapd-header-parser.c,
+    varbindlist-scanner.c, snmptrapd-parser.c."""
+    from axosyslog_spark.operators.snmptrapd import snmptrapd_parser
+
+    ev = _utc(spark).read.parquet(f"{sf}/events.parquet")
+    ts = F.concat(
+        F.lit("2024-06-15 10:11:"),
+        F.lpad((F.col("event_id") % 60).cast("string"), 2, "0"),
+    )
+    host = F.concat(F.lit("host"), (F.col("user_id") % 50).cast("string"))
+    ti = F.concat(
+        F.lit("UDP: [127.0.0.1]:"),
+        (30000 + F.col("event_id") % 999).cast("string"),
+        F.lit("->[127.0.0.1]:162"),
+    )
+    vbs = F.concat(
+        F.lit("iso.3.6.1.4.1."), F.col("event_id").cast("string"),
+        F.lit(" = INTEGER: "), F.col("user_id").cast("string"),
+        F.lit('\tnetSnmpExampleString = STRING: "msg '), F.col("event_type"),
+        F.lit(" 'q'\"\tMY-MIB::key = Hex-STRING: A0 BB"),
+    )
+    hdr = F.concat(ts, F.lit(" "), host, F.lit(" ["), ti, F.lit("]:"))
+    v1 = F.concat(
+        hdr, F.lit(" iso.3.6.1.4.1.8072.2.3.1\n\t Enterprise Specific Trap (."),
+        (F.col("event_id") % 20).cast("string"),
+        F.lit(") Uptime: 18:41:07.83\n"), vbs,
+    )
+    v2 = F.concat(hdr, F.lit("\n"), vbs)
+    bad = F.concat(ts, F.lit(" NET-SNMP version 5.7.3 Stopped.\nStopping snmptrapd"))
+    text = (
+        F.when(F.col("event_id") % 17 == 0, bad)
+        .when(F.col("event_id") % 3 == 0, v1)
+        .otherwise(v2)
+    )
+    df = ev.select("event_id", "user_id", "event_type", text.alias("text"))
+    out = snmptrapd_parser(df).filter("snmp_ok")
+    m = F.col("snmp")
+    return out.select(
+        "event_id",
+        m[".snmp.hostname"].alias("hostname"),
+        m[".snmp.transport_info"].alias("transport_info"),
+        m[".snmp.enterprise_oid"].alias("enterprise_oid"),
+        m[".snmp.type"].alias("trap_type"),
+        m[".snmp.subtype"].alias("subtype"),
+        m[".snmp.uptime"].alias("uptime"),
+        F.element_at(
+            m, F.concat(F.lit(".snmp.iso.3.6.1.4.1."), F.col("event_id").cast("string"))
+        ).alias("oid_val"),
+        m[".snmp.netSnmpExampleString"].alias("str_val"),
+        m[".snmp.MY-MIB_key"].alias("hex_val"),
+        F.date_format("snmp_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
 def q_pipe_slog(spark: SparkSession, sf: str) -> DataFrame:
     """secure-logging: forward-secure sealing of each conversation's
     turn chain (slog.c protocol over hash primitives — key evolution,
@@ -994,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_filterx_funcs": q_op_filterx_funcs,
         "op_scl_apache": q_op_scl_apache,
         "op_kmsg_parse": q_op_kmsg_parse,
+        "op_snmptrapd": q_op_snmptrapd,
         "pipe_slog": q_pipe_slog,
         "pipe_multiline": q_pipe_multiline,
         "pipe_filterx": q_pipe_filterx,
@@ -1171,7 +1247,7 @@ def oracle_sql() -> dict[str, str]:
             # every later query on it
             + ", classified AS MATERIALIZED (\n"
             + oracle.patterndb_fixture_sql(
-                "body", "FROM parsed2", "conv_id, turn_idx"
+                "body", "FROM parsed2", "conv_id, turn_idx, ts"
             )
             + """
             )
@@ -1188,6 +1264,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, rule_id, TRUE,
                    'ERROR ' || path, 'alerted'
             FROM classified WHERE rule_id = 'kv_retry' AND status = 'error'
+            UNION ALL
+            -- rated action: first 5 per hour-long event-time bucket
+            -- (kv rows share one correlation key: host/appname/procid
+            -- are NULL outside syslog-headed turns)
+            SELECT conv_id, turn_idx, rule_id, TRUE,
+                   'ratelimited ' || path, 'rate'
+            FROM (
+              SELECT conv_id, turn_idx, rule_id, path,
+                     row_number() OVER (
+                       PARTITION BY floor(epoch(ts) / 3600)
+                       ORDER BY conv_id || '#'
+                                || lpad(CAST(turn_idx AS VARCHAR), 9, '0')
+                     ) AS rn
+              FROM classified WHERE rule_id = 'kv_retry'
+            ) WHERE rn <= 5
             """
         ),
         "op_csv_parse": """
@@ -1487,6 +1578,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(event_id % 5000 AS BIGINT) AS bytes,
                'https://ref.example/' AS referrer
         FROM events
+        """,
+        "op_snmptrapd": """
+        SELECT event_id,
+               'host' || CAST(user_id % 50 AS VARCHAR) AS hostname,
+               'UDP: [127.0.0.1]:' || CAST(30000 + event_id % 999 AS VARCHAR)
+                 || '->[127.0.0.1]:162' AS transport_info,
+               CASE WHEN event_id % 3 = 0 THEN 'iso.3.6.1.4.1.8072.2.3.1' END
+                 AS enterprise_oid,
+               CASE WHEN event_id % 3 = 0 THEN 'Enterprise Specific Trap' END
+                 AS trap_type,
+               CASE WHEN event_id % 3 = 0
+                    THEN '.' || CAST(event_id % 20 AS VARCHAR) END AS subtype,
+               CASE WHEN event_id % 3 = 0 THEN '18:41:07.83' END AS uptime,
+               CAST(user_id AS VARCHAR) AS oid_val,
+               'msg ' || event_type || ' ''q''' AS str_val,
+               'A0 BB' AS hex_val,
+               '2024-06-15 10:11:'
+                 || lpad(CAST(event_id % 60 AS VARCHAR), 2, '0') AS ts_str
+        FROM events
+        WHERE event_id % 17 <> 0
         """,
         "op_kmsg_parse": """
         SELECT event_id,

@@ -167,6 +167,19 @@ class PdbField:
     cast: str | None  # spark type name, None = string
 
 
+def parse_action_rate(rate: str | None) -> tuple[int, int]:
+    """<action rate="N/Ts"> -> (N, T); bare "N" means N per second;
+    a zero/absent quantum falls back to 1 (pdb-action.c
+    pdb_action_set_rate:52-74). rate 0 / None = unlimited."""
+    if not rate:
+        return (0, 1)
+    if "/" in rate:
+        n, _, q = rate.partition("/")
+        quantum = int(q.rstrip("s") or "0")
+        return (int(n), quantum if quantum > 0 else 1)
+    return (int(rate), 1)
+
+
 @dataclass(frozen=True)
 class PdbAction:
     """One <action>: trigger-gated synthetic message emission
@@ -174,13 +187,18 @@ class PdbAction:
     batch-meaningful one; 'timeout' belongs to grouping-stage
     correlation, see grouping.correlate), ``condition`` an optional
     template-condition string, ``values``/``tags`` the synthetic
-    message payload (templates over the matched row's fields)."""
+    message payload (templates over the matched row's fields).
+    ``rate``/``rate_quantum``: <action rate="N/Ts"> fires at most N
+    synthetic messages per T seconds per correlation key (0 =
+    unlimited); see apply_match_actions for the batch contract."""
 
     trigger: str = "match"
     condition: str | None = None
     values: tuple[tuple[str, str], ...] = ()
     tags: tuple[str, ...] = ()
     inherit_properties: bool = True
+    rate: int = 0
+    rate_quantum: int = 1
 
 
 @dataclass(frozen=True)
@@ -661,7 +679,13 @@ class PatternDB:
             m = m | F.coalesce(glob_match(program, g), F.lit(False))
         return m
 
-    def apply_match_actions(self, df: DataFrame, values_ctx=None) -> DataFrame:
+    def apply_match_actions(
+        self,
+        df: DataFrame,
+        values_ctx=None,
+        ts_col: str = "ts",
+        order_col: str = "turn_idx",
+    ) -> DataFrame:
         """trigger='match' <actions>: every matched row whose rule
         carries an action (and passes its condition) emits ONE
         synthetic row with the action's <values> rendered and its
@@ -670,6 +694,21 @@ class PatternDB:
         Expects a frame already through apply() (rule_id + fields).
         Timeout-triggered actions are correlation-context constructs —
         see grouping.correlate.
+
+        ``rate``-limited actions (<action rate="N/Ts">,
+        pdb-ratelimit.c:1-56 + patterndb.c _is_action_within_rate_limit)
+        fire at most N synthetic rows per T-second EVENT-TIME bucket
+        per correlation key (the rule's context-scope columns +
+        rule:action identity — the reference keys its token bucket by
+        correlation_key(scope, msg, "rule_id:action_id")). Same
+        windowed-allowance contract as grouping.rate_limit_bucket:
+        the reference's wall-clock token bucket carries fractional
+        credits across arrivals, which is inherently sequential; the
+        event-time bucket admits the same steady-state N per T and is
+        deterministic under replay. Ordered by ``order_col`` within a
+        bucket (falls back to ``ts_col``, then arbitrary). Unrated
+        actions are untouched (rate 0 = unlimited, like the
+        reference's early return).
 
         Pass-through semantics: returns original rows (synthetic=false)
         + synthetic rows (synthetic=true), like inject-mode
@@ -714,7 +753,7 @@ class PatternDB:
             else F.lit(None).cast("array<string>")
         )
         structs: list[Column] = []
-        for rule, action in match_actions:
+        for ordn, (rule, action) in enumerate(match_actions):
             cond = F.col("rule_id") == rule.rule_id
             if action.condition:
                 cond = cond & parse_condition(action.condition, ctx)
@@ -730,17 +769,82 @@ class PatternDB:
                 if action.tags
                 else inherit_tags
             )
-            structs.append(F.when(cond, F.struct(*fields, tags.alias("pdb_tags"))))
+            structs.append(
+                F.when(
+                    cond,
+                    F.struct(
+                        *fields,
+                        tags.alias("pdb_tags"),
+                        F.lit(ordn).alias("__ord"),
+                    ),
+                )
+            )
         fired = F.filter(F.array(*structs), lambda s: s.isNotNull())
         synth = df.withColumn("__pdb_act", F.explode(fired))
         synth = synth.withColumns(
             {
                 **{n: F.col(f"__pdb_act.{n}") for n in value_names},
                 "pdb_tags": F.col("__pdb_act.pdb_tags"),
+                "__pdb_ord": F.col("__pdb_act.__ord"),
                 "synthetic": F.lit(True),
             }
         ).drop("__pdb_act")
-        return base.unionByName(synth, allowMissingColumns=True)
+        synth = self._rate_limit_actions(synth, match_actions, ts_col, order_col)
+        return base.unionByName(synth.drop("__pdb_ord"), allowMissingColumns=True)
+
+    @staticmethod
+    def _rate_limit_actions(
+        synth: DataFrame, match_actions, ts_col: str, order_col: str
+    ) -> DataFrame:
+        """First-N-per-(correlation key, event-time bucket) filter over
+        the exploded synthetic rows — see apply_match_actions. One
+        window shuffle over the synthetic rows ONLY, and only when at
+        least one action declares a rate."""
+        if not any(a.rate for _, a in match_actions):
+            return synth
+        from pyspark.sql import Window
+
+        from axosyslog_spark.operators.grouping import _CONTEXT_SCOPE_COLS
+
+        ordn = F.col("__pdb_ord")
+        rates = F.lit([a.rate for _, a in match_actions]).cast("array<int>")
+        quanta = F.lit(
+            [max(a.rate_quantum, 1) for _, a in match_actions]
+        ).cast("array<int>")
+        rate_v = F.element_at(rates, ordn + 1)
+        # correlation key per the firing action's rule scope: only the
+        # scope columns present in the frame widen the key (a missing
+        # column is a NULL key part in the reference, constant here)
+        scope_key = F.lit("")
+        for i, (rule, action) in enumerate(match_actions):
+            if not action.rate:
+                continue
+            cols = [
+                F.col(c)
+                for c in _CONTEXT_SCOPE_COLS.get(rule.context_scope, ())
+                if c in synth.columns
+            ]
+            scope_key = F.when(
+                ordn == i, F.concat_ws("\x1f", *cols) if cols else F.lit("")
+            ).otherwise(scope_key)
+        if ts_col in synth.columns:
+            quantum_v = F.element_at(quanta, ordn + 1)
+            bucket = F.floor(
+                F.col(ts_col).cast("timestamp").cast("double") / quantum_v
+            )
+        else:
+            bucket = F.lit(0)
+        order = (
+            F.col(order_col)
+            if order_col in synth.columns
+            else (F.col(ts_col) if ts_col in synth.columns else F.lit(1))
+        )
+        w = Window.partitionBy(ordn, scope_key, bucket).orderBy(order)
+        return (
+            synth.withColumn("__rn", F.row_number().over(w))
+            .filter((rate_v == 0) | (F.col("__rn") <= rate_v))
+            .drop("__rn")
+        )
 
     def apply(
         self,

@@ -38,7 +38,12 @@ from __future__ import annotations
 import xml.etree.ElementTree as ET
 from dataclasses import dataclass, field
 
-from axosyslog_spark.operators.patterndb import PatternDB, PdbAction, PdbRule
+from axosyslog_spark.operators.patterndb import (
+    PatternDB,
+    PdbAction,
+    PdbRule,
+    parse_action_rate,
+)
 
 
 @dataclass(frozen=True)
@@ -109,8 +114,11 @@ def load_pdb_xml(source: str) -> list[PdbRuleSet]:
             actions: list[PdbAction] = []
             for a_el in r_el.findall("./actions/action"):
                 msg = a_el.find("message")
+                rate, rate_quantum = parse_action_rate(a_el.get("rate"))
                 actions.append(
                     PdbAction(
+                        rate=rate,
+                        rate_quantum=rate_quantum,
                         trigger=a_el.get("trigger", "match"),
                         condition=a_el.get("condition"),
                         values=tuple(

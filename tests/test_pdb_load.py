@@ -283,3 +283,73 @@ def test_action_heavy_ruleset_plan_is_bounded(spark):
     assert by_id[25]["alert25"] == "fired r25 for u25"
     assert by_id[25]["pdb_tags"] == ["t25"]
     assert by_id[25].asDict().get("alert50") is None
+
+
+RATED_XML = """<?xml version='1.0' encoding='UTF-8'?>
+<patterndb version='4' pub_date='2024-01-01'>
+ <ruleset name='rated' id='rs-rate'>
+  <rules>
+   <rule id='burst' class='system' provider='t'>
+    <patterns><pattern>burst from @ESTRING:src:@</pattern></patterns>
+    <actions>
+     <action rate='2/10'>
+      <message><values><value name='alert'>burst ${src}</value></values></message>
+     </action>
+    </actions>
+   </rule>
+  </rules>
+ </ruleset>
+</patterndb>
+"""
+
+
+def test_action_rate_attribute_parsed():
+    from axosyslog_spark.operators.patterndb import parse_action_rate
+
+    [rs] = load_pdb_xml(RATED_XML)
+    a = rs.rules[0].actions[0]
+    assert (a.rate, a.rate_quantum) == (2, 10)
+    # pdb-action.c forms: bare N = per second; zero quantum -> 1
+    assert parse_action_rate("5") == (5, 1)
+    assert parse_action_rate("7/0") == (7, 1)
+    assert parse_action_rate("3/60s") == (3, 60)
+    assert parse_action_rate(None) == (0, 1)
+
+
+def test_rated_action_first_n_per_bucket(spark):
+    """<action rate='2/10'>: at most 2 synthetic rows per correlation
+    key per 10-second event-time bucket (pdb-ratelimit.c analog);
+    original rows always pass through."""
+    import datetime as dt
+
+    [rs] = load_pdb_xml(RATED_XML)
+    pdb = rs.pattern_db()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # bucket 1: four matches -> only first two (by turn_idx) fire
+        (0, "h1", t0, "burst from a"),
+        (1, "h1", t0 + dt.timedelta(seconds=3), "burst from b"),
+        (2, "h1", t0 + dt.timedelta(seconds=6), "burst from c"),
+        (3, "h1", t0 + dt.timedelta(seconds=9), "burst from d"),
+        # bucket 2: budget resets
+        (4, "h1", t0 + dt.timedelta(seconds=12), "burst from e"),
+        # different host = different correlation key (process scope)
+        (5, "h2", t0 + dt.timedelta(seconds=3), "burst from f"),
+        # non-matching row: no synthetic, no effect on the budget
+        (6, "h1", t0 + dt.timedelta(seconds=4), "noise"),
+    ]
+    df = spark.createDataFrame(
+        rows, "turn_idx int, host string, ts timestamp, text string"
+    )
+    out = pdb.apply_match_actions(pdb.apply(df))
+    originals = [r for r in out.collect() if not r["synthetic"]]
+    synth = sorted(
+        (r["turn_idx"], r["alert"]) for r in out.collect() if r["synthetic"]
+    )
+    assert len(originals) == 7
+    assert synth == [
+        (0, "burst a"),
+        (1, "burst b"),
+        (4, "burst e"),
+        (5, "burst f"),
+    ]
