@@ -830,6 +830,30 @@ def q_op_kmsg_parse(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_op_cc_mask(spark: SparkSession, sf: str) -> DataFrame:
+    """credit-card-mask() rewrite (scl/rewrite/cc-mask.conf): card
+    numbers synthesized from events (a 16-digit visa + a 15-digit
+    amex per line), masked to first6 + '******' + last4 by the
+    chained per-scheme substs; the oracle rebuilds the masked text
+    arithmetically from the generating columns."""
+    from axosyslog_spark.operators.scl import credit_card_mask
+
+    ev = _utc(spark).read.parquet(f"{sf}/events.parquet")
+    visa = F.concat(
+        F.lit("4111111111"),
+        F.lpad((F.col("event_id") % 1000000).cast("string"), 6, "0"),
+    )
+    amex = F.concat(
+        F.lit("37828224631"),
+        F.lpad((F.col("user_id") % 10000).cast("string"), 4, "0"),
+    )
+    text = F.concat(
+        F.lit("pay "), visa, F.lit(" then "), amex,
+        F.lit(" ref="), F.col("event_type"),
+    )
+    return ev.select("event_id", credit_card_mask(text).alias("masked"))
+
+
 def q_op_snmptrapd(spark: SparkSession, sf: str) -> DataFrame:
     """snmptrapd-parser(): v1/v2 trap records synthesized from events
     (header + transport info + v1 trap info + tab-separated varbind
@@ -1069,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_filterx_funcs": q_op_filterx_funcs,
         "op_scl_apache": q_op_scl_apache,
         "op_kmsg_parse": q_op_kmsg_parse,
+        "op_cc_mask": q_op_cc_mask,
         "op_snmptrapd": q_op_snmptrapd,
         "pipe_slog": q_pipe_slog,
         "pipe_multiline": q_pipe_multiline,
@@ -1577,6 +1602,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(200 + event_id % 4 AS INT) AS response,
                CAST(event_id % 5000 AS BIGINT) AS bytes,
                'https://ref.example/' AS referrer
+        FROM events
+        """,
+        "op_cc_mask": """
+        SELECT event_id,
+               'pay 411111******'
+                 || substr(lpad(CAST(event_id % 1000000 AS VARCHAR), 6, '0'), 3, 4)
+                 || ' then 378282******'
+                 || lpad(CAST(user_id % 10000 AS VARCHAR), 4, '0')
+                 || ' ref=' || event_type AS masked
         FROM events
         """,
         "op_snmptrapd": """

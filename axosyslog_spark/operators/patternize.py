@@ -213,6 +213,7 @@ def patternize(
     spark = df.sparkSession
     collected: DataFrame | None = None
     remaining = df
+    prev_cached: DataFrame | None = None
     while True:
         lines, clusters = step(remaining, sup)
         clusters = clusters.persist()
@@ -228,8 +229,16 @@ def patternize(
             )
             .drop("__pz_id", "__pz_words", "__pz_delims", "__pz_pieces",
                   "__pz_candidate", "__pz_key")
+            # cache the outlier set: the count below materializes it,
+            # and the next round's step() then reads the cached rows
+            # instead of re-scanning the whole anti-join lineage —
+            # one scan per round instead of two (round-3 verdict)
+            .persist()
         )
         sup = int(remaining.count() * support / 100.0)
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = remaining
     if collected is None:
         schema = "pattern string, support bigint, samples array<string>"
         return spark.createDataFrame([], schema)

@@ -412,3 +412,150 @@ def format_gelf(
     if pid is not None:
         fields.append(s(pid.cast("string")).try_cast("int").alias("_pid"))
     return F.to_json(F.struct(*fields), {"ignoreNullFields": "true"})
+
+
+# ---------------------------------------------------------------------------
+# credit-card-mask / credit-card-hash (scl/rewrite/cc-mask.conf)
+# ---------------------------------------------------------------------------
+
+# card-number regexes from scl/rewrite/cc-mask.conf:52-79, each split
+# into (first6)(middle)(last4) capture groups so the mask template
+# "$(substr $0 0 6)******$(substr $0 -4 4)" becomes a plain
+# regexp_replace "$1******$3". Applied in the block's order
+# (visa, mastercard, amex, jcb, diners, discover); each subst runs on
+# the previous one's output, like the chained rewrite blocks.
+_CC_SPLIT_REGEXES = (
+    # visa: 4 + 12 or 15 digits
+    r"(4[0-9]{5})([0-9]{3}(?:[0-9]{3})?)([0-9]{4})",
+    # mastercard: 51-55 / 2221-2720 prefixes, 16 digits
+    r"((?:5[1-5][0-9]{2}|222[1-9]|22[3-9][0-9]|2[3-6][0-9]{2}|27[01][0-9]|2720)"
+    r"[0-9]{2})([0-9]{6})([0-9]{4})",
+    # american express: 34/37, 15 digits
+    r"(3[47][0-9]{4})([0-9]{5})([0-9]{4})",
+    # jcb: 2131/1800 + 11 (15) — the 35xxx 16-digit variant follows
+    r"((?:2131|1800)[0-9]{2})([0-9]{5})([0-9]{4})",
+    r"(35[0-9]{4})([0-9]{6})([0-9]{4})",
+    # diners club: 300-305/36x/38x, 14 digits
+    r"(3(?:0[0-5]|[68][0-9])[0-9]{3})([0-9]{4})([0-9]{4})",
+    # discover: 6011/65xx, 16 digits
+    r"(6(?:011|5[0-9]{2})[0-9]{2})([0-9]{6})([0-9]{4})",
+)
+# whole-match forms (for the hash variant)
+_CC_FULL_REGEXES = tuple(
+    rx.replace("(", "(?:").replace("(?:?:", "(?:").replace("(?:?", "(?")
+    for rx in _CC_SPLIT_REGEXES
+)
+
+
+def credit_card_mask(col: Column) -> Column:
+    """credit-card-mask(): keep the first 6 (issuer id) and last 4
+    digits of any card number, '******' in between — subst with
+    flags(global) per card scheme (scl/rewrite/cc-mask.conf:82-90).
+    Like the reference's PCRE subst, matches are positional: no word
+    boundaries, so a card embedded in a longer digit run masks too."""
+    for rx in _CC_SPLIT_REGEXES:
+        col = F.regexp_replace(col, rx, "$1******$3")
+    return col
+
+
+def credit_card_hash(col: Column, length: int = 16) -> Column:
+    """credit-card-hash(): replace each card number with
+    $(sha1 --length 16 $0) — the first 16 hex chars of its SHA-1
+    (scl/rewrite/cc-mask.conf:92-100). Batch shape: extract the
+    per-scheme matches, then fold literal replacements (identical
+    digit strings hash identically, so replace-all per match value
+    equals the reference's per-occurrence subst)."""
+    for rx in _CC_FULL_REGEXES:
+        matches = F.array_distinct(
+            F.regexp_extract_all(col, F.lit(f"({rx})"), 1)
+        )
+        col = F.aggregate(
+            matches,
+            col,
+            lambda acc, m: F.replace(
+                acc, m, F.substring(F.sha1(m), 1, F.lit(length))
+            ),
+        )
+    return col
+
+
+# ---------------------------------------------------------------------------
+# checkpoint-parser (scl/checkpoint/plugin.conf)
+# ---------------------------------------------------------------------------
+
+
+def checkpoint_app_filter(message: Column) -> Column:
+    """application checkpoint[syslog-raw] filter: RFC5424-framed
+    ' CheckPoint ' lines or the log_exporter splunk format."""
+    return message.rlike(r"^(<[0-9]{1,3}>)1 .* CheckPoint ") | message.rlike(
+        r"^time=[0-9]+\|hostname=[a-zA-Z0-9-]+\|product=Firewall"
+    )
+
+
+def checkpoint_parser(
+    df: DataFrame, src_col: str = "text", prefix: str = ".checkpoint."
+) -> DataFrame:
+    """scl/checkpoint checkpoint-parser(): two wire formats.
+
+    Syslog format (line starts with '<'): space-delimited csv with a
+    greedy MSG tail and null('-') columns, tried as 7 columns with an
+    ISO8601 stamp in $2, falling back to 8 columns with the stamp
+    split across "$2 $3" (%Y-%m-%d %H:%M:%S); then a kv-parser with
+    value-separator(':') pair-separator(';') over the message — the
+    Check Point "[key:"value"; key:"value"]" section.
+
+    Splunk (log_exporter) format: kv-parser with value-separator('|')
+    pair-separator('=') exactly as plugin.conf configures it.
+
+    Ref: scl/checkpoint/plugin.conf.
+    """
+    from axosyslog_spark.operators.kvscan import kv_parse
+
+    src = F.col(src_col)
+    is_syslog = src.startswith("<")
+    toks = F.split(src, " ")
+    t = lambda i: F.try_element_at(toks, F.lit(i))  # noqa: E731
+    iso = F.coalesce(
+        F.try_to_timestamp(t(2), F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(t(2), F.lit("yyyy-MM-dd'T'HH:mm:ssXX")),
+        F.try_to_timestamp(t(2), F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+    )
+    two_part = F.try_to_timestamp(
+        F.concat_ws(" ", t(2), t(3)), F.lit("yyyy-MM-dd HH:mm:ss")
+    )
+    seven = iso.isNotNull()
+    nn = lambda c: F.nullif(c, F.lit("-"))  # noqa: E731 (csv null('-'))
+    out = df.withColumns(
+        {
+            f"{prefix}ok": is_syslog
+            & (seven | two_part.isNotNull())
+            | (~is_syslog & src.rlike(r"^time=[0-9]+\|hostname=")),
+            # the splunk branch of plugin.conf runs no date-parser —
+            # the stamp stays unset there, like the reference
+            f"{prefix}ts": F.when(
+                is_syslog, F.when(seven, iso).otherwise(two_part)
+            ),
+            "host": F.when(is_syslog, nn(F.when(seven, t(3)).otherwise(t(4)))),
+            "program": F.when(is_syslog, nn(F.when(seven, t(4)).otherwise(t(5)))),
+            "pid": F.when(is_syslog, nn(F.when(seven, t(5)).otherwise(t(6)))),
+            "msgid": F.when(is_syslog, nn(F.when(seven, t(6)).otherwise(t(7)))),
+            f"{prefix}msg": F.when(
+                is_syslog,
+                F.when(seven, F.element_at(F.split(src, " ", 7), 7)).otherwise(
+                    F.element_at(F.split(src, " ", 8), 8)
+                ),
+            ),
+        }
+    )
+    sysl = kv_parse(
+        out, src_col, out_col="__cp_sys", value_separator=":",
+        pair_separator=";", prefix=prefix,
+    )
+    splk = kv_parse(
+        sysl, src_col, out_col="__cp_splunk", value_separator="|",
+        pair_separator="=", prefix=prefix,
+    )
+    return splk.withColumn(
+        f"{prefix}kv",
+        F.when(is_syslog, F.col("__cp_sys")).otherwise(F.col("__cp_splunk")),
+    ).drop("__cp_sys", "__cp_splunk")

@@ -286,3 +286,81 @@ def test_apache_malformed_date_yields_null(spark):
     r = scl.apache_accesslog_parser(df).first()
     assert r["apache_ok"] and r["apache_timestamp"] is None
     assert r["apache_response"] == 200
+
+
+def test_credit_card_mask(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [
+            (0, "paid with 4111111111111111 ok"),            # visa 16
+            (1, "visa13 4222222222222 done"),                # visa 13
+            (2, "mc 5500005555555559 and amex 378282246310005"),
+            (3, "jcb 3530111333300000 disc 6011000990139424"),
+            (4, "diners 30569309025904 end"),
+            (5, "no cards 12345 here"),
+        ],
+        "id int, text string",
+    )
+    out = {
+        r["id"]: r["m"]
+        for r in df.select(
+            "id", scl.credit_card_mask(F.col("text")).alias("m")
+        ).collect()
+    }
+    assert out[0] == "paid with 411111******1111 ok"
+    assert out[1] == "visa13 422222******2222 done"
+    assert out[2] == "mc 550000******5559 and amex 378282******0005"
+    assert out[3] == "jcb 353011******0000 disc 601100******9424"
+    assert out[4] == "diners 305693******5904 end"
+    assert out[5] == "no cards 12345 here"
+
+    h = df.select(scl.credit_card_hash(F.col("text")).alias("h")).collect()
+    sha16 = hashlib.sha1(b"4111111111111111").hexdigest()[:16]
+    assert h[0]["h"] == f"paid with {sha16} ok"
+    assert h[5]["h"] == "no cards 12345 here"
+
+
+def test_checkpoint_parser_syslog_formats(spark):
+    iso = (
+        '<134>1 2019-05-13T14:45:00Z gw-name checkpoint 12345 - '
+        '[action:"Accept"; conn_direction:"Incoming"; ifname:"eth0"]'
+    )
+    twopart = (
+        "<134>1 2019-05-13 14:45:27 gw2 fw 999 x "
+        '[action:"Drop"; src:"10.0.0.9"]'
+    )
+    df = spark.createDataFrame([(0, iso), (1, twopart)], "id int, text string")
+    out = {r["id"]: r.asDict() for r in scl.checkpoint_parser(df).collect()}
+    a = out[0]
+    assert a[".checkpoint.ok"]
+    assert a["host"] == "gw-name" and a["program"] == "checkpoint"
+    assert a["pid"] == "12345" and a["msgid"] is None  # null('-')
+    assert a[".checkpoint.ts"].year == 2019
+    assert a[".checkpoint.msg"].startswith("[action:")
+    # faithful quirk: the kv-parser runs over the RAW line (the
+    # application is checkpoint[syslog-raw]), so the header stamp's
+    # "…T14:45:00Z" colons start a junk pair whose value absorbs up
+    # to the first ';' — swallowing the first bracket key (action),
+    # exactly as the reference block behaves on this input
+    assert ".checkpoint.action" not in a[".checkpoint.kv"]
+    assert a[".checkpoint.kv"][".checkpoint.conn_direction"] == "Incoming"
+    assert a[".checkpoint.kv"][".checkpoint.ifname"] == "eth0"
+    b = out[1]
+    assert b[".checkpoint.ok"] and b["host"] == "gw2"
+    assert b["msgid"] == "x"
+    assert b[".checkpoint.ts"].second == 27
+    assert b[".checkpoint.kv"][".checkpoint.src"] == "10.0.0.9"
+
+
+def test_checkpoint_app_filter(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "<134>1 2019-05-13T14:45:00Z gw CheckPoint 1 - x"),
+            (1, "time=1557767758|hostname=r80test|product=Firewall|action=Accept"),
+            (2, "plain noise"),
+        ],
+        "id int, text string",
+    )
+    kept = df.filter(scl.checkpoint_app_filter(F.col("text"))).collect()
+    assert sorted(r["id"] for r in kept) == [0, 1]
