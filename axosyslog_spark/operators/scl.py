@@ -559,3 +559,67 @@ def checkpoint_parser(
         f"{prefix}kv",
         F.when(is_syslog, F.col("__cp_sys")).otherwise(F.col("__cp_splunk")),
     ).drop("__cp_sys", "__cp_splunk")
+
+
+# ---------------------------------------------------------------------------
+# websense / osquery / junos (scl/websense, scl/osquery, scl/junos)
+# ---------------------------------------------------------------------------
+
+
+def websense_parser(
+    df: DataFrame, src_col: str = "text", prefix: str = ".websense."
+) -> DataFrame:
+    """scl/websense websense-parser(): strip the timezone code after
+    the BSD stamp, inject 'Websense: ' before 'vendor=Websense' so the
+    syslog parser sees a PROGRAM, then RFC3164 header parse + default
+    kv-parser over the body (plugin.conf's two substs + syslog-parser
+    + kv-parser composition; the conf's "$1 " replacement leaves a
+    double space the lenient C parser skips — we drop it so the
+    header regex applies, same parsed output)."""
+    from axosyslog_spark.operators.parse import parse_rfc3164
+
+    fixed = F.regexp_replace(
+        F.col(src_col),
+        r"([A-Za-z]{3} [ 0-9]\d \d{2}:\d{2}:\d{2}) [A-Z]{3,4}",
+        "$1",
+    )
+    fixed = F.regexp_replace(fixed, "(vendor=Websense)", "Websense: $1")
+    out = parse_rfc3164(df.withColumn("__ws_fixed", fixed), "__ws_fixed")
+    from axosyslog_spark.operators.kvscan import kv_parse
+
+    out = kv_parse(out, "body", out_col=f"{prefix}kv", prefix=prefix)
+    return out.drop("__ws_fixed")
+
+
+def websense_app_filter(message: Column) -> Column:
+    """application websense[syslog-raw]: substring filter."""
+    return message.contains("vendor=Websense")
+
+
+def osquery_parser(
+    df: DataFrame, src_col: str = "text", prefix: str = ".osquery."
+) -> DataFrame:
+    """scl/osquery osquery() source channel: program-override
+    'osquery' + json-parser(prefix('.osquery.')) over the results-log
+    JSON lines."""
+    from axosyslog_spark.operators.jsonflatten import flatten_json_column
+
+    flat = flatten_json_column(F.col(src_col))
+    return df.withColumns(
+        {
+            "program": F.lit("osquery"),
+            f"{prefix}kv".replace("..", "."): F.transform_keys(
+                flat, lambda k, _v: F.concat(F.lit(prefix), k)
+            ),
+        }
+    )
+
+
+def junos_app_filter(sdata: Column) -> Column:
+    """application junos[syslog]: keep messages whose
+    .SDATA.junos@2636.1.1.1.2.129.reason is set and non-empty
+    (scl/junos/plugin.conf — the whole adapter is this filter; the
+    payload is standard RFC5424 SDATA the core parser already
+    extracts)."""
+    v = F.element_at(sdata, ".SDATA.junos@2636.1.1.1.2.129.reason")
+    return v.isNotNull() & (v != "")

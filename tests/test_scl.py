@@ -364,3 +364,50 @@ def test_checkpoint_app_filter(spark):
     )
     kept = df.filter(scl.checkpoint_app_filter(F.col("text"))).collect()
     assert sorted(r["id"] for r in kept) == [0, 1]
+
+
+def test_websense_parser(spark):
+    line = (
+        "<158>Mar  1 14:51:03 PST wsgateway "
+        "vendor=Websense product=Security product_version=7.7.0 "
+        "action=permitted severity=1 category=153 user=jsmith "
+        "src_host=10.0.0.5 url=https://example.com/x"
+    )
+    df = spark.createDataFrame([(line,)], "text string")
+    r = scl.websense_parser(df).first().asDict()
+    assert r["bsd_ok"] and r["host"] == "wsgateway"
+    assert r["appname"] == "Websense"  # injected program
+    kv = r[".websense.kv"]
+    assert kv[".websense.vendor"] == "Websense"
+    assert kv[".websense.action"] == "permitted"
+    assert kv[".websense.user"] == "jsmith"
+    assert kv[".websense.url"] == "https://example.com/x"
+    assert r["msg_ts"] is not None and r["msg_ts"].month == 3
+    assert scl.websense_app_filter(F.lit(line)) is not None
+    kept = df.filter(scl.websense_app_filter(F.col("text"))).count()
+    assert kept == 1
+
+
+def test_osquery_parser(spark):
+    df = spark.createDataFrame(
+        [('{"name":"pack_sys","hostIdentifier":"h1","columns":{"pid":"7"}}',)],
+        "text string",
+    )
+    r = scl.osquery_parser(df).first().asDict()
+    assert r["program"] == "osquery"
+    kv = r[".osquery.kv"]
+    assert kv[".osquery.name"] == "pack_sys"
+    assert kv[".osquery.columns.pid"] == "7"
+
+
+def test_junos_app_filter(spark):
+    df = spark.createDataFrame(
+        [
+            (0, {".SDATA.junos@2636.1.1.1.2.129.reason": "session closed"}),
+            (1, {".SDATA.junos@2636.1.1.1.2.129.reason": ""}),
+            (2, {"other": "x"}),
+        ],
+        "id int, sdata map<string,string>",
+    )
+    kept = df.filter(scl.junos_app_filter(F.col("sdata"))).collect()
+    assert [r["id"] for r in kept] == [0]
