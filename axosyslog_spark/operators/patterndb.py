@@ -106,6 +106,10 @@ _BLOCK_SEP = "\x01"   # separates sentinels in the classify header
 _MARK = "\x02"        # prepended to the text; each alt's sentinel captures it
 _HIT = "\x03"         # result prefix proving the tier regex matched
 _FIELD_SEP = "\x04"   # separates field values in the extract result
+# first leaf-id character for the dispatch tree's LOCAL frames (see
+# _leaf_res): clear of the framing bytes; leaf counts stay far below
+# the surrogate range the id charset must avoid
+_LEAF_ID_BASE = 0x10
 
 
 def _strip_framing_bytes(text: Column) -> Column:
@@ -452,19 +456,32 @@ class PatternDB:
         leaf they don't actually prefix-match just fail those
         alternatives and fall through to the ancestors/catch-alls.
 
-        Each leaf regex renders the same GLOBAL frame as the combined
-        regex (non-member blocks emit their bare separator literals),
-        so _ord0_of/_block_offs decoding is byte-identical whichever
-        path ran."""
+        Each leaf renders a LOCAL frame (round 4): \\x03, one leaf-id
+        character, then a header/blocks frame over the leaf's OWN
+        members only. The global frame costs O(total rules) bytes of
+        losing-block separators per row per regex execution — at 200
+        rules that per-row string build dominated the whole apply().
+        A local frame is O(leaf members); the leaf id plus two literal
+        lookup tables (_leaf_idx_map: leaf×local -> global ordinal,
+        _leaf_off_map: leaf×local -> block byte offset) recover the
+        global decode in O(1). The flat (<2-prefix) path keeps the
+        global frame."""
         by_prefix: dict[str, list] = {}
         for c in self.patterns:
             if c.literal_prefix:
                 by_prefix.setdefault(c.literal_prefix, [])
         self._leaves = None
+        self._leaf_idx_map: list[list[int]] = []
+        self._leaf_off_map: list[list[int]] = []
         if len(by_prefix) < 2:
             return
+        # leaf ids are single characters; stay clear of the surrogate
+        # block (a ruleset would need ~55k distinct literal prefixes
+        # to get near it — fall back to the flat path if ever hit)
+        if len(by_prefix) > 0xD000 - _LEAF_ID_BASE:
+            return
         leaves = []
-        for k in sorted(by_prefix):
+        for li, k in enumerate(sorted(by_prefix)):
             members = [
                 c
                 for c in self.patterns
@@ -472,7 +489,10 @@ class PatternDB:
                 or (c.literal_prefix != k and k.startswith(c.literal_prefix))
             ]
             members.sort(key=lambda c: c.ordinal)
-            leaves.append((k, *self._leaf_res(members)))
+            comp, part, repl, offs = self._leaf_res(members, li)
+            leaves.append((k, comp, part, repl))
+            self._leaf_idx_map.append([c.ordinal for c in members])
+            self._leaf_off_map.append(offs)
         self._leaves = leaves
         # JIT note (round-4): one monolithic when()-tree over many
         # leaves generates a single codegen method whose bytecode
@@ -491,36 +511,56 @@ class PatternDB:
         # per-leaf guard columns, row-mode islands, and
         # methodSplitThreshold (no-ops on a monolithic CaseWhen).
 
-    def _leaf_res(self, members) -> tuple[str, str, str]:
-        """(complete_re, partial_re, repl) for one dispatch leaf:
-        local capture-group numbering, global frame layout."""
-        member_set = {c.ordinal for c in members}
-        lg: dict[int, int] = {}
-        g = 0
-        for c in members:
-            g += 1
-            lg[c.ordinal] = g
-            g += len(c.fields)
+    def _leaf_res(
+        self, members, leaf_id: int
+    ) -> tuple[str, str, str, list[int]]:
+        """(complete_re, partial_re, repl, block_offsets) for one
+        dispatch leaf — LOCAL frame:
+
+            \\x03 <leaf-id char> <header> <block_0> ... <block_{k-1}>
+
+        over the leaf's k members only (local capture-group and
+        ordinal numbering). The rendered header is k separators plus
+        the one winner-marker byte, so the winner's LOCAL ordinal is
+        ``instr(res, \\x02) - 3`` and block j starts at the returned
+        compile-time offset — O(members) bytes per row instead of
+        O(total rules)."""
+        lid = chr(_LEAF_ID_BASE + leaf_id)
+        # the id lands in a Java replacement string: '$' (leaf 20) and
+        # '\' (leaf 76) are metacharacters there and must be escaped
+        lid_repl = lid.replace("\\", "\\\\").replace("$", "\\$")
         body = "|".join(f"(?:({_MARK}){c.body})" for c in members)
         header: list[str] = []
         blocks: list[str] = []
-        for c in self.patterns:
-            if c.ordinal in member_set:
-                s = lg[c.ordinal]
-                header.append(f"${s}{_BLOCK_SEP}")
-                blocks.append(
-                    "".join(
-                        f"${s + j + 1}{_FIELD_SEP}" for j in range(len(c.fields))
-                    )
-                    + _BLOCK_SEP
-                )
-            else:
-                # never matches in this leaf: bare separator literals
-                # keep every block at its compile-time byte offset
-                header.append(_BLOCK_SEP)
-                blocks.append(_FIELD_SEP * len(c.fields) + _BLOCK_SEP)
-        repl = _HIT + "".join(header) + "".join(blocks)
-        return (f"^(?:{body})\\z", f"^(?:{body})", repl)
+        offs: list[int] = []
+        # 1-based position of block 0: the 2 prefix chars (\x03 + id)
+        # + k separators + 1 marker byte, then +1 for 1-based substr
+        off = len(members) + 4
+        g = 0
+        for c in members:
+            g += 1  # sentinel group
+            header.append(f"${g}{_BLOCK_SEP}")
+            blocks.append(
+                "".join(f"${g + j + 1}{_FIELD_SEP}" for j in range(len(c.fields)))
+                + _BLOCK_SEP
+            )
+            g += len(c.fields)
+            offs.append(off)
+            off += len(c.fields) + 1
+        repl = _HIT + lid_repl + "".join(header) + "".join(blocks)
+        return (f"^(?:{body})\\z", f"^(?:{body})", repl, offs)
+
+    def _leaf_lookup(self, res: Column, table: list[list[int]]) -> Column:
+        """Decode (leaf, local ordinal) from a local-framed result and
+        look the pair up in a ragged 2D compile-time table. In range
+        by construction whenever the result carries the \\x03 hit
+        prefix (the caller guards)."""
+        arr2d = F.array(
+            *[F.lit(row).cast("array<int>") for row in table]
+        )
+        leaf1 = F.ascii(F.substring(res, 2, 1)) - (_LEAF_ID_BASE - 1)
+        local1 = F.instr(res, _MARK) - 2
+        return F.element_at(F.element_at(arr2d, leaf1), local1)
 
     def _tree_result(self, text: Column, marked: Column, tier: int) -> Column:
         """Binary-search when() tree over the sorted leaf prefixes;
@@ -588,6 +628,20 @@ class PatternDB:
             ord0 + F.when(was_complete, F.lit(0)).otherwise(F.lit(n)),
         ).cast("int")
 
+    def _idx_from_results(self, res: Column, was_complete: Column) -> Column:
+        """Winning global index from the framed result of either path:
+        flat (global frame, header byte-scan + _idx_of) or dispatch
+        tree (local frame, leaf-id + local ordinal through the
+        _leaf_idx_map table)."""
+        if not self._leaves:
+            return self._idx_of(self._ord0_of(res), was_complete)
+        n = len(self.patterns)
+        gord = self._leaf_lookup(res, self._leaf_idx_map)
+        return F.when(
+            res.startswith(_HIT),
+            gord + F.when(was_complete, F.lit(0)).otherwise(F.lit(n)),
+        ).cast("int")
+
     def match_idx(self, text: Column) -> Column:
         """Winning compiled-pattern ordinal; ordinal+N encodes a
         partial (pattern-consumed, message-remainder) match; NULL if
@@ -601,7 +655,7 @@ class PatternDB:
         text = _strip_framing_bytes(text)
         complete = self._complete_result(text)
         res = self._result(text, complete)
-        return self._idx_of(self._ord0_of(res), complete.startswith(_HIT))
+        return self._idx_from_results(res, complete.startswith(_HIT))
 
     def classify(self, text: Column) -> Column:
         """rule_id of the winning rule, NULL if unclassified."""
@@ -661,7 +715,16 @@ class PatternDB:
         silently runs in the bytecode interpreter — measured 3-4x
         slower end-to-end. The split keeps both halves JIT-compiled;
         its cost is one small-array copy per row."""
-        off = self._lut(self._block_offs, mod, "int")
+        if self._leaves:
+            # local frame: the offset comes from (leaf, local ordinal)
+            # decoded off the result itself; guarded so unmatched rows
+            # (result still starts \x02) never index the tables
+            off = F.when(
+                res.startswith(_HIT),
+                self._leaf_lookup(res, self._leaf_off_map),
+            )
+        else:
+            off = self._lut(self._block_offs, mod, "int")
         block = F.substring_index(
             res.substr(off, F.length(res)), _BLOCK_SEP, 1
         )
@@ -898,11 +961,12 @@ class PatternDB:
             df = df.withColumn(c_col, self._complete_result(gated))
             # stage 2: fall back to the partial tier only where needed
             df = df.withColumn(r_col, self._result(gated, F.col(c_col)))
-            # stage 3: sentinel header -> ordinal (byte scan, no split)
+            # stage 3: framed result -> global ordinal (byte scan +
+            # leaf-table lookup on the tree path, header scan flat)
             df = df.withColumn(
                 idx_col,
-                self._idx_of(
-                    self._ord0_of(F.col(r_col)), F.col(c_col).startswith(_HIT)
+                self._idx_from_results(
+                    F.col(r_col), F.col(c_col).startswith(_HIT)
                 ),
             )
             # stage 4: winner's block sliced out by compile-time offset
