@@ -830,6 +830,72 @@ def q_op_kmsg_parse(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_op_rewrite_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Previously unit-only rewrite/filter family under the oracle:
+    set-pri/set-severity pri algebra (rewrite-set-pri.c /
+    -set-severity.c keep pri == facility*8+severity), fix-timezone
+    then set-timezone wall-clock reinterpretation chain
+    (rewrite-fix-timezone.c / -set-timezone.c, DST-aware via IANA
+    zones on both engines), glob program match (* and ? wildcards,
+    logmatcher LMF_GLOB), match() capture storage ($1..$n,
+    filter-re.c), and the level() range filter."""
+    from axosyslog_spark.operators import rewrite
+    from axosyslog_spark.operators.filters import (
+        glob_match,
+        match_store_groups,
+        severity_range,
+    )
+
+    ev = _utc(spark).read.parquet(f"{sf}/events.parquet")
+    df = ev.select(
+        "event_id", "user_id", "event_type", "ts",
+        (F.col("event_id") % 8).cast("int").alias("severity"),
+        (F.col("user_id") % 24).cast("int").alias("facility"),
+    )
+    df = rewrite.set_pri(df, F.col("event_id") % 192)
+    df = rewrite.set_severity(df, F.col("user_id") % 8)
+    df = rewrite.fix_timezone(df, "ts", "America/New_York")
+    df = rewrite.set_timezone(df, "ts", "Asia/Tokyo")
+    df = match_store_groups(df, r"^(err|cli)(.*)$", src_col="event_type", n_groups=2)
+    return df.select(
+        "event_id", "pri", "severity", "facility",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        glob_match(F.col("event_type"), "c*ck").alias("is_click"),
+        glob_match(F.col("event_type"), "s?gnup").alias("is_signup"),
+        severity_range(3, 5).alias("sev_mid"),
+        F.col("__m1").alias("m1"),
+        F.col("__m2").alias("m2"),
+        F.col("__matched").alias("matched"),
+    )
+
+
+def q_op_tags(spark: SparkSession, sf: str) -> DataFrame:
+    """set-tag / clear-tag / tags() under the oracle (rewrite-set-tag.c
+    set semantics: idempotent append; filter-tags.c membership): a
+    deterministic tag array per event, one fresh tag added, one
+    already-present tag re-added (no-op), one conditionally-present
+    tag cleared; the oracle rebuilds the final tag list
+    arithmetically."""
+    from axosyslog_spark.operators import rewrite
+    from axosyslog_spark.operators.filters import has_tag
+
+    ev = _utc(spark).read.parquet(f"{sf}/events.parquet")
+    tags0 = F.array(
+        F.concat(F.lit("t"), (F.col("event_id") % 4).cast("string")),
+        F.lit("all"),
+    )
+    df = ev.select("event_id", tags0.alias("tags"))
+    df = rewrite.set_tag(df, "seen")
+    df = rewrite.set_tag(df, "all")   # present -> unchanged (set semantics)
+    df = rewrite.clear_tag(df, "t1")
+    return df.select(
+        "event_id",
+        F.array_join("tags", ",").alias("tags_str"),
+        has_tag("t2").alias("has_t2"),
+        has_tag("gone").alias("has_gone"),
+    )
+
+
 def q_op_cc_mask(spark: SparkSession, sf: str) -> DataFrame:
     """credit-card-mask() rewrite (scl/rewrite/cc-mask.conf): card
     numbers synthesized from events (a 16-digit visa + a 15-digit
@@ -1093,6 +1159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_filterx_funcs": q_op_filterx_funcs,
         "op_scl_apache": q_op_scl_apache,
         "op_kmsg_parse": q_op_kmsg_parse,
+        "op_rewrite_filter": q_op_rewrite_filter,
+        "op_tags": q_op_tags,
         "op_cc_mask": q_op_cc_mask,
         "op_snmptrapd": q_op_snmptrapd,
         "pipe_slog": q_pipe_slog,
@@ -1602,6 +1670,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(200 + event_id % 4 AS INT) AS response,
                CAST(event_id % 5000 AS BIGINT) AS bytes,
                'https://ref.example/' AS referrer
+        FROM events
+        """,
+        "op_rewrite_filter": """
+        SELECT event_id,
+               CAST(((event_id % 192) // 8) * 8 + user_id % 8 AS INT) AS pri,
+               CAST(user_id % 8 AS INT) AS severity,
+               CAST((event_id % 192) // 8 AS INT) AS facility,
+               strftime(timezone('Asia/Tokyo',
+                                 timezone('America/New_York', ts)),
+                        '%Y-%m-%d %H:%M:%S') AS ts_str,
+               event_type LIKE 'c%ck' AS is_click,
+               event_type LIKE 's_gnup' AS is_signup,
+               (user_id % 8) BETWEEN 3 AND 5 AS sev_mid,
+               regexp_extract(event_type, '^(err|cli)(.*)$', 1) AS m1,
+               regexp_extract(event_type, '^(err|cli)(.*)$', 2) AS m2,
+               regexp_matches(event_type, '^(err|cli)(.*)$') AS matched
+        FROM events
+        """,
+        "op_tags": """
+        SELECT event_id,
+               CASE WHEN event_id % 4 = 1 THEN 'all,seen'
+                    ELSE 't' || CAST(event_id % 4 AS VARCHAR) || ',all,seen'
+               END AS tags_str,
+               event_id % 4 = 2 AS has_t2,
+               FALSE AS has_gone
         FROM events
         """,
         "op_cc_mask": """
