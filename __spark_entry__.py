@@ -1078,6 +1078,44 @@ def q_doc_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_near_dups(_docs(spark, sf), k=8, bands=4, threshold=0.1)
 
 
+def q_doc_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (new r4): every 97th document plays
+    the evaluation corpus; training docs sharing any 3-word gram with
+    it are flagged with their overlap count. Broadcast the benchmark
+    grams, explode-join the corpus — the GPT-3/Gopher 13-gram rule at
+    gate-friendly n."""
+    from axosyslog_spark.operators.dedup import contamination
+
+    docs = _docs(spark, sf)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = contamination(docs.filter(F.col("doc_id") % 97 != 0), bench, n=3)
+    return out.select(
+        F.col("id").alias("doc_id"), "contaminated_grams", "sample_gram"
+    )
+
+
+def q_doc_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over the verified MinHash near-dup pairs
+    (new r4): cluster = min doc id in the component, `canonical`
+    marks the keep-one representative. Spark side: iterative
+    min-label propagation (diameter-bounded passes); oracle: a
+    recursive CTE computing the same reachability minimum."""
+    from axosyslog_spark.operators.dedup import dup_clusters, minhash_near_dups
+
+    docs = _docs(spark, sf)
+    pairs = minhash_near_dups(docs, k=8, bands=4, threshold=0.1)
+    return dup_clusters(pairs, docs.select("doc_id"))
+
+
+def q_doc_gopher(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signals (new r4): duplicate-line
+    fraction, duplicate-line character fraction, and the top word
+    bigram's count + character share."""
+    from axosyslog_spark.operators.textstats import gopher_repetition
+
+    return gopher_repetition(_docs(spark, sf))
+
+
 def q_emb_topk(spark: SparkSession, sf: str) -> DataFrame:
     from axosyslog_spark.operators.similarity import brute_force_topk
 
@@ -1174,6 +1212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_minhash_bands": q_doc_minhash_bands,
         "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_contamination": q_doc_contamination,
+        "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_gopher": q_doc_gopher,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_topk": q_emb_topk,
         "emb_near_dups": q_emb_near_dups,
@@ -1841,6 +1882,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_jaccard_pairs": oracle.doc_jaccard_pairs_sql(100_000),
         "doc_minhash_bands": oracle.doc_minhash_sql(8, 4),
         "doc_minhash_pairs": oracle.doc_minhash_pairs_sql(8, 4, 100_000),
+        "doc_contamination": oracle.doc_contamination_sql(3, 97),
+        "doc_dup_clusters": oracle.doc_dup_clusters_sql(8, 4, 100_000),
+        "doc_gopher": oracle.doc_gopher_sql(2),
         "emb_topk": oracle.emb_topk_sql(5, 10),
         "emb_ivf_topk": oracle.emb_ivf_topk_sql(5, 10, 16, 4),
         "emb_near_dups": oracle.emb_near_dups_sql(500_000),

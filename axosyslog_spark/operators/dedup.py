@@ -354,3 +354,109 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination + duplicate clustering
+# ---------------------------------------------------------------------------
+
+
+def contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share any
+    word n-gram with an evaluation/benchmark corpus — the 13-gram
+    overlap rule GPT-3/Gopher-style pipelines apply before training.
+    Returns one row per contaminated doc:
+    (id, contaminated_grams, sample_gram).
+
+    Scale shape: the benchmark's distinct grams are tiny relative to
+    a 100 TB corpus -> broadcast hash join; the corpus side explodes
+    shingles once and equi-joins. No all-pairs, no shuffle of the
+    corpus beyond the final per-doc aggregation."""
+    d = shingle_table(docs, id_col, text_col, n).select(
+        "id", F.explode("__sh").alias("gram")
+    )
+    b = (
+        shingle_table(bench, bench_id_col, bench_text_col, n)
+        .select(F.explode("__sh").alias("gram"))
+        .distinct()
+    )
+    return (
+        d.join(F.broadcast(b), "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("contaminated_grams"),
+            F.min("gram").alias("sample_gram"),
+        )
+    )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs — the
+    keep-one-per-cluster step after MinHash verification. Each doc
+    gets cluster = min doc id reachable through dup edges (singletons
+    are their own cluster); `canonical` marks the one doc to keep.
+
+    Iterative min-label propagation: every pass lowers each node's
+    label to the min over itself and its neighbours' labels, so the
+    component minimum travels one hop per pass — convergence in
+    component-diameter passes (near-dup clusters are small and
+    dense, 2-4 passes in practice; `max_iters` bounds pathological
+    chains). One fixpoint-check action per pass, the standard
+    distributed-CC shape (GraphX connectedComponents runs the same
+    O(log n) rounds); each pass is one shuffle join on id. Labels are
+    localCheckpoint()ed per pass — without truncation the lineage
+    (and Catalyst planning time) grows linearly with the pass count,
+    which is what kills naive iterative DataFrame loops."""
+    edges = (
+        pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+        .union(pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("cluster")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "b2"),
+                       F.col("b") == F.col("b2"))
+            .groupBy("a")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new = (
+            labels.join(nbr, labels["id"] == nbr["a"], "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("cluster", "nc")
+            .join(labels, "id")
+            .filter(F.col("nc") != F.col("cluster"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(id_col),
+        "cluster",
+        (F.col("id") == F.col("cluster")).alias("canonical"),
+    )

@@ -10,7 +10,7 @@ shuffle, trivially linear at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny embedded English stopword list (heuristic language ID)
@@ -111,4 +111,99 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             "quality": quality_score(t),
             "fingerprint": fingerprint(t),
         }
+    )
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """NON-distinct word n-grams (zip_with over shifted slices — same
+    per-row-linear shape as dedup.shingles_from_tokens, which wraps
+    this idea with array_distinct for set semantics)."""
+    k = F.size(toks) - (n - 1)
+    parts = [F.slice(toks, j + 1, F.greatest(k, F.lit(0))) for j in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def gopher_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signals (the repetition-filter family a
+    training-data pipeline runs alongside quality scoring):
+
+      - dup_line_e6:       fraction of lines that are repeats of an
+                           earlier identical line
+      - dup_line_char_e6:  fraction of line characters in those
+                           repeated occurrences
+      - top_gram / top_gram_count / top_gram_char_e6: the most
+        frequent word n-gram (count desc, gram asc tiebreak) and the
+        character share its occurrences cover in the normalized text
+
+    Scalable shape: lines and n-grams EXPLODE into (id, item) rows
+    and aggregate — per-doc work is linear, the heavy lifting is two
+    hash aggregations; no per-row quadratic scans and no collect."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        tokens(normalize_text(F.col(text_col))).alias("__toks"),
+        F.length(normalize_text(F.col(text_col))).alias("__nlen"),
+    )
+
+    lines = base.select(
+        "id", F.explode(F.split(F.col("text"), "\n")).alias("line")
+    )
+    per_line = lines.groupBy("id", "line").agg(F.count(F.lit(1)).alias("cnt"))
+    line_stats = per_line.groupBy("id").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("cnt") * F.length("line")).alias("chars_all"),
+        F.sum(F.length("line")).alias("chars_distinct"),
+    )
+
+    grams = base.select(
+        "id", "__nlen", F.explode(_word_ngrams(F.col("__toks"), n)).alias("gram")
+    )
+    per_gram = grams.groupBy("id", "__nlen", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("gram"))
+    top = (
+        per_gram.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "id",
+            F.col("gram").alias("top_gram"),
+            F.col("cnt").alias("top_gram_count"),
+            F.floor(
+                F.col("cnt") * F.length("gram") * 1_000_000
+                / F.greatest(F.col("__nlen"), F.lit(1))
+            ).alias("top_gram_char_e6"),
+        )
+    )
+
+    e6 = lambda num, den: F.floor(  # noqa: E731
+        num * 1_000_000 / F.greatest(den, F.lit(1))
+    )
+    return (
+        line_stats.withColumns(
+            {
+                "dup_line_e6": e6(
+                    F.col("n_lines") - F.col("n_distinct"), F.col("n_lines")
+                ),
+                "dup_line_char_e6": e6(
+                    F.col("chars_all") - F.col("chars_distinct"),
+                    F.col("chars_all"),
+                ),
+            }
+        )
+        .join(top, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "dup_line_e6", "dup_line_char_e6",
+            "top_gram", "top_gram_count", "top_gram_char_e6",
+        )
     )

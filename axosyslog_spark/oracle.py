@@ -505,3 +505,116 @@ def pipeline_prefix() -> str:
         + ROUTED_CTE.strip()
         + "\n"
     )
+
+
+def _ngram_cte(n: int, src: str = "documents", where: str = "") -> str:
+    """norm/toks/gram-list CTE body fragment for word n-grams of the
+    normalized text (non-distinct list in `gl`, distinct set in `gs`)."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+    return f"""
+norm{n} AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS nt
+  FROM {src} {where}
+),
+toks{n} AS (SELECT doc_id, nt, string_split(nt, ' ') AS t FROM norm{n}),
+gl{n} AS (
+  SELECT doc_id, length(nt) AS nlen,
+         list_transform(range(1, greatest(len(t) - {n - 1}, 0) + 1),
+                        i -> {gram}) AS gl
+  FROM toks{n}
+),
+gs{n} AS (SELECT doc_id, list_distinct(gl) AS gs FROM gl{n})
+"""
+
+
+def doc_contamination_sql(n: int, bench_mod: int) -> str:
+    """Docs (doc_id % bench_mod != 0) sharing any word n-gram with the
+    benchmark slice (doc_id % bench_mod == 0)."""
+    return (
+        "WITH "
+        + _ngram_cte(n).strip()
+        + f""",
+        bench AS (
+          SELECT DISTINCT unnest(gs) AS gram FROM gs{n}
+          WHERE doc_id % {bench_mod} = 0
+        ),
+        corpus AS (
+          SELECT doc_id, unnest(gs) AS gram FROM gs{n}
+          WHERE doc_id % {bench_mod} <> 0
+        )
+        SELECT c.doc_id, count(*) AS contaminated_grams,
+               min(c.gram) AS sample_gram
+        FROM corpus c JOIN bench b ON c.gram = b.gram
+        GROUP BY c.doc_id
+        """
+    )
+
+
+def doc_dup_clusters_sql(pdb_k: int, bands: int, threshold_e6: int) -> str:
+    """Connected components over the minhash near-dup pairs via a
+    recursive reachability CTE: cluster = min reachable doc id."""
+    inner = doc_minhash_pairs_sql(pdb_k, bands, threshold_e6)
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({inner}),
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION
+      SELECT id2, id1 FROM pairs
+    ),
+    comp(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+      UNION
+        SELECT e.a, c.lbl FROM edges e JOIN comp c ON c.id = e.b
+    )
+    SELECT id AS doc_id, min(lbl) AS cluster,
+           (min(lbl) = id) AS canonical
+    FROM comp GROUP BY id
+    """
+
+
+def doc_gopher_sql(n: int = 2) -> str:
+    """Duplicate-line fractions + top word n-gram stats."""
+    return (
+        "WITH "
+        + _ngram_cte(n).strip()
+        + f""",
+        lines AS (
+          SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+          FROM documents
+        ),
+        per_line AS (
+          SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY 1, 2
+        ),
+        ls AS (
+          SELECT doc_id, sum(cnt) AS n_lines, count(*) AS n_distinct,
+                 sum(cnt * length(line)) AS chars_all,
+                 sum(length(line)) AS chars_distinct
+          FROM per_line GROUP BY 1
+        ),
+        grams AS (
+          SELECT doc_id, nlen, unnest(gl) AS g FROM gl{n}
+        ),
+        pg AS (
+          SELECT doc_id, nlen, g, count(*) AS cnt
+          FROM grams GROUP BY 1, 2, 3
+        ),
+        top AS (
+          SELECT doc_id, g, cnt, nlen,
+                 row_number() OVER (
+                   PARTITION BY doc_id ORDER BY cnt DESC, g ASC
+                 ) AS rn
+          FROM pg
+        )
+        SELECT ls.doc_id,
+               CAST(floor((n_lines - n_distinct) * 1000000.0
+                          / greatest(n_lines, 1)) AS BIGINT) AS dup_line_e6,
+               CAST(floor((chars_all - chars_distinct) * 1000000.0
+                          / greatest(chars_all, 1)) AS BIGINT) AS dup_line_char_e6,
+               t.g AS top_gram, t.cnt AS top_gram_count,
+               CAST(floor(t.cnt * length(t.g) * 1000000.0
+                          / greatest(t.nlen, 1)) AS BIGINT) AS top_gram_char_e6
+        FROM ls LEFT JOIN (SELECT * FROM top WHERE rn = 1) t
+          ON ls.doc_id = t.doc_id
+        """
+    )

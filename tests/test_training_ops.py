@@ -204,3 +204,81 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     }
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.9, recall
+
+
+def test_contamination_flags_overlapping_docs(spark):
+    from axosyslog_spark.operators.dedup import contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated content here right now"),
+            (3, "brown fox jumps high above everything else"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox jumps away")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r.asDict() for r in contamination(docs, bench, n=3).collect()}
+    # doc 1 shares 'the quick brown'/'quick brown fox'/'brown fox jumps',
+    # doc 3 shares 'brown fox jumps'; doc 2 is clean
+    assert set(out) == {1, 3}
+    assert out[1]["contaminated_grams"] == 3
+    assert out[3]["contaminated_grams"] == 1
+    assert out[3]["sample_gram"] == "brown fox jumps"
+
+
+def test_dup_clusters_connected_components(spark):
+    from axosyslog_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3 (transitive), island 5-6, singleton 4
+        [(1, 2), (2, 3), (5, 6)], "id1 long, id2 long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    out = {r["doc_id"]: (r["cluster"], r["canonical"])
+           for r in dup_clusters(pairs, ids).collect()}
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[4] == (4, True)
+    assert out[5] == (5, True) and out[6] == (5, False)
+    assert out[7] == (7, True)
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    from axosyslog_spark.operators.dedup import dup_clusters
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id1 long, id2 long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+    out = dup_clusters(pairs, ids).collect()
+    assert all(r["cluster"] == 1 for r in out)
+    assert sum(r["canonical"] for r in out) == 1
+
+
+def test_gopher_repetition_signals(spark):
+    from axosyslog_spark.operators.textstats import gopher_repetition
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, 'same line' repeated twice -> 1/4 dup lines
+            (1, "same line\nother text\nsame line\nunique end"),
+            # heavy bigram repetition: 'buy now' x3
+            (2, "buy now buy now buy now please"),
+            (3, "clean simple text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_repetition(docs).collect()}
+    assert out[1]["dup_line_e6"] == 250_000
+    # repeated occurrence chars: len('same line')=9 of the 38 line
+    # chars (9+10+9+10; newline separators don't count)
+    assert out[1]["dup_line_char_e6"] == int(9 / 38 * 1e6)
+    assert out[2]["top_gram"] == "buy now"
+    assert out[2]["top_gram_count"] == 3
+    # 'buy now buy now buy now please' normalized len 30, 3*7=21
+    assert out[2]["top_gram_char_e6"] == 700_000
+    assert out[3]["dup_line_e6"] == 0
