@@ -82,8 +82,31 @@ def istype(c: Column, type_name: str) -> Column:
 
 
 def parse_kv_fx(c: Column, pair_sep: str = " ", value_sep: str = "=") -> Column:
-    """parse_kv() builtin -> MapType (filterx-func-parse-kv)."""
-    return F.str_to_map(c, F.lit(pair_sep), F.lit(value_sep))
+    """parse_kv() builtin -> MapType (filterx-func-parse-kv).
+    Dup-safe split+fold rather than str_to_map: a repeated key must
+    overwrite (reference NV semantics), not abort the job under
+    Spark's default mapKeyDedupPolicy=EXCEPTION."""
+    import re as _re
+
+    from axosyslog_spark.operators.kvscan import entries_to_map
+
+    toks = F.filter(F.split(c, _re.escape(pair_sep)), lambda t: t != "")
+    entries = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.substring_index(t, value_sep, 1).alias("key"),
+            F.when(
+                t.contains(value_sep),
+                F.substring(
+                    t,
+                    F.length(F.substring_index(t, value_sep, 1))
+                    + len(value_sep) + 1,
+                    F.lit(2_000_000_000),
+                ),
+            ).alias("value"),
+        ),
+    )
+    return entries_to_map(entries)
 
 
 def format_kv_fx(m: Column, pair_sep: str = " ", value_sep: str = "=") -> Column:

@@ -842,12 +842,11 @@ def _FUNCS_DISPATCH(fn: str, a: list[Column], raws: list[str | None] = ()) -> Co
     if fn == "isset":
         return one.isNotNull()
     if fn == "parse_kv":
-        from axosyslog_spark.operators.kvscan import kv_scan
+        from axosyslog_spark.operators.kvscan import kv_pairs_to_map, kv_scan
 
-        pairs = kv_scan(one)
-        return F.map_from_entries(
-            F.transform(pairs, lambda p: F.struct(p["key"], p["value"]))
-        )
+        # dup-safe: repeated keys overwrite (last wins) instead of
+        # aborting under mapKeyDedupPolicy=EXCEPTION
+        return kv_pairs_to_map(kv_scan(one))
     if fn == "parse_json":
         return F.from_json(one, "map<string,string>")
     if fn == "format_kv":

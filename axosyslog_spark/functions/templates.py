@@ -331,14 +331,22 @@ def format_cim(
         lambda k, v: ~k.startswith(".")
         & (k.startswith("_") | k.contains(".")),
     )
-    merged = F.map_concat(
-        F.create_map(
-            F.lit("@timestamp"), timestamp.cast("string"),
-            F.lit("@message"), message.cast("string"),
+    from axosyslog_spark.operators.kvscan import entries_to_map
+
+    # entries-level merge + fold: a renamed dotted key colliding with
+    # a plain '_'-key must overwrite, not abort (map_concat throws
+    # under the default dedup policy); sort first so the JSON key
+    # order stays deterministic
+    merged = F.concat(
+        F.map_entries(
+            F.create_map(
+                F.lit("@timestamp"), timestamp.cast("string"),
+                F.lit("@message"), message.cast("string"),
+            )
         ),
-        cim, dotted, plain,
+        F.map_entries(cim), F.map_entries(dotted), F.map_entries(plain),
     )
-    ordered = F.map_from_entries(F.array_sort(F.map_entries(merged)))
+    ordered = entries_to_map(F.array_sort(merged))
     return F.to_json(ordered)
 
 

@@ -92,9 +92,17 @@ def load_context_db(spark: SparkSession, path: str) -> DataFrame:
     NV pairs per selector. Pivoted here to (selector, nv: map) so one
     broadcast join injects the whole record.
     """
+    from axosyslog_spark.operators.kvscan import entries_to_map
+
     raw = spark.read.csv(path, schema="selector string, name string, value string")
+    # dup-safe fold: a name repeated under one selector overwrites
+    # (context-info-db.c's NV insert), it must not abort the job
     return raw.groupBy("selector").agg(
-        F.map_from_entries(F.collect_list(F.struct("name", "value"))).alias("nv")
+        entries_to_map(
+            F.collect_list(
+                F.struct(F.col("name").alias("key"), F.col("value").alias("value"))
+            )
+        ).alias("nv")
     )
 
 

@@ -226,3 +226,19 @@ def test_update_metric_else_branch_counts_null_cond(spark):
     # ...and the metric path must agree with the data path
     assert got["err"] == 1
     assert got["other"] == 2
+
+
+def test_parse_kv_duplicate_keys_no_abort(spark):
+    """Dup keys in filterx parse_kv overwrite (last wins) instead of
+    aborting under mapKeyDedupPolicy=EXCEPTION."""
+    from axosyslog_spark.functions.filterx_lang import compile_filterx
+
+    df = spark.createDataFrame(
+        [(0, "a=1 b=2 a=3")], "id int, text string"
+    )
+    blk = compile_filterx(
+        '$kv = parse_kv($text);', known_fields=df.columns,
+        string_fields={"text"},
+    )
+    r = blk.apply(df).first()
+    assert r["kv"]["a"] == "3" and r["kv"]["b"] == "2"
