@@ -707,9 +707,36 @@ class _Compiler:
         args: list[Column] = []
         raws: list[str | None] = []  # plan-time strings for fns that
         # need them (format patterns, type names, glob patterns)
+        kwargs: dict[str, Column] = {}
+        kwraws: dict[str, str | None] = {}
         while not self.at(")"):
             t = self.peek()
             nxt = self.peek(1)
+            # keyword argument: NAME '=' expr (expr-function.c named
+            # args — assignment is statement-level, so '=' after a
+            # bare name inside an arg list is unambiguous)
+            if (
+                t is not None and t.kind == "name"
+                and nxt is not None and nxt.text == "="
+                and (self.peek(2) is None or self.peek(2).text != "=")
+            ):
+                self.next(); self.next()
+                vt = self.peek()
+                raw = None
+                if (
+                    vt is not None
+                    and self.peek(1) is not None
+                    and self.peek(1).text in (",", ")")
+                ):
+                    if vt.kind == "string":
+                        raw = _unquote(vt.text)
+                    elif vt.text in ("true", "false"):
+                        raw = vt.text
+                kwraws[t.text] = raw
+                kwargs[t.text] = self.expr(st)
+                if self.at(","):
+                    self.next()
+                continue
             if (
                 t is not None and t.kind == "string"
                 and nxt is not None and nxt.text in (",", ")")
@@ -721,7 +748,7 @@ class _Compiler:
             if self.at(","):
                 self.next()
         self.eat(")")
-        return _FUNCS_DISPATCH(fn, args, raws)
+        return _FUNCS_DISPATCH(fn, args, raws, kwargs, kwraws, self.known)
 
     # --- helpers ---
     def _field_name(self, tok_text: str) -> str:
@@ -809,8 +836,60 @@ def _need_raw(fn: str, raws: list[str | None], i: int) -> str:
     return raws[i]
 
 
-def _FUNCS_DISPATCH(fn: str, a: list[Column], raws: list[str | None] = ()) -> Column:
+def _FUNCS_DISPATCH(
+    fn: str,
+    a: list[Column],
+    raws: list[str | None] = (),
+    kwargs: dict[str, Column] | None = None,
+    kwraws: dict[str, str | None] | None = None,
+    known=None,
+) -> Column:
     one = a[0] if a else F.lit(None)
+    kwargs = kwargs or {}
+    kwraws = kwraws or {}
+    if fn == "format_syslog_5424":
+        # filterx-func-format-syslog.c: format_syslog_5424(message,
+        # add_octet_count=false, pri=, timestamp=, host=, program=,
+        # pid=, msgid=). Absent pri/timestamp fall back to the
+        # message's own columns when the frame has them (the
+        # logmsg->pri / LM_TS_STAMP fallbacks); absent string fields
+        # render '-'. Fraction digits simplified to whole seconds —
+        # the same TS contract as parse.format_rfc5424.
+        dash = lambda c: (  # noqa: E731
+            F.when(
+                F.coalesce(c.cast("string"), F.lit("")) == "", F.lit("-")
+            ).otherwise(c.cast("string"))
+        )
+        pri = kwargs.get(
+            "pri", F.col("pri") if known and "pri" in known else F.lit(13)
+        )
+        ts = kwargs.get(
+            "timestamp", F.col("ts") if known and "ts" in known else None
+        )
+        ts_str = (
+            F.coalesce(
+                F.date_format(ts.cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss"),
+                F.lit("-"),
+            )
+            if ts is not None
+            else F.lit("-")
+        )
+        line = F.concat(
+            F.lit("<"), F.coalesce(pri.cast("string"), F.lit("13")),
+            F.lit(">1 "), ts_str, F.lit(" "),
+            dash(kwargs.get("host", F.lit(""))), F.lit(" "),
+            dash(kwargs.get("program", F.lit(""))), F.lit(" "),
+            dash(kwargs.get("pid", F.lit(""))), F.lit(" "),
+            dash(kwargs.get("msgid", F.lit(""))), F.lit(" - "),
+            F.coalesce(one.cast("string"), F.lit("")),
+        )
+        if kwraws.get("add_octet_count") == "true":
+            # syslog-over-TCP framing: "<LEN> " where LEN counts the
+            # UTF-8 bytes of the frame
+            line = F.concat(
+                F.octet_length(line).cast("string"), F.lit(" "), line
+            )
+        return line
     if fn == "string":
         return one.cast("string")
     if fn == "int":

@@ -242,3 +242,39 @@ def test_parse_kv_duplicate_keys_no_abort(spark):
     )
     r = blk.apply(df).first()
     assert r["kv"]["a"] == "3" and r["kv"]["b"] == "2"
+
+
+def test_format_syslog_5424(spark):
+    """filterx format_syslog_5424() with keyword args
+    (filterx-func-format-syslog.c): explicit fields, '-' for absent
+    ones, pri/timestamp falling back to the message's own columns,
+    and add_octet_count framing."""
+    import datetime as dt
+
+    from axosyslog_spark.functions.filterx_lang import compile_filterx
+
+    df = spark.createDataFrame(
+        [(165, dt.datetime(2024, 5, 1, 10, 0, 1), "gw1", "payload text")],
+        "pri int, ts timestamp, host string, text string",
+    )
+    blk = compile_filterx(
+        """
+        $line = format_syslog_5424($text, host=$host, program="app",
+                                   pid="42", msgid="ID7");
+        $fallback = format_syslog_5424($text);
+        $framed = format_syslog_5424($text, add_octet_count=true,
+                                     pri=34, timestamp=$ts, host=$host);
+        """,
+        known_fields=df.columns,
+        string_fields={"host", "text"},
+    )
+    r = blk.apply(df).first()
+    assert r["line"] == (
+        "<165>1 2024-05-01T10:00:01 gw1 app 42 ID7 - payload text"
+    )
+    # absent kwargs: '-' fields, pri/ts from the frame's own columns
+    assert r["fallback"] == (
+        "<165>1 2024-05-01T10:00:01 - - - - - payload text"
+    )
+    body = "<34>1 2024-05-01T10:00:01 gw1 - - - - payload text"
+    assert r["framed"] == f"{len(body)} {body}"
