@@ -221,3 +221,81 @@ def test_patterndb_compile_matches_re(case):
         if f.name in expected:
             assert m.group(i + 1) == expected[f.name], (pattern, line)
     assert line.startswith(compiled.literal_prefix)
+
+
+# ---------------------------------------------------------------------------
+# dup-safe map fold vs the Python NVTable model
+# ---------------------------------------------------------------------------
+
+
+def python_nv_fold(pairs):
+    """NVTable overwrite model: first-occurrence ORDER, last VALUE."""
+    out: dict = {}
+    for k, v in pairs:
+        out[k] = v  # python dicts keep first-insertion order
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.text(alphabet="abcXYZ09._-", min_size=1, max_size=4),
+            st.text(alphabet="abc /=\"'", max_size=5),
+        ),
+        max_size=12,
+    )
+)
+def test_entries_to_map_matches_nvtable_model(spark, pairs):
+    from axosyslog_spark.operators.kvscan import entries_to_map
+
+    df = spark.createDataFrame(
+        [(list(map(list, pairs)),)],
+        "entries array<struct<key:string,value:string>>",
+    )
+    got = df.select(entries_to_map(F.col("entries")).alias("m")).first()["m"]
+    want = python_nv_fold(pairs)
+    assert dict(got) == want
+    # insertion ORDER is part of the contract (formatters re-emit in
+    # map order): compare via JSON key order
+    got_keys = df.select(
+        F.map_keys(entries_to_map(F.col("entries"))).alias("k")
+    ).first()["k"]
+    assert got_keys == list(want.keys())
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab =/\x01\x02\x03\x04\n\t", max_size=20
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_patterndb_never_garbled_by_control_bytes(spark, texts):
+    """Classification of arbitrary control-byte-laced input equals
+    classification of the stripped input — and never errors."""
+    from axosyslog_spark.operators.patterndb import PatternDB
+
+    rules = [
+        PdbRule("kv", "a=@ESTRING:v: @b"),
+        PdbRule("slash", "/@ESTRING:p:@"),
+    ]
+    pdb = PatternDB(rules)
+    stripped = [
+        t.translate({0x01: None, 0x02: None, 0x03: None, 0x04: None})
+        for t in texts
+    ]
+    df = spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(zip(texts, stripped))],
+        "id int, raw string, clean string",
+    )
+    rows = df.select(
+        "id",
+        pdb.classify(F.col("raw")).alias("r"),
+        pdb.classify(F.col("clean")).alias("c"),
+    ).collect()
+    for r in rows:
+        assert r["r"] == r["c"]
