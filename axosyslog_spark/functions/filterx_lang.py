@@ -1077,6 +1077,12 @@ def _FUNCS_DISPATCH(
         from axosyslog_spark.operators.xmlparse import format_xml_fx
 
         return format_xml_fx(one)
+    if fn == "format_windows_eventlog_xml":
+        from axosyslog_spark.operators.xmlparse import (
+            format_windows_eventlog_xml_fx,
+        )
+
+        return format_windows_eventlog_xml_fx(one)
     # modules/csvparser filterx-func-parse-csv.c: with a columns list a
     # dict comes back (quote-aware via from_csv); without columns a
     # plain delimiter split list (quote handling needs the fixed-arity

@@ -172,3 +172,45 @@ def format_xml_fx(m):
         ),
         "",
     )
+
+
+def format_windows_eventlog_xml_fx(m):
+    """filterx format_windows_eventlog_xml(dict) for a FLAT
+    map<string,string> — format_xml_fx plus the windows rule
+    (filterx-func-format-windows-eventlog-xml.c:30-66): a key of the
+    form 'EventData.<Name>' (any dotted prefix before 'EventData.')
+    renders as <Data Name='<Name>'>value</Data>, the empty value as
+    the self-closing <Data Name='<Name>' />. Other keys render like
+    format_xml; the reference's fully-nested dict walk applies the
+    same leaf rule inside the EventData subtree."""
+    from pyspark.sql import functions as F
+
+    def esc(v):
+        v = F.replace(v, F.lit("&"), F.lit("&amp;"))
+        v = F.replace(v, F.lit("<"), F.lit("&lt;"))
+        return F.replace(v, F.lit(">"), F.lit("&gt;"))
+
+    def one(e):
+        is_data = e["key"].rlike(r"(^|\.)EventData\.[^.]+$")
+        name = F.regexp_extract(e["key"], r"EventData\.([^.]+)$", 1)
+        empty = F.coalesce(e["value"], F.lit("")) == ""
+        data = F.when(
+            empty,
+            F.concat(F.lit("<Data Name='"), name, F.lit("' />")),
+        ).otherwise(
+            F.concat(
+                F.lit("<Data Name='"), name, F.lit("'>"),
+                esc(e["value"]), F.lit("</Data>"),
+            )
+        )
+        plain = F.when(
+            empty, F.concat(F.lit("<"), e["key"], F.lit("/>"))
+        ).otherwise(
+            F.concat(
+                F.lit("<"), e["key"], F.lit(">"), esc(e["value"]),
+                F.lit("</"), e["key"], F.lit(">"),
+            )
+        )
+        return F.when(is_data, data).otherwise(plain)
+
+    return F.array_join(F.transform(F.map_entries(m), one), "")

@@ -278,3 +278,24 @@ def test_format_syslog_5424(spark):
     )
     body = "<34>1 2024-05-01T10:00:01 gw1 - - - - payload text"
     assert r["framed"] == f"{len(body)} {body}"
+
+
+def test_format_windows_eventlog_xml(spark):
+    from axosyslog_spark.functions.filterx_lang import compile_filterx
+
+    df = spark.createDataFrame([(1,)], "id int")
+    blk = compile_filterx(
+        """
+        declare d = parse_json("{\\"Event.System.Provider\\": \\"app\\",
+          \\"Event.EventData.TargetUser\\": \\"bob<x>\\",
+          \\"Event.EventData.Empty\\": \\"\\"}");
+        $xml = format_windows_eventlog_xml(d);
+        """,
+        known_fields=df.columns,
+    )
+    r = blk.apply(df).first()
+    assert r["xml"] == (
+        "<Event.System.Provider>app</Event.System.Provider>"
+        "<Data Name='TargetUser'>bob&lt;x&gt;</Data>"
+        "<Data Name='Empty' />"
+    )
