@@ -830,6 +830,43 @@ def q_op_kmsg_parse(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_op_scl_checkpoint(spark: SparkSession, sf: str) -> DataFrame:
+    """checkpoint-parser() syslog wire format under the oracle:
+    RFC5424-framed lines synthesized from events (7-column ISO-stamp
+    variant, null('-') msgid, ':'-separated kv bracket section). The
+    kv pass runs over the RAW line (checkpoint[syslog-raw]), so the
+    header stamp's colons swallow through the first ';' — a dummy
+    first pair absorbs that, exactly like the reference behaves; the
+    oracle rebuilds every output from the generating columns."""
+    from axosyslog_spark.operators.scl import checkpoint_parser
+
+    ev = _utc(spark).read.parquet(f"{sf}/events.parquet")
+    ss = F.lpad((F.col("event_id") % 60).cast("string"), 2, "0")
+    line = F.concat(
+        F.lit("<134>1 2024-06-15T10:11:"), ss, F.lit("Z gw"),
+        (F.col("user_id") % 20).cast("string"),
+        F.lit(" fw "), F.col("event_id").cast("string"),
+        F.lit(' - [x:"0"; action:"'), F.col("event_type"),
+        F.lit('"; id:"'), F.col("event_id").cast("string"), F.lit('"]'),
+    )
+    df = ev.select("event_id", line.alias("text"))
+    out = checkpoint_parser(df)
+    kv = F.col("`.checkpoint.kv`")
+    return out.select(
+        "event_id",
+        F.col("`.checkpoint.ok`").alias("ok"),
+        "host",
+        F.col("program").alias("prog"),
+        "pid",
+        "msgid",
+        F.date_format("`.checkpoint.ts`", "yyyy-MM-dd HH:mm:ss").alias(
+            "ts_str"
+        ),
+        F.element_at(kv, ".checkpoint.action").alias("action"),
+        F.element_at(kv, ".checkpoint.id").alias("idv"),
+    )
+
+
 def q_op_rewrite_filter(spark: SparkSession, sf: str) -> DataFrame:
     """Previously unit-only rewrite/filter family under the oracle:
     set-pri/set-severity pri algebra (rewrite-set-pri.c /
@@ -1197,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_filterx_funcs": q_op_filterx_funcs,
         "op_scl_apache": q_op_scl_apache,
         "op_kmsg_parse": q_op_kmsg_parse,
+        "op_scl_checkpoint": q_op_scl_checkpoint,
         "op_rewrite_filter": q_op_rewrite_filter,
         "op_tags": q_op_tags,
         "op_cc_mask": q_op_cc_mask,
@@ -1711,6 +1749,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(200 + event_id % 4 AS INT) AS response,
                CAST(event_id % 5000 AS BIGINT) AS bytes,
                'https://ref.example/' AS referrer
+        FROM events
+        """,
+        "op_scl_checkpoint": """
+        SELECT event_id,
+               TRUE AS ok,
+               'gw' || CAST(user_id % 20 AS VARCHAR) AS host,
+               'fw' AS prog,
+               CAST(event_id AS VARCHAR) AS pid,
+               CAST(NULL AS VARCHAR) AS msgid,
+               '2024-06-15 10:11:'
+                 || lpad(CAST(event_id % 60 AS VARCHAR), 2, '0') AS ts_str,
+               event_type AS action,
+               CAST(event_id AS VARCHAR) AS idv
         FROM events
         """,
         "op_rewrite_filter": """

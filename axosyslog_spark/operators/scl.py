@@ -623,3 +623,27 @@ def junos_app_filter(sdata: Column) -> Column:
     extracts)."""
     v = F.element_at(sdata, ".SDATA.junos@2636.1.1.1.2.129.reason")
     return v.isNotNull() & (v != "")
+
+
+def netskope_parser(
+    df: DataFrame, src_col: str = "text", prefix: str = ".netskope."
+) -> DataFrame:
+    """scl/netskope netskope-parser(): strip the leading syslog pri
+    and json-parse the body with the prefix (plugin.conf's subst +
+    json-parser channel)."""
+    from axosyslog_spark.operators.jsonflatten import flatten_json_column
+
+    body = F.regexp_replace(F.col(src_col), "^<[0-9]+>", "")
+    flat = flatten_json_column(body)
+    return df.withColumn(
+        f"{prefix}kv",
+        F.transform_keys(flat, lambda k, _v: F.concat(F.lit(prefix), k)),
+    )
+
+
+def netskope_app_filter(message: Column) -> Column:
+    """application netskope[syslog-raw]: '<134>{' prefix plus the
+    insertion-epoch marker field."""
+    return message.startswith("<134>{") & message.contains(
+        "_insertion_epoch_timestamp"
+    )

@@ -411,3 +411,17 @@ def test_junos_app_filter(spark):
     )
     kept = df.filter(scl.junos_app_filter(F.col("sdata"))).collect()
     assert [r["id"] for r in kept] == [0]
+
+
+def test_netskope_parser_and_filter(spark):
+    line = (
+        '<134>{"_insertion_epoch_timestamp": 1716200000, '
+        '"app": "Dropbox", "user": {"name": "jd"}}'
+    )
+    df = spark.createDataFrame([(0, line), (1, "<13>plain")], "id int, text string")
+    out = {r["id"]: r[".netskope.kv"] for r in scl.netskope_parser(df).collect()}
+    assert out[0][".netskope.app"] == "Dropbox"
+    assert out[0][".netskope.user.name"] == "jd"
+    assert out[0][".netskope._insertion_epoch_timestamp"] == "1716200000"
+    kept = df.filter(scl.netskope_app_filter(F.col("text"))).collect()
+    assert [r["id"] for r in kept] == [0]
