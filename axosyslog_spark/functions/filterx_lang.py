@@ -866,9 +866,14 @@ def _FUNCS_DISPATCH(
         ts = kwargs.get(
             "timestamp", F.col("ts") if known and "ts" in known else None
         )
+        # RFC5424 §6.2.3 requires the TIMESTAMP to carry a zone
+        # designator; XXX renders 'Z' under the session's pinned-UTC
+        # timezone (offset form elsewhere)
         ts_str = (
             F.coalesce(
-                F.date_format(ts.cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss"),
+                F.date_format(
+                    ts.cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ssXXX"
+                ),
                 F.lit("-"),
             )
             if ts is not None
@@ -883,6 +888,16 @@ def _FUNCS_DISPATCH(
             dash(kwargs.get("msgid", F.lit(""))), F.lit(" - "),
             F.coalesce(one.cast("string"), F.lit("")),
         )
+        if "add_octet_count" in (kwargs | kwraws) and kwraws.get(
+            "add_octet_count"
+        ) not in ("true", "false"):
+            # framing changes the output shape; a runtime-varying flag
+            # can't be honored column-wise, so reject it loudly instead
+            # of silently ignoring the argument
+            raise FilterXSyntaxError(
+                "format_syslog_5424: add_octet_count must be the literal "
+                "true or false"
+            )
         if kwraws.get("add_octet_count") == "true":
             # syslog-over-TCP framing: "<LEN> " where LEN counts the
             # UTF-8 bytes of the frame

@@ -335,8 +335,14 @@ def format_cim(
 
     # entries-level merge + fold: a renamed dotted key colliding with
     # a plain '_'-key must overwrite, not abort (map_concat throws
-    # under the default dedup policy); sort first so the JSON key
-    # order stays deterministic
+    # under the default dedup policy). Dedup FIRST in source-precedence
+    # order (entries_to_map is last-value-wins, so list the weakest
+    # source first: builtins < plain < cim < dotted — only a renamed
+    # dotted key can collide with a plain '_'-key, and it must win),
+    # THEN sort the now-unique entries so the JSON key order is
+    # deterministic. Sorting before the fold would make the
+    # lexicographically-largest VALUE win instead of the intended
+    # source.
     merged = F.concat(
         F.map_entries(
             F.create_map(
@@ -344,9 +350,10 @@ def format_cim(
                 F.lit("@message"), message.cast("string"),
             )
         ),
-        F.map_entries(cim), F.map_entries(dotted), F.map_entries(plain),
+        F.map_entries(plain), F.map_entries(cim), F.map_entries(dotted),
     )
-    ordered = entries_to_map(F.array_sort(merged))
+    deduped = entries_to_map(merged)
+    ordered = entries_to_map(F.array_sort(F.map_entries(deduped)))
     return F.to_json(ordered)
 
 

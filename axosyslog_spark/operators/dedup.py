@@ -409,17 +409,22 @@ def dup_clusters(
     gets cluster = min doc id reachable through dup edges (singletons
     are their own cluster); `canonical` marks the one doc to keep.
 
-    Iterative min-label propagation: every pass lowers each node's
-    label to the min over itself and its neighbours' labels, so the
-    component minimum travels one hop per pass — convergence in
-    component-diameter passes (near-dup clusters are small and
-    dense, 2-4 passes in practice; `max_iters` bounds pathological
-    chains). One fixpoint-check action per pass, the standard
-    distributed-CC shape (GraphX connectedComponents runs the same
-    O(log n) rounds); each pass is one shuffle join on id. Labels are
-    localCheckpoint()ed per pass — without truncation the lineage
-    (and Catalyst planning time) grows linearly with the pass count,
-    which is what kills naive iterative DataFrame loops."""
+    Iterative min-label propagation WITH pointer jumping: every pass
+    first lowers each node's label to the min over itself and its
+    neighbours' labels (the min travels one hop), then shortcuts
+    through the label graph (``cluster <- label(cluster)``) so known
+    distances double — convergence in O(log diameter) passes rather
+    than diameter passes (a 500-node chain converges in ~12; near-dup
+    clusters are small and dense, 2-4 in practice). Raises
+    RuntimeError if `max_iters` passes still left labels moving —
+    silently returning partially-propagated labels would diverge from
+    exact reachability with no signal. One fixpoint-check action per
+    pass, the standard distributed-CC shape (GraphX
+    connectedComponents runs the same O(log n) rounds); each pass is
+    two shuffle joins on id. Labels are localCheckpoint()ed per pass
+    — without truncation the lineage (and Catalyst planning time)
+    grows linearly with the pass count, which is what kills naive
+    iterative DataFrame loops."""
     edges = (
         pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
         .union(pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
@@ -436,12 +441,29 @@ def dup_clusters(
             .groupBy("a")
             .agg(F.min("cluster").alias("nmin"))
         )
+        stepped = labels.join(nbr, labels["id"] == nbr["a"], "left").select(
+            F.col("id"),
+            F.least(
+                F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+            ).alias("cluster"),
+        )
+        # pointer jump: shortcut each label through the label of its
+        # label (cluster values are themselves doc ids present in
+        # `labels`), doubling the reach per pass
         new = (
-            labels.join(nbr, labels["id"] == nbr["a"], "left")
+            stepped.join(
+                stepped.select(
+                    F.col("id").alias("cid"),
+                    F.col("cluster").alias("ccluster"),
+                ),
+                F.col("cluster") == F.col("cid"),
+                "left",
+            )
             .select(
                 F.col("id"),
                 F.least(
-                    F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+                    F.col("cluster"),
+                    F.coalesce(F.col("ccluster"), F.col("cluster")),
                 ).alias("cluster"),
             )
             .localCheckpoint()
@@ -455,6 +477,12 @@ def dup_clusters(
         labels = new
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dup_clusters: labels still moving after max_iters="
+            f"{max_iters} passes ({changed} changed) — component "
+            f"diameter exceeds the iteration budget; raise max_iters"
+        )
     return labels.select(
         F.col("id").alias(id_col),
         "cluster",

@@ -174,14 +174,25 @@ class PdbField:
 def parse_action_rate(rate: str | None) -> tuple[int, int]:
     """<action rate="N/Ts"> -> (N, T); bare "N" means N per second;
     a zero/absent quantum falls back to 1 (pdb-action.c
-    pdb_action_set_rate:52-74). rate 0 / None = unlimited."""
+    pdb_action_set_rate:52-74). rate 0 / None = unlimited.
+
+    Both numbers are read with atoi semantics — the leading digit run,
+    0 on junk — because the reference tolerates strings like "5/2h"
+    (atoi("2h") == 2) and loads configs with non-numeric rates as
+    rate 0 rather than refusing to start.
+    """
     if not rate:
         return (0, 1)
+
+    def _atoi(s: str) -> int:
+        m = re.match(r"\s*[+-]?\d+", s)
+        return int(m.group(0)) if m else 0
+
     if "/" in rate:
         n, _, q = rate.partition("/")
-        quantum = int(q.rstrip("s") or "0")
-        return (int(n), quantum if quantum > 0 else 1)
-    return (int(rate), 1)
+        quantum = _atoi(q)
+        return (_atoi(n), quantum if quantum > 0 else 1)
+    return (_atoi(rate), 1)
 
 
 @dataclass(frozen=True)

@@ -239,6 +239,8 @@ def patternize(
         if prev_cached is not None:
             prev_cached.unpersist()
         prev_cached = remaining
+    if prev_cached is not None:
+        prev_cached.unpersist()
     if collected is None:
         schema = "pattern string, support bigint, samples array<string>"
         return spark.createDataFrame([], schema)

@@ -47,11 +47,18 @@ def get_spark(
         # ~49 KB of bytecode in one whole-stage method) exceed
         # HotSpot's DontCompileHugeMethods ceiling (8000 bytecodes) and
         # silently run interpreted, a measured ~30x per-expression
-        # cost. Lift the ceiling so the JIT compiles them; on a real
-        # cluster the same flag goes in spark.executor.extraJavaOptions
-        # (local mode: driver JVM == executor JVM).
+        # cost. Lift the ceiling so the JIT compiles them. Set on BOTH
+        # driver and executor unconditionally: local mode only reads
+        # the driver flag (driver JVM == executor JVM), but a cluster
+        # deployment that forgot the executor side would silently
+        # revert to the ~30x interpreted path — make the perf contract
+        # self-carrying.
         .config(
             "spark.driver.extraJavaOptions",
+            "-XX:-DontCompileHugeMethods",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
             "-XX:-DontCompileHugeMethods",
         )
         .config("spark.ui.enabled", "false")

@@ -270,14 +270,33 @@ def test_format_syslog_5424(spark):
     )
     r = blk.apply(df).first()
     assert r["line"] == (
-        "<165>1 2024-05-01T10:00:01 gw1 app 42 ID7 - payload text"
+        "<165>1 2024-05-01T10:00:01Z gw1 app 42 ID7 - payload text"
     )
     # absent kwargs: '-' fields, pri/ts from the frame's own columns
     assert r["fallback"] == (
-        "<165>1 2024-05-01T10:00:01 - - - - - payload text"
+        "<165>1 2024-05-01T10:00:01Z - - - - - payload text"
     )
-    body = "<34>1 2024-05-01T10:00:01 gw1 - - - - payload text"
+    body = "<34>1 2024-05-01T10:00:01Z gw1 - - - - payload text"
     assert r["framed"] == f"{len(body)} {body}"
+
+
+def test_format_syslog_5424_rejects_non_literal_octet_count(spark):
+    """add_octet_count changes the output SHAPE; a runtime-varying
+    value can't be honored column-wise, so a non-literal argument is
+    a compile error, never a silent ignore."""
+    import pytest
+
+    from axosyslog_spark.functions.filterx_lang import (
+        FilterXSyntaxError,
+        compile_filterx,
+    )
+
+    with pytest.raises(FilterXSyntaxError, match="add_octet_count"):
+        compile_filterx(
+            "$line = format_syslog_5424($text, add_octet_count=$flag);",
+            known_fields=["text", "flag"],
+            string_fields={"text", "flag"},
+        )
 
 
 def test_format_windows_eventlog_xml(spark):

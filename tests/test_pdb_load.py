@@ -314,6 +314,12 @@ def test_action_rate_attribute_parsed():
     assert parse_action_rate("7/0") == (7, 1)
     assert parse_action_rate("3/60s") == (3, 60)
     assert parse_action_rate(None) == (0, 1)
+    # atoi tolerance (pdb-action.c uses atoi): leading digit run,
+    # junk parses as 0 — a config the reference loads must not crash
+    assert parse_action_rate("5/2h") == (5, 2)
+    assert parse_action_rate("junk") == (0, 1)
+    assert parse_action_rate("4/junk") == (4, 1)
+    assert parse_action_rate("  8abc") == (8, 1)
 
 
 def test_rated_action_first_n_per_bucket(spark):

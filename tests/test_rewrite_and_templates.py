@@ -234,6 +234,30 @@ def test_format_cim(spark):
     )
 
 
+def test_format_cim_dotted_overrides_plain(spark):
+    """Key-collision precedence is by SOURCE, not by value: a renamed
+    dotted key ('.collide' -> '_collide') must overwrite a plain
+    '_collide' key even when the plain value sorts lexicographically
+    later (regression: sorting entries before the last-wins fold let
+    the larger VALUE win)."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 2, 3, 4, 5), "m")], "ts timestamp, msg string"
+    )
+    pairs = F.create_map(
+        # plain value 'zzz' sorts AFTER dotted value 'aaa'
+        F.lit("_collide"), F.lit("zzz"),
+        F.lit(".collide"), F.lit("aaa"),
+    )
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ssXXX")
+    out = df.select(tf.format_cim(pairs, iso, F.col("msg")).alias("j")).collect()[0].j
+    assert out == (
+        '{"@message":"m","@timestamp":"2024-01-02T03:04:05Z",'
+        '"_collide":"aaa"}'
+    )
+
+
 def test_header_identity_macros(spark):
     """MSGHDR/TAG/BSDTAG/network macros (macros.c:207-230, 514-714):
     pid-less and program-less MSGHDR, PEERIP/PEERPORT fallthrough to

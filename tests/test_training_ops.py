@@ -247,9 +247,13 @@ def test_dup_clusters_connected_components(spark):
 
 
 def test_dup_clusters_long_chain_converges(spark):
+    """A 500-node path graph (diameter 499) must converge inside the
+    default max_iters=25 budget — pointer jumping doubles the label
+    reach per pass, so convergence is O(log diameter), not
+    O(diameter)."""
     from axosyslog_spark.operators.dedup import dup_clusters
 
-    n = 12
+    n = 500
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, n)], "id1 long, id2 long"
     )
@@ -257,6 +261,22 @@ def test_dup_clusters_long_chain_converges(spark):
     out = dup_clusters(pairs, ids).collect()
     assert all(r["cluster"] == 1 for r in out)
     assert sum(r["canonical"] for r in out) == 1
+
+
+def test_dup_clusters_raises_on_exhausted_budget(spark):
+    """Exiting via max_iters with labels still moving must raise, not
+    silently return partially-propagated labels."""
+    import pytest
+
+    from axosyslog_spark.operators.dedup import dup_clusters
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id1 long, id2 long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+    with pytest.raises(RuntimeError, match="max_iters"):
+        dup_clusters(pairs, ids, max_iters=2)
 
 
 def test_gopher_repetition_signals(spark):
