@@ -867,33 +867,126 @@ def q_op_scl_checkpoint(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_op_rewrite_filter(spark: SparkSession, sf: str) -> DataFrame:
-    """Previously unit-only rewrite/filter family under the oracle:
-    set-pri/set-severity pri algebra (rewrite-set-pri.c /
-    -set-severity.c keep pri == facility*8+severity), fix-timezone
-    then set-timezone wall-clock reinterpretation chain
-    (rewrite-fix-timezone.c / -set-timezone.c, DST-aware via IANA
-    zones on both engines), glob program match (* and ? wildcards,
-    logmatcher LMF_GLOB), match() capture storage ($1..$n,
-    filter-re.c), and the level() range filter."""
+def q_op_scl_dnd(spark: SparkSession, sf: str) -> DataFrame:
+    """default-network-drivers() composition under the oracle
+    (scl/default-network-drivers/plugin.conf): four wire shapes
+    synthesized from events — a raw-topic checkpoint line, an EWMM
+    payload, a sudo message routed by app-parser(topic(syslog)), and
+    a plain RFC3164 line — flow through the raw-app / ewmm / app /
+    syslog branches; the oracle rebuilds every output (branch label,
+    parsed header fields, per-branch payload fields) arithmetically
+    from the generating columns."""
+    from axosyslog_spark.operators.scl import default_network_drivers
+
+    ev = _utc(spark).read.parquet(f"{sf}/events.parquet")
+    ss = F.lpad((F.col("event_id") % 60).cast("string"), 2, "0")
+    eid = F.col("event_id").cast("string")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string"))
+    m = F.col("event_id") % 4
+    line = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("<134>1 2024-06-15T10:11:"), ss, F.lit("Z gw"),
+                (F.col("user_id") % 20).cast("string"),
+                F.lit(" CheckPoint "), eid,
+                F.lit(' - [x:"0"; action:"'), F.col("event_type"),
+                F.lit('"; id:"'), eid, F.lit('"]'),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("<13>1 2024-06-15T10:11:"), ss, F.lit("Z "), host,
+                F.lit(' @syslog-ng 9 - - {"MESSAGE":"ev '),
+                F.col("event_type"), F.lit('","num":"'), eid,
+                F.lit('","._TAGS":".source.s_net"}'),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("<85>1 2024-06-15T10:11:"), ss, F.lit("Z "), host,
+                F.lit(" sudo - - - u"),
+                (F.col("user_id") % 50).cast("string"),
+                F.lit(" : TTY=pts/0 ; PWD=/srv ; USER=root ;"
+                      " COMMAND=/usr/bin/tool "), eid,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<30>Jun 15 10:11:"), ss, F.lit(" "), host,
+                F.lit(" cron["), eid, F.lit("]: job "),
+                F.col("event_type"), F.lit(" done"),
+            )
+        )
+    )
+    df = ev.select("event_id", line.alias("text"))
+    out = default_network_drivers(df)
+    return out.select(
+        "event_id", "path", "app",
+        "host",
+        F.coalesce("program", "appname").alias("prog"),
+        F.col("severity").cast("int").alias("severity"),
+        F.date_format("msg_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.element_at(F.col("`.checkpoint.kv`"), ".checkpoint.action").alias(
+            "cp_action"
+        ),
+        F.col("ewmm")["MESSAGE"].alias("ewmm_msg"),
+        F.col("ewmm")["num"].alias("ewmm_num"),
+        F.col("sudo_SUBJECT").alias("sudo_subject"),
+        F.col("sudo_COMMAND").alias("sudo_cmd"),
+        "body",
+    )
+
+
+def q_op_rewrite_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """The rewrite/filter family under ONE oracle slot (consolidated
+    from the former op_rewrite_filter + op_subst + op_tags gate
+    queries so every gate entry fits the driver's 50-row correctness
+    harness — each operator below still contributes hash-checked
+    output columns): set-pri/set-severity pri algebra
+    (rewrite-set-pri.c / -set-severity.c keep
+    pri == facility*8+severity), fix-timezone then set-timezone
+    wall-clock reinterpretation chain (rewrite-fix-timezone.c /
+    -set-timezone.c, DST-aware via IANA zones on both engines), glob
+    program match (* and ? wildcards, logmatcher LMF_GLOB), match()
+    capture storage ($1..$n, filter-re.c), the level() range filter,
+    subst() global + first-match-only variants (rewrite-subst.c,
+    reference default is non-global), and set-tag / clear-tag /
+    tags() (rewrite-set-tag.c set semantics: idempotent append;
+    filter-tags.c membership)."""
     from axosyslog_spark.operators import rewrite
     from axosyslog_spark.operators.filters import (
         glob_match,
+        has_tag,
         match_store_groups,
         severity_range,
     )
 
     ev = _utc(spark).read.parquet(f"{sf}/events.parquet")
+    tags0 = F.array(
+        F.concat(F.lit("t"), (F.col("event_id") % 4).cast("string")),
+        F.lit("all"),
+    )
     df = ev.select(
         "event_id", "user_id", "event_type", "ts",
         (F.col("event_id") % 8).cast("int").alias("severity"),
         (F.col("user_id") % 24).cast("int").alias("facility"),
+        tags0.alias("tags"),
+        F.col("event_type").alias("t_global"),
+        F.col("event_type").alias("t_first"),
     )
     df = rewrite.set_pri(df, F.col("event_id") % 192)
     df = rewrite.set_severity(df, F.col("user_id") % 8)
     df = rewrite.fix_timezone(df, "ts", "America/New_York")
     df = rewrite.set_timezone(df, "ts", "Asia/Tokyo")
     df = match_store_groups(df, r"^(err|cli)(.*)$", src_col="event_type", n_groups=2)
+    df = rewrite.subst(df, "[aeiou]", "_", value="t_global")
+    df = rewrite.subst(df, "[aeiou]", "#", value="t_first", global_=False)
+    df = rewrite.set_tag(df, "seen")
+    df = rewrite.set_tag(df, "all")   # present -> unchanged (set semantics)
+    df = rewrite.clear_tag(df, "t1")
     return df.select(
         "event_id", "pri", "severity", "facility",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
@@ -903,6 +996,11 @@ def q_op_rewrite_filter(spark: SparkSession, sf: str) -> DataFrame:
         F.col("__m1").alias("m1"),
         F.col("__m2").alias("m2"),
         F.col("__matched").alias("matched"),
+        "t_global",
+        "t_first",
+        F.array_join("tags", ",").alias("tags_str"),
+        has_tag("t2").alias("has_t2"),
+        has_tag("gone").alias("has_gone"),
     )
 
 
@@ -1198,13 +1296,15 @@ def q_doc_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The driver-checked gate. HARD CAP: the driver's correctness
+    harness records rows for at most the first 50 entries, so this
+    dict must stay <= 50 keys — every entry here gets a driver
+    CORRECTNESS row. Subsumed/prefix variants live in
+    extra_queries() below (still replica- and pytest-checked);
+    tests/test_entry_contract.py enforces the cap."""
     return {
-        "pipe_transcripts": q_pipe_transcripts,
-        "pipe_parse": q_pipe_parse,
-        "pipe_enrich": q_pipe_enrich,
         "pipe_routed": q_pipe_routed,
         "pipe_sink_counts": q_pipe_sink_counts,
-        "pipe_sink_histogram": q_pipe_sink_histogram,
         "pipe_grouping_by": q_pipe_grouping_by,
         "pipe_grouping_salted": q_pipe_grouping_salted,
         "pipe_sessionize": q_pipe_sessionize,
@@ -1214,7 +1314,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_group_lines": q_pipe_group_lines,
         "pipe_correlate": q_pipe_correlate,
         "pipe_format_output": q_pipe_format_output,
-        "pipe_patterndb": q_pipe_patterndb,
         "pipe_patterndb_xml": q_pipe_patterndb_xml,
         "pipe_pdb_actions": q_pipe_pdb_actions,
         "op_csv_parse": q_op_csv_parse,
@@ -1229,14 +1328,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_metrics_probe": q_op_metrics_probe,
         "op_template_funcs": q_op_template_funcs,
         "op_netmask_inlist": q_op_netmask_inlist,
-        "op_subst": q_op_subst,
         "op_cef_parse": q_op_cef_parse,
         "op_filterx_funcs": q_op_filterx_funcs,
         "op_scl_apache": q_op_scl_apache,
         "op_kmsg_parse": q_op_kmsg_parse,
         "op_scl_checkpoint": q_op_scl_checkpoint,
-        "op_rewrite_filter": q_op_rewrite_filter,
-        "op_tags": q_op_tags,
+        "op_scl_dnd": q_op_scl_dnd,
+        "op_rewrite_suite": q_op_rewrite_suite,
         "op_cc_mask": q_op_cc_mask,
         "op_snmptrapd": q_op_snmptrapd,
         "pipe_slog": q_pipe_slog,
@@ -1248,15 +1346,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_profile": q_doc_text_profile,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
-        "doc_minhash_bands": q_doc_minhash_bands,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_contamination": q_doc_contamination,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_gopher": q_doc_gopher,
-        "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_topk": q_emb_topk,
         "emb_near_dups": q_emb_near_dups,
-        "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
     }
 
@@ -1293,7 +1388,7 @@ def _patterndb_xml_oracle() -> str:
     )
 
 
-def oracle_sql() -> dict[str, str]:
+def _all_oracle_sql() -> dict[str, str]:
     P = oracle.pipeline_prefix()
     W = oracle.with_transcripts
     grouping_sql = W(
@@ -1764,7 +1859,48 @@ def oracle_sql() -> dict[str, str]:
                CAST(event_id AS VARCHAR) AS idv
         FROM events
         """,
-        "op_rewrite_filter": """
+        "op_scl_dnd": """
+        SELECT event_id,
+               CASE event_id % 4 WHEN 0 THEN 'raw-app' WHEN 1 THEN 'ewmm'
+                    WHEN 2 THEN 'app' ELSE 'syslog' END AS path,
+               CASE event_id % 4 WHEN 0 THEN 'checkpoint'
+                    WHEN 2 THEN 'sudo' END AS app,
+               CASE WHEN event_id % 4 = 0
+                    THEN 'gw' || CAST(user_id % 20 AS VARCHAR)
+                    ELSE 'h' || CAST(user_id % 20 AS VARCHAR) END AS host,
+               CASE event_id % 4 WHEN 0 THEN 'CheckPoint'
+                    WHEN 1 THEN '@syslog-ng' WHEN 2 THEN 'sudo'
+                    ELSE 'cron' END AS prog,
+               CASE event_id % 4 WHEN 0 THEN NULL WHEN 1 THEN 5
+                    WHEN 2 THEN 5 ELSE 6 END AS severity,
+               CASE WHEN event_id % 4 != 0
+                    THEN '2024-06-15 10:11:'
+                         || lpad(CAST(event_id % 60 AS VARCHAR), 2, '0')
+               END AS ts_str,
+               CASE WHEN event_id % 4 = 0 THEN event_type END AS cp_action,
+               CASE WHEN event_id % 4 = 1
+                    THEN 'ev ' || event_type END AS ewmm_msg,
+               CASE WHEN event_id % 4 = 1
+                    THEN CAST(event_id AS VARCHAR) END AS ewmm_num,
+               CASE WHEN event_id % 4 = 2
+                    THEN 'u' || CAST(user_id % 50 AS VARCHAR)
+               END AS sudo_subject,
+               CASE WHEN event_id % 4 = 2
+                    THEN '/usr/bin/tool ' || CAST(event_id AS VARCHAR)
+               END AS sudo_cmd,
+               CASE event_id % 4
+                    WHEN 1 THEN '{"MESSAGE":"ev ' || event_type || '","num":"'
+                                || CAST(event_id AS VARCHAR)
+                                || '","._TAGS":".source.s_net"}'
+                    WHEN 2 THEN 'u' || CAST(user_id % 50 AS VARCHAR)
+                                || ' : TTY=pts/0 ; PWD=/srv ; USER=root ;'
+                                || ' COMMAND=/usr/bin/tool '
+                                || CAST(event_id AS VARCHAR)
+                    WHEN 3 THEN 'job ' || event_type || ' done'
+               END AS body
+        FROM events
+        """,
+        "op_rewrite_suite": """
         SELECT event_id,
                CAST(((event_id % 192) // 8) * 8 + user_id % 8 AS INT) AS pri,
                CAST(user_id % 8 AS INT) AS severity,
@@ -1777,7 +1913,14 @@ def oracle_sql() -> dict[str, str]:
                (user_id % 8) BETWEEN 3 AND 5 AS sev_mid,
                regexp_extract(event_type, '^(err|cli)(.*)$', 1) AS m1,
                regexp_extract(event_type, '^(err|cli)(.*)$', 2) AS m2,
-               regexp_matches(event_type, '^(err|cli)(.*)$') AS matched
+               regexp_matches(event_type, '^(err|cli)(.*)$') AS matched,
+               regexp_replace(event_type, '[aeiou]', '_', 'g') AS t_global,
+               regexp_replace(event_type, '[aeiou]', '#') AS t_first,
+               CASE WHEN event_id % 4 = 1 THEN 'all,seen'
+                    ELSE 't' || CAST(event_id % 4 AS VARCHAR) || ',all,seen'
+               END AS tags_str,
+               event_id % 4 = 2 AS has_t2,
+               FALSE AS has_gone
         FROM events
         """,
         "op_tags": """
@@ -1942,3 +2085,40 @@ def oracle_sql() -> dict[str, str]:
         # doc_simhash_pairs, emb_lsh_topk: intentionally no oracle
         # (non-SQL-expressible; rows-only check)
     }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Queries NOT exposed to the driver's 50-entry correctness
+    harness: strict stage-prefixes of a gate query (pipe_transcripts/
+    parse/enrich are prefixes of pipe_routed's plan; doc_minhash_bands
+    of doc_minhash_pairs; pipe_patterndb's flat classify feeds
+    pipe_patterndb_xml, with tree==flat unit-proven), single-operator
+    variants now folded into op_rewrite_suite, a second aggregate over
+    the routed frame (pipe_sink_histogram — pipe_sink_counts covers
+    the per-sink fan-out), and the declared rows-only ANN/simhash
+    variants. tools/check_oracle.py and tests/test_entry_contract.py
+    still run every one of these against its oracle."""
+    return {
+        "pipe_transcripts": q_pipe_transcripts,
+        "pipe_parse": q_pipe_parse,
+        "pipe_enrich": q_pipe_enrich,
+        "pipe_sink_histogram": q_pipe_sink_histogram,
+        "pipe_patterndb": q_pipe_patterndb,
+        "op_subst": q_op_subst,
+        "op_tags": q_op_tags,
+        "doc_minhash_bands": q_doc_minhash_bands,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
+        "emb_lsh_topk": q_emb_lsh_topk,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    """Oracles for exactly the driver-checked gate in queries()."""
+    gate = set(queries())
+    return {k: v for k, v in _all_oracle_sql().items() if k in gate}
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """Oracles for the extra (non-driver) queries."""
+    extra = set(extra_queries())
+    return {k: v for k, v in _all_oracle_sql().items() if k in extra}

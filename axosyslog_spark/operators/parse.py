@@ -99,7 +99,16 @@ def parse_header(df: DataFrame, text_col: str = "text") -> DataFrame:
             "host": F.when(kind == "syslog", g(4)),
             "appname": F.when(kind == "syslog", g(5)),
             "procid": F.when(kind == "syslog", g(6)),
-            "msg_ts": F.when(kind == "syslog", F.to_timestamp(g(3), TS_FMT_SPARK)),
+            # RFC5424 TIMESTAMP carries a zone designator (Z or
+            # +hh:mm); the transcripts generator emits naked stamps —
+            # accept both (try_ so neither aborts the row)
+            "msg_ts": F.when(
+                kind == "syslog",
+                F.coalesce(
+                    F.try_to_timestamp(g(3), F.lit(TS_FMT_SPARK + "XXX")),
+                    F.try_to_timestamp(g(3), F.lit(TS_FMT_SPARK)),
+                ),
+            ),
             "body": F.when(kind == "syslog", g(9)).otherwise(text),
             "tags": F.when(kind != "free", F.array(kind)).otherwise(
                 F.array(F.lit("unparsed"))

@@ -79,6 +79,36 @@ def set_severity(df: DataFrame, severity: Column | int) -> DataFrame:
     )
 
 
+# syslog-names.c sl_severities: every textual alias, case-insensitive
+_SEVERITY_ALIASES: dict[str, int] = {
+    "emerg": 0, "emergency": 0, "panic": 0, "alert": 1,
+    "crit": 2, "critical": 2, "err": 3, "error": 3,
+    "warning": 4, "warn": 4, "notice": 5,
+    "info": 6, "informational": 6, "debug": 7,
+}
+
+
+def severity_by_name(name: Column) -> Column:
+    """Textual-or-numeric severity resolution used by set-severity()
+    (rewrite-set-severity.c _convert_severity): a 0..7 numeric string,
+    else a case-insensitive alias from syslog-names.c sl_severities.
+    NULL when neither resolves — callers keep the previous severity
+    then (the reference logs a debug message and leaves the message
+    unchanged)."""
+    alias_map = F.create_map(
+        *[
+            F.lit(x)
+            for k, v in _SEVERITY_ALIASES.items()
+            for x in (k, v)
+        ]
+    )
+    num = F.trim(name).try_cast("int")
+    return F.coalesce(
+        F.when((num >= 0) & (num <= 7), num),
+        F.element_at(alias_map, F.lower(F.trim(name))),
+    ).cast("int")
+
+
 def set_facility(df: DataFrame, facility: Column | int) -> DataFrame:
     """set-facility() — rewrite-set-facility.c."""
     fac = facility if isinstance(facility, Column) else F.lit(facility)

@@ -19,6 +19,12 @@ one DataFrame projection stage:
     THREAT / SYSTEM / CONFIG positional schemas)
   - app_parser               — lib/appmodel app-parser() analog:
     ordered (name, filter, parser) table, first-match-wins routing
+  - pihole_ftl_parser        — scl/pihole/pihole.conf
+  - collectd_putval          — scl/collectd/plugin.conf (PUTVAL body)
+  - splunk_hec_event         — scl/splunk/splunk.conf (HEC event JSON)
+  - mbox_source              — scl/mbox/mbox.conf ('^From ' framing)
+  - default_network_drivers  — scl/default-network-drivers/plugin.conf
+    (the raw-app / syslog / ewmm / app-parser composition)
 
 Everything is column algebra; `drop-invalid` behaviors surface as an
 `*_ok` boolean so routing can keep the reference's path semantics.
@@ -647,3 +653,262 @@ def netskope_app_filter(message: Column) -> Column:
     return message.startswith("<134>{") & message.contains(
         "_insertion_epoch_timestamp"
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch: pihole, collectd, splunk-hec, mbox, default-network-drivers
+# ---------------------------------------------------------------------------
+
+# scl/pihole/pihole.conf pihole_ftl(): "[TS PID] LEVEL: MESSAGE"
+_PIHOLE_RE = (
+    r"^\[([^ ]+ [^ ]+) [^ \]]+\] "
+    r"(?:(FATAL|ERR|ERROR|Error|WARN|WARNING|Warning|Notice|INFO|DEBUG):|) ?(.*)"
+)
+
+
+def pihole_ftl_parser(df: DataFrame, src_col: str = "text") -> DataFrame:
+    """scl/pihole/pihole.conf pihole_ftl(): regexp-parser over the
+    FTL.log line shape, date-parser('%Y-%m-%d %H:%M:%S.%f') on $1,
+    PROGRAM pinned to 'Pi-hole', set-severity($2) only when $2 is
+    non-empty (condition(... ne "")) — and only when the word resolves
+    in the syslog-names alias table (FATAL does not; the reference's
+    set-severity leaves the message unchanged then). Non-matching
+    lines keep their text as MESSAGE with pihole_ok = false.
+
+    Defaults a no-parse file source's pri 13 (facility user,
+    severity notice) when the frame carries no severity/facility."""
+    from axosyslog_spark.operators.rewrite import severity_by_name
+
+    src = F.col(src_col)
+    m = src.rlike(_PIHOLE_RE)
+
+    def g(i: int) -> Column:
+        return F.regexp_extract(src, _PIHOLE_RE, i)
+
+    if "severity" not in df.columns:
+        df = df.withColumn("severity", F.lit(5).cast("int"))
+    if "facility" not in df.columns:
+        df = df.withColumn("facility", F.lit(1).cast("int"))
+    sev_word = F.when(m, F.nullif(g(2), F.lit("")))
+    new_sev = F.coalesce(severity_by_name(sev_word), F.col("severity"))
+    return df.withColumns(
+        {
+            "pihole_ok": m,
+            # %f is 1-6 fraction digits; FTL writes milliseconds
+            "msg_ts": F.when(
+                m,
+                F.coalesce(
+                    F.try_to_timestamp(
+                        g(1), F.lit("yyyy-MM-dd HH:mm:ss.SSS")
+                    ),
+                    F.try_to_timestamp(
+                        g(1), F.lit("yyyy-MM-dd HH:mm:ss.SSSSSS")
+                    ),
+                ),
+            ),
+            "program": F.lit("Pi-hole"),
+            "severity": new_sev,
+            "pri": (F.col("facility") * 8 + new_sev).cast("int"),
+            "message": F.when(m, g(3)).otherwise(src),
+        }
+    )
+
+
+def collectd_putval(
+    host: Column,
+    plugin: Column | str,
+    type_: Column | str,
+    unixtime: Column,
+    values: Column | str = "U",
+    plugin_instance: Column | str | None = None,
+    type_instance: Column | str | None = None,
+    interval: int | None = 60,
+) -> Column:
+    """scl/collectd/plugin.conf collectd() destination body: the
+    PUTVAL plain-text-protocol line
+    ``PUTVAL host/plugin[-inst]/type[-inst] interval=N <ts>:<values>``
+    with the optional segments dropped when their value is empty
+    (the block's $(if ...) template calls)."""
+    as_col = lambda v: v if isinstance(v, Column) else F.lit(v)  # noqa: E731
+
+    def seg(base: Column | str, inst: Column | str | None) -> Column:
+        b = as_col(base)
+        if inst is None:
+            return b
+        i = as_col(inst)
+        return F.concat(
+            b,
+            F.when(
+                F.coalesce(i, F.lit("")) == "", F.lit("")
+            ).otherwise(F.concat(F.lit("-"), i)),
+        )
+
+    ival = (
+        F.lit(f" interval={interval}") if interval is not None else F.lit("")
+    )
+    return F.concat(
+        F.lit("PUTVAL "), host, F.lit("/"),
+        seg(plugin, plugin_instance), F.lit("/"),
+        seg(type_, type_instance),
+        ival, F.lit(" "),
+        unixtime.cast("bigint").cast("string"), F.lit(":"), as_col(values),
+    )
+
+
+def splunk_hec_event(
+    event: Column,
+    host: Column,
+    ts: Column,
+    index: Column | str | None = None,
+    source: Column | str | None = None,
+    sourcetype: Column | str | None = None,
+    fields: Column | None = None,
+) -> Column:
+    """scl/splunk/splunk.conf splunk_hec_event(): the HEC event-API
+    JSON body — $(format-json --scope none --omit-empty-values
+    index= source= sourcetype= host= time= event= fields=...).
+    ``time`` renders as the reference's ${S_UNIXTIME}.${S_MSEC};
+    empty-string/NULL fields are omitted (--omit-empty-values);
+    ``fields`` (the indexed-fields map) nests as a flat JSON object
+    ($(format-flat-json)). Typed struct + to_json keeps field order
+    and omits NULLs JVM-side."""
+    as_col = lambda v: v if isinstance(v, Column) else F.lit(v)  # noqa: E731
+    s = lambda c: F.nullif(as_col(c).cast("string"), F.lit(""))  # noqa: E731
+    time_str = F.concat(
+        F.unix_timestamp(ts).cast("string"), F.lit("."),
+        F.date_format(ts, "SSS"),
+    )
+    parts: list[Column] = [
+        s(index).alias("index") if index is not None
+        else F.lit(None).cast("string").alias("index"),
+        s(source).alias("source") if source is not None
+        else F.lit(None).cast("string").alias("source"),
+        s(sourcetype).alias("sourcetype") if sourcetype is not None
+        else F.lit(None).cast("string").alias("sourcetype"),
+        s(host).alias("host"),
+        time_str.alias("time"),
+        event.cast("string").alias("event"),
+    ]
+    if fields is not None:
+        parts.append(fields.alias("fields"))
+    return F.to_json(F.struct(*parts), {"ignoreNullFields": "true"})
+
+
+def mbox_source(
+    df: DataFrame,
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """scl/mbox/mbox.conf mbox(): a file source whose only semantic is
+    framing — multi-line-mode(prefix-suffix) with
+    multi-line-prefix('^From ') joins every mail (the 'From ' mbox
+    separator line plus its continuation lines) into ONE message; no
+    field parsing happens in the block (flags(no-parse))."""
+    from axosyslog_spark.operators import multiline
+
+    return multiline.regexp_prefix(
+        df, r"^From ", key=key, order=order, text_col=text_col
+    )
+
+
+def default_network_drivers(
+    df: DataFrame,
+    text_col: str = "text",
+    raw_apps: list[tuple[str, Column, Callable[[DataFrame], DataFrame]]]
+    | None = None,
+    syslog_apps: list[tuple[str, Column, Callable[[DataFrame], DataFrame]]]
+    | None = None,
+    year: int | None = 2024,
+) -> DataFrame:
+    """scl/default-network-drivers/plugin.conf — the flagship
+    "just parse my syslog" composition (first channel, the tcp/udp 514
+    path, which is the batch-meaningful one; the 601/6514 channel is
+    the same graph minus the raw-topic branch):
+
+      1. app-parser(topic(syslog-raw)): ordered application table over
+         the RAW line; a match short-circuits everything else
+         (path='raw-app').
+      2. otherwise syslog-parser: RFC5424 when the line leads with
+         '<PRI>VERSION ', else the RFC3164/BSD branch (which itself
+         passes unparseable lines through as the body, the reference's
+         empty else {} branch; path='syslog').
+      3. on the parsed rows: ewmm-parser() when PROGRAM is
+         '@syslog-ng' (path='ewmm'), elif app-parser(topic(syslog))
+         over the parsed header (path='app').
+
+    Defaults wire in the adapters this module ships for each topic:
+    checkpoint (syslog-raw), sudo + iptables (syslog). Branches
+    re-unite with unionByName(allowMissingColumns) — the CoW fan-out
+    analog; `app` carries the matched application, `path` the branch.
+    """
+    from axosyslog_spark.operators.parse import parse_header, parse_rfc3164
+
+    text = F.col(text_col)
+    if raw_apps is None:
+        raw_apps = [
+            ("checkpoint", checkpoint_app_filter(text), checkpoint_parser)
+        ]
+
+    sel = F.lit(None).cast("string")
+    for name, cond, _ in reversed(raw_apps):
+        sel = F.when(cond, F.lit(name)).otherwise(sel)
+    tagged = df.withColumn("app", sel)
+    branches: list[DataFrame] = [
+        parser(tagged.filter(F.col("app") == name)).withColumn(
+            "path", F.lit("raw-app")
+        )
+        for name, _, parser in raw_apps
+    ]
+
+    rest = tagged.filter(F.col("app").isNull())
+    lead5424 = text.rlike(r"^<[0-9]{1,3}>[0-9] ")
+    p5 = parse_header(rest.filter(lead5424), text_col)
+    p3 = parse_rfc3164(rest.filter(~lead5424), text_col, year=year)
+    parsed = p5.unionByName(p3, allowMissingColumns=True)
+
+    if syslog_apps is None:
+        syslog_apps = [
+            (
+                "sudo",
+                F.col("appname") == "sudo",
+                lambda d: sudo_parser(d, src_col="body"),
+            ),
+            (
+                "iptables",
+                iptables_app_filter(
+                    F.col("facility"), F.col("appname"), F.col("body")
+                ),
+                lambda d: iptables_parser(d, src_col="body"),
+            ),
+        ]
+
+    is_ewmm = F.col("appname") == "@syslog-ng"
+    branches.append(
+        ewmm_parser(
+            parsed.filter(is_ewmm), src_col="body", program_col=None
+        ).withColumn("path", F.lit("ewmm"))
+    )
+    after_ewmm = parsed.filter(
+        ~F.coalesce(is_ewmm, F.lit(False))
+    )
+    sel2 = F.lit(None).cast("string")
+    for name, cond, _ in reversed(syslog_apps):
+        sel2 = F.when(cond, F.lit(name)).otherwise(sel2)
+    tagged2 = after_ewmm.withColumn("app", sel2)
+    for name, _, parser in syslog_apps:
+        branches.append(
+            parser(tagged2.filter(F.col("app") == name)).withColumn(
+                "path", F.lit("app")
+            )
+        )
+    branches.append(
+        tagged2.filter(F.col("app").isNull()).withColumn(
+            "path", F.lit("syslog")
+        )
+    )
+
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b, allowMissingColumns=True)
+    return out

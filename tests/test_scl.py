@@ -425,3 +425,143 @@ def test_netskope_parser_and_filter(spark):
     assert out[0][".netskope._insertion_epoch_timestamp"] == "1716200000"
     kept = df.filter(scl.netskope_app_filter(F.col("text"))).collect()
     assert [r["id"] for r in kept] == [0]
+
+
+def test_pihole_ftl_parser(spark):
+    """pihole_ftl() goldens (scl/pihole/pihole.conf): date-parser on
+    $1, PROGRAM='Pi-hole', set-severity($2) only when present AND
+    resolvable (FATAL is not a syslog-names alias -> unchanged)."""
+    df = spark.createDataFrame(
+        [
+            (0, "[2024-06-01 10:00:00.123 12345M] ERR: DNS failure"),
+            (1, "[2024-06-01 10:00:01.500 12345M] FATAL: no database"),
+            (2, "[2024-06-01 10:00:02.000 12345M] plain info line"),
+            (3, "not an FTL line"),
+        ],
+        "id int, text string",
+    )
+    out = {r["id"]: r.asDict() for r in scl.pihole_ftl_parser(df).collect()}
+    assert out[0]["pihole_ok"] and out[0]["severity"] == 3
+    assert out[0]["message"] == "DNS failure"
+    assert out[0]["msg_ts"] == dt.datetime(2024, 6, 1, 10, 0, 0, 123000)
+    assert out[0]["program"] == "Pi-hole"
+    assert out[0]["pri"] == 8 + 3
+    # FATAL: not in sl_severities -> severity stays at the default 5
+    assert out[1]["pihole_ok"] and out[1]["severity"] == 5
+    assert out[1]["message"] == "no database"
+    # no level word: severity unchanged, message = remainder
+    assert out[2]["severity"] == 5 and out[2]["message"] == "plain info line"
+    # non-matching line: ok=false, text passes through as MESSAGE
+    assert not out[3]["pihole_ok"] and out[3]["message"] == "not an FTL line"
+
+
+def test_collectd_putval(spark):
+    """collectd() PUTVAL template (scl/collectd/plugin.conf): optional
+    -instance segments dropped when empty, interval gating, ts:values
+    tail."""
+    df = spark.createDataFrame(
+        [("web1", "cpu", "0", "percent", "user", 1716200000, "42.5")],
+        "host string, plugin string, pinst string, type string,"
+        " tinst string, ut long, v string",
+    )
+    full = scl.collectd_putval(
+        F.col("host"), F.col("plugin"), F.col("type"), F.col("ut"),
+        values=F.col("v"), plugin_instance=F.col("pinst"),
+        type_instance=F.col("tinst"),
+    )
+    bare = scl.collectd_putval(
+        F.col("host"), F.lit("load"), F.lit("load"), F.col("ut"),
+        plugin_instance=F.lit(""), interval=None,
+    )
+    r = df.select(full.alias("a"), bare.alias("b")).first()
+    assert r["a"] == "PUTVAL web1/cpu-0/percent-user interval=60 1716200000:42.5"
+    assert r["b"] == "PUTVAL web1/load/load 1716200000:U"
+
+
+def test_splunk_hec_event(spark):
+    """splunk_hec_event() HEC body (scl/splunk/splunk.conf):
+    omit-empty-values, S_UNIXTIME.S_MSEC time, nested flat fields."""
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 5, 1, 10, 0, 1, 250000), "h1", "msg body")],
+        "ts timestamp, host string, msg string",
+    )
+    j = scl.splunk_hec_event(
+        F.col("msg"), F.col("host"), F.col("ts"),
+        index=F.lit("main"), source=F.lit(""),
+        fields=F.create_map(F.lit("env"), F.lit("prod")),
+    )
+    out = df.select(j.alias("j")).first()["j"]
+    import json
+
+    d = json.loads(out)
+    assert d["index"] == "main"
+    assert "source" not in d           # empty -> omitted
+    assert "sourcetype" not in d       # never passed -> omitted
+    assert d["host"] == "h1"
+    assert d["time"] == "1714557601.250"
+    assert d["event"] == "msg body"
+    assert d["fields"] == {"env": "prod"}
+
+
+def test_mbox_source(spark):
+    """mbox framing (scl/mbox/mbox.conf): '^From ' starts a new mail,
+    everything else continues it."""
+    lines = [
+        (1, "From alice@example.com Sat Jun  1 10:00:00 2024"),
+        (2, "Subject: hi"),
+        (3, ""),
+        (4, "body line"),
+        (5, "From bob@example.com Sat Jun  1 11:00:00 2024"),
+        (6, "Subject: re: hi"),
+    ]
+    df = spark.createDataFrame(
+        [("f", i, t) for i, t in lines], "conv_id string, turn_idx int, text string"
+    )
+    out = sorted(
+        scl.mbox_source(df).collect(), key=lambda r: r["turn_idx"]
+    )
+    assert len(out) == 2
+    assert out[0]["n_lines"] == 4
+    assert out[0]["assembled"].startswith("From alice@")
+    assert "body line" in out[0]["assembled"]
+    assert out[1]["n_lines"] == 2
+    assert out[1]["assembled"].startswith("From bob@")
+
+
+def test_default_network_drivers_composition(spark):
+    """The four-way routing of scl/default-network-drivers: raw-topic
+    app (checkpoint), ewmm, syslog-topic app (sudo), and the plain
+    syslog fallthroughs (5424 + BSD + free)."""
+    rows = [
+        # checkpoint raw (topic syslog-raw)
+        (0, '<134>1 2024-06-15T10:11:05Z gw1 CheckPoint 77 - '
+            '[x:"0"; action:"accept"]'),
+        # ewmm: 5424 header with PROGRAM @syslog-ng + JSON payload
+        (1, '<13>1 2024-06-15T10:11:06Z h2 @syslog-ng 9 - - '
+            '{"MESSAGE":"hello","num":"7","._TAGS":".source.s_net"}'),
+        # sudo via app-parser(topic(syslog))
+        (2, '<85>1 2024-06-15T10:11:07Z h3 sudo - - - alice : TTY=pts/0 ; '
+            'PWD=/home ; USER=root ; COMMAND=/bin/ls'),
+        # plain RFC5424
+        (3, "<34>1 2024-06-15T10:11:08Z h4 app 1 - - plain structured"),
+        # BSD / RFC3164
+        (4, "<30>Jun 15 10:11:09 h5 cron[11]: job done"),
+        # free text
+        (5, "not syslog at all"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r["id"]: r.asDict() for r in scl.default_network_drivers(df).collect()}
+    assert len(out) == 6
+    assert out[0]["path"] == "raw-app" and out[0]["app"] == "checkpoint"
+    assert out[0][".checkpoint.kv"][".checkpoint.action"] == "accept"
+    assert out[1]["path"] == "ewmm"
+    assert out[1]["ewmm"]["MESSAGE"] == "hello"
+    assert out[1]["tags"] == [".source.s_net"]
+    assert out[2]["path"] == "app" and out[2]["app"] == "sudo"
+    assert out[2]["sudo_COMMAND"] == "/bin/ls"
+    assert out[2]["sudo_SUBJECT"] == "alice"
+    assert out[3]["path"] == "syslog" and out[3]["host"] == "h4"
+    assert out[3]["body"] == "plain structured"
+    assert out[4]["path"] == "syslog" and out[4]["host"] == "h5"
+    assert out[4]["appname"] == "cron" and out[4]["body"] == "job done"
+    assert out[5]["path"] == "syslog" and out[5]["body"] == "not syslog at all"

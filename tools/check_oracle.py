@@ -50,7 +50,10 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    # gate queries (what the driver checks) + the extra non-driver
+    # queries — the local replica verifies BOTH sets
+    qs = {**entrymod.queries(), **entrymod.extra_queries()}
+    osql = {**entrymod.oracle_sql(), **entrymod.extra_oracle_sql()}
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
