@@ -113,11 +113,27 @@ _LEAF_ID_BASE = 0x10
 
 
 def _strip_framing_bytes(text: Column) -> Column:
-    """Enforce the in-band framing contract (module docstring): one
+    """Enforce the in-band framing contract (module docstring):
     JVM-side translate removing \\x01-\\x04 before the text meets the
     framed classify/extract. Without this a literal \\x02 in hostile
-    input would silently yield a wrong rule_id/field values."""
-    return F.translate(text, _BLOCK_SEP + _MARK + _HIT + _FIELD_SEP, "")
+    input would silently yield a wrong rule_id/field values.
+
+    The translate is gated behind four contains() probes so clean
+    text (the overwhelmingly common case — syslog payloads never
+    carry control bytes) pays scan-only cost, no string rebuild:
+    measured 0.75 s vs 2.50 s unconditional translate per 5M clean
+    rows (an rlike char-class guard measures WORSE than no guard,
+    4.7 s). Callers materialize the result once per row (apply()'s
+    __pdb_txt column), so the guard itself isn't re-evaluated per
+    dispatch-tree node."""
+    bad = _BLOCK_SEP + _MARK + _HIT + _FIELD_SEP
+    dirty = (
+        text.contains(_BLOCK_SEP)
+        | text.contains(_MARK)
+        | text.contains(_HIT)
+        | text.contains(_FIELD_SEP)
+    )
+    return F.when(dirty, F.translate(text, bad, "")).otherwise(text)
 
 
 # back-compat name (round-1/2 API used \x01 as the group joiner)
