@@ -359,3 +359,116 @@ def test_rated_action_first_n_per_bucket(spark):
         (4, "burst e"),
         (5, "burst f"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# pdbtool merge (pdbtool.c:259-320) — combine per-program pdb files
+
+
+_PDB_A = """<patterndb version='6' pub_date='2024-01-01'>
+  <ruleset name='app-a' id='rs-a'>
+    <patterns><pattern>appa</pattern></patterns>
+    <rules>
+      <rule id='r-a1' class='system' provider='t'>
+        <patterns><pattern>alpha @NUMBER:n@</pattern></patterns>
+      </rule>
+    </rules>
+  </ruleset>
+</patterndb>
+"""
+
+_PDB_B = """<patterndb version='5' pub_date='2024-02-02'>
+  <ruleset name='app-b' id='rs-b'>
+    <patterns><pattern>appb</pattern></patterns>
+    <rules>
+      <rule id='r-b1' class='security' provider='t'>
+        <patterns><pattern>beta @ESTRING:w: @done</pattern></patterns>
+      </rule>
+    </rules>
+  </ruleset>
+</patterndb>
+"""
+
+# v1 layout: <program> instead of <ruleset>, bare <pattern>/<url> in rules
+_PDB_V1 = """<patterndb version='1'>
+  <program name='app-c' id='rs-c'>
+    <pattern>appc</pattern>
+    <rule id='r-c1' class='system' provider='t'>
+      <pattern>gamma @NUMBER:g@</pattern>
+      <url>http://example.com/kb/1</url>
+    </rule>
+  </program>
+</patterndb>
+"""
+
+
+def _write(tmp_path, rel, content):
+    p = tmp_path / rel
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(content)
+    return str(p)
+
+
+def test_merge_roundtrip_equals_loading_parts(tmp_path):
+    # merge then load == loading each source document
+    from tools.pdbtool import merge_pdb_dir
+
+    _write(tmp_path, "a.pdb", _PDB_A)
+    _write(tmp_path, "b.pdb", _PDB_B)
+    merged = merge_pdb_dir(str(tmp_path), sort=True, pub_date="2025-01-01")
+    got = load_pdb_xml(merged)
+    parts = load_pdb_xml(_PDB_A) + load_pdb_xml(_PDB_B)
+    assert [rs.name for rs in got] == [rs.name for rs in parts]
+    for g, p in zip(got, parts):
+        assert g.ruleset_id == p.ruleset_id
+        assert g.programs == p.programs
+        assert [r.rule_id for r in g.rules] == [r.rule_id for r in p.rules]
+        assert [r.patterns for r in g.rules] == [r.patterns for r in p.rules]
+    # merged document is stamped v6 with the requested pub_date
+    assert '<patterndb version="6" pub_date="2025-01-01">' in merged
+
+
+def test_merge_upconverts_v1_program_layout(tmp_path):
+    from tools.pdbtool import merge_pdb_dir
+
+    _write(tmp_path, "c.pdb", _PDB_V1)
+    got = load_pdb_xml(merge_pdb_dir(str(tmp_path), pub_date="2025-01-01"))
+    assert [rs.name for rs in got] == ["app-c"]
+    assert got[0].programs == ("appc",)
+    assert [r.rule_id for r in got[0].rules] == ["r-c1"]
+    assert got[0].rules[0].patterns == ("gamma @NUMBER:g@",)
+
+
+def test_merge_glob_and_recursion(tmp_path):
+    from tools.pdbtool import merge_pdb_dir
+
+    _write(tmp_path, "a.pdb", _PDB_A)
+    _write(tmp_path, "sub/b.pdb", _PDB_B)
+    # non-recursive: subdirectory skipped (pdb-file.c:183)
+    names = [rs.name for rs in load_pdb_xml(
+        merge_pdb_dir(str(tmp_path), pub_date="2025-01-01"))]
+    assert names == ["app-a"]
+    # recursive + glob on the full path (g_pattern_match_simple)
+    names = [rs.name for rs in load_pdb_xml(merge_pdb_dir(
+        str(tmp_path), recursive=True, glob="*b.pdb", pub_date="2025-01-01"))]
+    assert names == ["app-b"]
+
+
+def test_merge_sort_is_depth_then_name(tmp_path):
+    # pdbtool_path_compare: shallower paths first, then strcmp
+    from tools.pdbtool import _merge_sort_key
+
+    paths = ["d/sub/x.pdb", "d/a.pdb", "a/z.pdb", "top.pdb"]
+    assert sorted(paths, key=_merge_sort_key) == [
+        "top.pdb", "a/z.pdb", "d/a.pdb", "d/sub/x.pdb"]
+
+
+def test_merge_cli_writes_file(tmp_path, capsys):
+    import tools.pdbtool as pt
+
+    _write(tmp_path, "a.pdb", _PDB_A)
+    out = tmp_path / "merged.pdb"
+    rc = pt.main(["merge", "-D", str(tmp_path / ""), "-p", str(out),
+                  "--pub-date", "2025-01-01"])
+    assert rc == 0
+    assert load_pdb_xml(str(out))[0].name == "app-a"

@@ -127,6 +127,101 @@ def cmd_patternize(args) -> int:
     return 0
 
 
+def _merge_sort_key(path: str):
+    """pdbtool's merge --sort order (pdb-file.c:213-242
+    pdbtool_path_compare): shallower paths first, then strcmp."""
+    return (path.count("/"), path)
+
+
+def _collect_pdb_filenames(dir_path, recursive=False, glob=None):
+    """pdb_get_filenames (pdb-file.c:170-211): regular files in dir,
+    descending into subdirectories only when recursive, filtered by a
+    shell glob matched against the FULL path (g_pattern_match_simple)."""
+    import fnmatch
+
+    names = []
+    for entry in sorted(os.listdir(dir_path)):
+        full = os.path.join(dir_path, entry)
+        if os.path.isdir(full):
+            if recursive:
+                names.extend(_collect_pdb_filenames(full, recursive, glob))
+        elif os.path.isfile(full):
+            if glob is None or fnmatch.fnmatchcase(full, glob):
+                names.append(full)
+    return names
+
+
+def merge_pdb_dir(dir_path, recursive=False, glob=None, sort=False,
+                  pub_date=None) -> str:
+    """pdbtool merge analog (pdbtool.c:259-320 pdbtool_merge +
+    pdbtool_merge_parser): concatenate every pdb file under dir_path
+    into one <patterndb version='6'> document, stripping each file's
+    own <patterndb> wrapper and up-converting v1 documents on the fly
+    (<program> -> <ruleset>, in-rule bare <pattern>/<url> wrapped in
+    <patterns>/<urls>, pdbtool.c:96-154). Returns the merged XML as a
+    string; `pub_date` overrides today's date for reproducible output
+    (the reference stamps time(NULL))."""
+    import datetime
+    import xml.etree.ElementTree as ET
+
+    if pub_date is None:
+        pub_date = datetime.date.today().isoformat()
+
+    filenames = _collect_pdb_filenames(dir_path, recursive, glob)
+    if sort:
+        filenames.sort(key=_merge_sort_key)
+
+    merged = ET.Element("patterndb", {"version": "6", "pub_date": pub_date})
+    for fn in filenames:
+        root = ET.parse(fn).getroot()
+        if root.tag != "patterndb":
+            raise ValueError(f"{fn}: expected <patterndb> root, got <{root.tag}>")
+        version = int(root.get("version", "4") or "4")
+        for child in root:
+            if version == 1 and child.tag == "program":
+                child.tag = "ruleset"
+                bare_rules = [el for el in list(child) if el.tag == "rule"]
+                if bare_rules:
+                    # v1 keeps rules as direct <program> children; v6
+                    # requires a <rules> wrapper (the reference's SAX
+                    # loader tolerates both, ours is strict v2+ shape)
+                    wrap = ET.Element("rules")
+                    for el in bare_rules:
+                        child.remove(el)
+                        wrap.append(el)
+                    child.append(wrap)
+                for rule in child.iter("rule"):
+                    pats = [el for el in list(rule) if el.tag == "pattern"]
+                    urls = [el for el in list(rule) if el.tag == "url"]
+                    if pats:
+                        wrap = ET.Element("patterns")
+                        for el in pats:
+                            rule.remove(el)
+                            wrap.append(el)
+                        rule.insert(0, wrap)
+                    if urls:
+                        wrap = ET.Element("urls")
+                        for el in urls:
+                            rule.remove(el)
+                            wrap.append(el)
+                        rule.append(wrap)
+            merged.append(child)
+
+    body = ET.tostring(merged, encoding="unicode")
+    return "<?xml version='1.0' encoding='UTF-8'?>\n" + body + "\n"
+
+
+def cmd_merge(args) -> int:
+    merged = merge_pdb_dir(
+        args.pdb_dir, recursive=args.recursive, glob=args.glob,
+        sort=args.sort, pub_date=args.pub_date,
+    )
+    with open(args.pd, "w", encoding="utf-8") as f:
+        f.write(merged)
+    print(f"merged -> {args.pd}")
+    return 0
+
+
 def cmd_dump(args) -> int:
     """pdbtool dump analog (pdbtool.c pdbtool_walk_tree): the reference
     prints the radix trie; this engine's equivalent structures are the
@@ -197,9 +292,21 @@ def main(argv=None) -> int:
     z.add_argument("--delimiters", "-d", default=None)
     z.add_argument("--samples", type=int, default=3)
     z.add_argument("--iterate-outliers", action="store_true")
+    g = sub.add_parser(
+        "merge", help="combine a directory of pdb files into one ruleset"
+    )
+    g.add_argument("--pdb-dir", "-D", required=True)
+    g.add_argument("--pd", "-p", required=True, help="output patterndb file")
+    g.add_argument("--recursive", "-r", action="store_true")
+    g.add_argument("--glob", "-G", default=None)
+    g.add_argument("--sort", "-s", action="store_true")
+    g.add_argument("--pub-date", default=None,
+                   help="override pub_date (default: today)")
     args = p.parse_args(argv)
     if args.cmd == "patternize":
         return cmd_patternize(args)
+    if args.cmd == "merge":
+        return cmd_merge(args)
     if args.cmd == "dump":
         return cmd_dump(args)
     return cmd_test(args) if args.cmd == "test" else cmd_match(args)
