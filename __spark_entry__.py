@@ -476,7 +476,9 @@ def q_op_template_compile(spark: SparkSession, sf: str) -> DataFrame:
         "<${PRI}> ${HOST:-nohost}/$(uppercase ${PROGRAM:-na}) "
         "sev+100=$(+ ${SEVERITY_NUM} 100) $$literal "
         "head=$(substr ${MSG} 0 12) sha=$(sha256 --length 8 ${MSG}) "
-        "st=$(or ${status} unknown) $(if (\"${status}\" == \"error\") BAD OK)"
+        "st=$(or ${status} unknown) $(if (\"${status}\" == \"error\") BAD OK) "
+        "bin=$(binary 0x2D 0x62 0x2D) "
+        "fj=$(format-flat-json z.h=${HOST:-nohost} a.p=${PROGRAM:-na})"
     )
     return p.select(
         "conv_id", "turn_idx", compile_template(tmpl, ctx).alias("rendered")
@@ -1591,7 +1593,10 @@ def _all_oracle_sql() -> dict[str, str]:
                || ' sha=' || substr(sha256(body), 1, 8)
                || ' st=' || coalesce(nullif(coalesce(status, ''), ''), 'unknown')
                || ' ' || CASE WHEN coalesce(status, '') = 'error'
-                              THEN 'BAD' ELSE 'OK' END AS rendered
+                              THEN 'BAD' ELSE 'OK' END
+               || ' bin=-b-'
+               || ' fj={"z.h":"' || coalesce(host, 'nohost')
+               || '","a.p":"' || coalesce(appname, 'na') || '"}' AS rendered
         FROM parsed3
         """,
         "op_patternize": W(

@@ -697,12 +697,46 @@ def _apply_func(call: FuncCall, ctx: TemplateContext) -> Column:
             k, _, v = a.partition("=")
             pairs.append((k, compile_template(v, ctx)))
         return tf.format_welf(dict(pairs))
-    if name == "format-json":
+    if name in ("format-json", "format-flat-json"):
         pairs = []
         for a in raw_args:
             k, _, v = a.partition("=")
             pairs.append((k, compile_template(v, ctx)))
-        return tf.format_json(dict(pairs))
+        fmt = tf.format_json if name == "format-json" else tf.format_flat_json
+        return fmt(dict(pairs))
+    if name == "binary":
+        # $(binary n n ...) — basicfuncs/str-funcs.c:505-578
+        # tf_binary_prepare: a compile-time constant built from
+        # dec/hex/oct byte values; any parse failure or value >255 is
+        # a compile error. The reference emits raw bytes into the
+        # result buffer; the Spark string-column analog is the chr()
+        # codepoint composition (identical through 0x7F, UTF-8-encoded
+        # above — documented drift for a string, not bytes, sink).
+        if not raw_args:
+            raise TemplateError(
+                "$(binary) Incorrect parameters, usage "
+                "$(binary <number> <number> ...)"
+            )
+        chars = []
+        for tok in raw_args:
+            try:
+                if tok.lower().startswith("0x"):
+                    n = int(tok, 16)
+                elif tok.startswith("0") and len(tok) > 1:
+                    n = int(tok, 8)
+                else:
+                    n = int(tok, 10)
+            except ValueError:
+                raise TemplateError(
+                    f"$(binary) unable to parse {tok} as a number"
+                )
+            if n < 0 or n > 0xFF:
+                raise TemplateError(
+                    f"$(binary) only supports 8 bit values as "
+                    f"characters, {n} is above 255"
+                )
+            chars.append(chr(n))
+        return F.lit("".join(chars))
     raise TemplateError(f"unknown template function $({name})")
 
 

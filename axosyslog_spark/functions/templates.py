@@ -210,6 +210,16 @@ def format_json(named_cols: dict[str, Column]) -> Column:
     return F.to_json(F.struct(*[c.alias(k) for k, c in named_cols.items()]))
 
 
+def format_flat_json(named_cols: dict[str, Column]) -> Column:
+    """$(format-flat-json k=v ...) — modules/json/format-json.c:465-480
+    tf_flat_json_append: same pair rendering as $(format-json) but keys
+    stay flat (a dotted key is emitted verbatim, never nested into
+    objects) and pairs appear in REVERSE lexicographic key order
+    (tf_flat_value_pairs_sort, format-json.c:459, strcmp(s2, s1))."""
+    keys = sorted(named_cols, reverse=True)
+    return F.to_json(F.struct(*[named_cols[k].alias(k) for k in keys]))
+
+
 def format_welf(named_cols: dict[str, Column]) -> Column:
     """$(format-welf) — k=v space-joined, keys sorted
     (modules/kvformat/format-welf.c)."""
@@ -559,7 +569,8 @@ TEMPLATE_FUNCS = {
     "base64-encode": tf_base64_encode,
     "sha256": tf_sha256, "hash": tf_sha256, "sha1": tf_sha1, "md5": tf_md5,
     "uuid": tf_uuid,
-    "format-json": format_json, "format-welf": format_welf,
+    "format-json": format_json, "format-flat-json": format_flat_json,
+    "format-welf": format_welf,
     "format-date": format_date, "stardate": tf_stardate,
     "format-cef-extension": format_cef_extension,
     "format-cim": format_cim,

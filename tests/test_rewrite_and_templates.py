@@ -386,3 +386,46 @@ def test_extended_date_macros(spark):
     # 2024-03-05 is a Tuesday; macros.c (yday-(wday-1+7)%7+7)/7 with 0-based
     # yday=64, Monday-based wday offset 1 => floor((64-1+7)/7)=10
     assert got["week"] == "10"
+
+
+def test_binary_template_function(spark):
+    # basicfuncs tests (test_basicfuncs.c:244-251): compile-time
+    # constant from dec/hex/oct bytes; errors mirror the reference
+    import pytest as _pytest
+
+    from axosyslog_spark.functions.template_compiler import (
+        TemplateContext,
+        TemplateError,
+        compile_template,
+    )
+
+    ctx = TemplateContext()
+    df = spark.range(1)
+
+    def render(t):
+        return df.select(compile_template(t, ctx).alias("r")).first()["r"]
+
+    assert render("$(binary 1)") == "\x01"
+    assert render("$(binary 1 0x1)") == "\x01\x01"
+    assert render("$(binary 0xFF 255 0377)") == "\xff\xff\xff"
+    assert render("x$(binary 0x2D 0x62 0x2D)y") == "x-b-y"
+    with _pytest.raises(TemplateError, match="Incorrect parameters"):
+        compile_template("$(binary)", ctx)
+    with _pytest.raises(TemplateError, match="unable to parse abc"):
+        compile_template("$(binary abc)", ctx)
+    with _pytest.raises(TemplateError, match="above 255"):
+        compile_template("$(binary 256)", ctx)
+    with _pytest.raises(TemplateError, match="unable to parse 08"):
+        compile_template("$(binary 08)", ctx)
+
+
+def test_format_flat_json_reverse_key_order(spark):
+    # format-json.c:459 tf_flat_value_pairs_sort is strcmp(s2, s1):
+    # flat dotted keys, REVERSE lexicographic pair order
+    df = spark.createDataFrame([("v1", "v2", "v3")], "a string, z string, m string")
+    out = df.select(
+        tf.format_flat_json(
+            {"a.key": F.col("a"), "z.key": F.col("z"), "m.key": F.col("m")}
+        ).alias("j")
+    ).first()["j"]
+    assert out == '{"z.key":"v2","m.key":"v3","a.key":"v1"}'
