@@ -107,3 +107,54 @@ def decode_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError("WAV missing fmt/data chunk")
     n = len(samples) // channels
     return rate, n, int(n * 1000 / rate), samples
+
+
+# ---------------------------------------------------------------------------
+# JPEG: SOF header probe (dimensions without a full decode)
+# ---------------------------------------------------------------------------
+
+# Start-of-frame markers carry (precision, height, width, components).
+# 0xC0-0xCF are SOFn except DHT (0xC4), JPGext (0xC8) and DAC (0xCC),
+# per ITU-T T.81 table B.1.
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+# Standalone markers with no length field: TEM, RST0-7, SOI, EOI.
+_JPEG_BARE_MARKERS = frozenset({0x01, *range(0xD0, 0xD8), 0xD8, 0xD9})
+
+
+def probe_jpeg(data: bytes) -> tuple[int, int, int]:
+    """JPEG bytes -> (width, height, components) from the first SOFn
+    segment, walking the marker stream only — entropy-coded data is
+    never touched, so this is O(header) regardless of image size.
+    Handles baseline (SOF0) and progressive (SOF2) alike and tolerates
+    fill bytes (0xFF padding) between markers per T.81 B.1.1.2."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise ValueError("not a JPEG payload (missing SOI)")
+    i = 2
+    n = len(data)
+    while i + 1 < n:
+        if data[i] != 0xFF:
+            raise ValueError(f"JPEG marker desync at offset {i}")
+        # skip fill bytes
+        while i + 1 < n and data[i + 1] == 0xFF:
+            i += 1
+        marker = data[i + 1]
+        i += 2
+        if marker in _JPEG_BARE_MARKERS:
+            if marker == 0xD9:  # EOI before any SOF
+                break
+            continue
+        if i + 2 > n:
+            break
+        (seg_len,) = struct.unpack(">H", data[i:i + 2])
+        if seg_len < 2:
+            raise ValueError("JPEG segment length < 2")
+        if marker in _JPEG_SOF_MARKERS:
+            if i + 8 > n:
+                raise ValueError("truncated SOF segment")
+            height, width = struct.unpack(">HH", data[i + 3:i + 7])
+            components = data[i + 7]
+            return (width, height, components)
+        if marker == 0xDA:  # SOS: entropy data follows, SOF must precede
+            break
+        i += seg_len
+    raise ValueError("no SOF marker found")

@@ -7,11 +7,13 @@ tiers:
 
   - REAL: BMP images and PCM16 WAV audio decode/resize/probe via the
     pure-numpy codecs in operators/codecs.py (encode->decode->resize
-    roundtrips are unit-tested on actual bytes)
-  - STUBBED: formats needing external libraries (JPEG, MP4 frame
-    extraction) keep a deterministic fake — those libs are not in this
-    container; each stub documents where the real call plugs in, and
-    swapping it changes no Spark code.
+    roundtrips are unit-tested on actual bytes), and JPEG dimension
+    probing via the SOF marker walk (codecs.probe_jpeg — header-only,
+    no pixel decode)
+  - STUBBED: work needing external libraries (JPEG pixel decode, MP4
+    frame extraction) keeps a deterministic fake — those libs are not
+    in this container; each stub documents where the real call plugs
+    in, and swapping it changes no Spark code.
 """
 
 from __future__ import annotations
@@ -152,6 +154,13 @@ def decode_media(df: DataFrame) -> DataFrame:
                     w = h = 0
                     frames = 1
                     feat = hashlib.md5(samples.tobytes()).hexdigest()
+                elif payload[:2] == b"\xff\xd8":
+                    # REAL JPEG probe: dimensions from the SOF marker
+                    # walk (no entropy decode — pixel access would need
+                    # an external codec; feature hash stays bytes-level)
+                    w, h, _comps = codecs.probe_jpeg(payload)
+                    frames, dur = 1, 0
+                    feat = hashlib.md5(payload).hexdigest()
                 else:
                     # STUB for externally-coded formats (JPEG/MP4/...)
                     w, h, frames, dur = _fake_decode(payload)

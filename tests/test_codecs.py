@@ -70,3 +70,55 @@ def test_real_media_pipeline(spark):
         # the re-encoded payload is itself a valid BMP of the new size
         w, h, _ = codecs.decode_bmp(bytes(r["payload"]))
         assert (w, h) == (r["width"], r["height"])
+
+
+def _tiny_jpeg(width, height, components=3, sof=0xC0, extra_fill=False):
+    """Structurally-valid JPEG header stream: SOI, APP0/JFIF, DQT,
+    SOFn with the given dimensions, SOS, EOI."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")                      # SOI
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(jfif)) + jfif   # APP0
+    dqt = b"\x00" + bytes(64)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt     # DQT
+    if extra_fill:
+        out += b"\xff"                                 # fill byte before marker
+    comp = b"".join(
+        bytes([i + 1, 0x11, 0]) for i in range(components)
+    )
+    sof_body = struct.pack(">BHHB", 8, height, width, components) + comp
+    out += bytes([0xFF, sof]) + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    out += b"\xff\xda" + struct.pack(">H", 4) + b"\x01\x00"        # SOS
+    out += b"\x12\x34"                                  # entropy bytes
+    out += b"\xff\xd9"                                  # EOI
+    return bytes(out)
+
+
+def test_jpeg_sof_probe_baseline_and_progressive():
+    assert codecs.probe_jpeg(_tiny_jpeg(640, 480)) == (640, 480, 3)
+    assert codecs.probe_jpeg(_tiny_jpeg(31, 7, components=1, sof=0xC2)) == (31, 7, 1)
+    # fill bytes between markers are legal (T.81 B.1.1.2)
+    assert codecs.probe_jpeg(_tiny_jpeg(100, 200, extra_fill=True)) == (100, 200, 3)
+
+
+def test_jpeg_probe_rejects_bad_payloads():
+    with pytest.raises(ValueError, match="SOI"):
+        codecs.probe_jpeg(b"BM123456")
+    with pytest.raises(ValueError, match="no SOF"):
+        # SOI followed immediately by EOI
+        codecs.probe_jpeg(b"\xff\xd8\xff\xd9")
+    with pytest.raises(ValueError):
+        codecs.probe_jpeg(b"\xff\xd8\x00\x00\x00")
+
+
+def test_decode_media_probes_real_jpeg(spark):
+    from axosyslog_spark.operators.multimodal import MEDIA_SCHEMA, decode_media
+
+    rows = [
+        (1, "image", bytearray(_tiny_jpeg(320, 240)), "image/jpeg"),
+        (2, "image", bytearray(_tiny_jpeg(12, 34, sof=0xC2)), "image/jpeg"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: (r["width"], r["height"]) for r in decode_media(df).collect()}
+    assert got == {1: (320, 240), 2: (12, 34)}
