@@ -942,6 +942,32 @@ def q_op_scl_dnd(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_op_scl_arr(spark: SparkSession, sf: str) -> DataFrame:
+    """arr_parser (scl/arr/arr.conf arr_internal) under the replica
+    oracle: 'TS|Severity|Module|MESSAGE' lines synthesized from
+    events; the oracle mirrors the pipe split, the syslog-names
+    severity resolution (Fatal unresolvable -> default kept), and the
+    date parse."""
+    from axosyslog_spark.operators.scl import arr_parser
+
+    ev = _utc(spark).read.parquet(f"{sf}/events.parquet")
+    sev = F.element_at(
+        F.array(*[F.lit(x) for x in ("Info", "Warn", "Error", "Debug", "Fatal")]),
+        (F.col("event_id") % 5 + 1).cast("int"),
+    )
+    line = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), F.lit(".0|"), sev,
+        F.lit("|Mod"), (F.col("user_id") % 7).cast("string"), F.lit("|evt "),
+        F.col("event_type"),
+    )
+    df = ev.select("event_id", line.alias("text"))
+    out = arr_parser(df, "Radarr")
+    return out.select(
+        "event_id", "program", "severity", "arr_module", "message",
+        F.date_format("msg_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
 def q_op_rewrite_suite(spark: SparkSession, sf: str) -> DataFrame:
     """The rewrite/filter family under ONE oracle slot (consolidated
     from the former op_rewrite_filter + op_subst + op_tags gate
@@ -1864,6 +1890,26 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(event_id AS VARCHAR) AS idv
         FROM events
         """,
+        "op_scl_arr": """
+        WITH lines AS (
+          SELECT event_id,
+                 ['Info', 'Warn', 'Error', 'Debug', 'Fatal']
+                   [CAST(event_id % 5 AS INT) + 1] AS sev_word,
+                 'Mod' || CAST(user_id % 7 AS VARCHAR) AS module,
+                 'evt ' || event_type AS msg,
+                 ts
+          FROM events
+        )
+        SELECT event_id,
+               'Radarr' AS program,
+               CASE sev_word WHEN 'Info' THEN 6 WHEN 'Warn' THEN 4
+                             WHEN 'Error' THEN 3 WHEN 'Debug' THEN 7
+                             ELSE 5 END AS severity,
+               module AS arr_module,
+               msg AS message,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+        FROM lines
+        """,
         "op_scl_dnd": """
         SELECT event_id,
                CASE event_id % 4 WHEN 0 THEN 'raw-app' WHEN 1 THEN 'ewmm'
@@ -2114,6 +2160,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_bands": q_doc_minhash_bands,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_lsh_topk": q_emb_lsh_topk,
+        "op_scl_arr": q_op_scl_arr,
     }
 
 

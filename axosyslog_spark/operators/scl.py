@@ -912,3 +912,237 @@ def default_network_drivers(
     for b in branches[1:]:
         out = out.unionByName(b, allowMissingColumns=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# scl/solaris/plugin.conf — extract-solaris-msgid()
+# ---------------------------------------------------------------------------
+
+_SOLARIS_MSGID_RE = r"^\[([^\]]*)\] (.*)"
+
+
+def solaris_msgid_parser(df: DataFrame, src_col: str = "message") -> DataFrame:
+    """scl/solaris/plugin.conf extract-solaris-msgid(): when MESSAGE
+    leads with '[ID' (prefix filter), the bracket group is csv-split
+    off with quote-pairs('[]') (column 0, unquoted) and MESSAGE keeps
+    the greedy rest; the msgid is the bracket group's second
+    space-token ('[ID 800047 auth.info]' -> '800047'). Non-matching
+    rows pass through untouched (the reference's channel is an if{}
+    with no else)."""
+    src = F.col(src_col)
+    m = src.startswith("[ID ") & src.rlike(_SOLARIS_MSGID_RE)
+    bracket = F.regexp_extract(src, _SOLARIS_MSGID_RE, 1)
+    return df.withColumns(
+        {
+            "solaris_msgid": F.when(
+                m, F.element_at(F.split(bracket, " "), 2)
+            ),
+            src_col: F.when(
+                m, F.regexp_extract(src, _SOLARIS_MSGID_RE, 2)
+            ).otherwise(src),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# scl/arr/arr.conf — the *arr application family's internal log format
+# ---------------------------------------------------------------------------
+
+_ARR_RE = r"^([^|]*)\|([^|]*)\|([^|]*)\|((?:.|\n)*)"
+
+
+def arr_parser(
+    df: DataFrame,
+    program: str,
+    src_col: str = "text",
+    prefix: str = "arr_",
+) -> DataFrame:
+    """scl/arr/arr.conf arr_internal(): 'TS|Severity|Module|MESSAGE'
+    pipe-split via regexp-parser, date-parser '%Y-%m-%d %H:%M:%S.%f'
+    on $1, PROGRAM pinned per application block (Radarr/Sonarr/...),
+    set-severity($2) — which resolves only words the syslog-names
+    table knows (Info/Warn/Error/Debug do, Fatal/Trace do not; the
+    reference leaves severity unchanged then), and `prefix`module
+    from $3. Rows not matching the shape pass through with
+    arr_ok=false (the file source's multi-line-prefix guarantees the
+    shape in the reference; a batch table can carry strays)."""
+    from axosyslog_spark.operators.rewrite import severity_by_name
+
+    src = F.col(src_col)
+    m = src.rlike(_ARR_RE) & (src.contains("|"))
+
+    def g(i: int) -> Column:
+        return F.regexp_extract(src, _ARR_RE, i)
+
+    if "severity" not in df.columns:
+        df = df.withColumn("severity", F.lit(5).cast("int"))
+    if "facility" not in df.columns:
+        df = df.withColumn("facility", F.lit(1).cast("int"))
+    new_sev = F.coalesce(
+        severity_by_name(F.when(m, g(2))), F.col("severity")
+    ).cast("int")
+    return df.withColumns(
+        {
+            "arr_ok": m,
+            "msg_ts": F.when(
+                m,
+                F.coalesce(
+                    *[
+                        F.try_to_timestamp(
+                            g(1), F.lit(f"yyyy-MM-dd HH:mm:ss.{frac}")
+                        )
+                        for frac in ("S", "SS", "SSS", "SSSSSS", "SSSSSSS")
+                    ]
+                ),
+            ),
+            "program": F.lit(program),
+            "severity": new_sev,
+            "pri": (F.col("facility") * 8 + new_sev).cast("int"),
+            f"{prefix}module": F.when(m, g(3)),
+            "message": F.when(m, g(4)).otherwise(src),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# scl/jellyfin/jellyfin.conf
+# ---------------------------------------------------------------------------
+
+_JELLYFIN_RE = r"^\[([^\]]*)\] \[([A-Z]{3})\] \[[0-9]+\] ((?:.|\n)*)"
+
+
+def jellyfin_parser(df: DataFrame, src_col: str = "text") -> DataFrame:
+    """scl/jellyfin/jellyfin.conf jellyfin(): regexp-parser over the
+    Serilog line '[TS] [LVL] [THREAD] MESSAGE' (the reference disables
+    its PCRE JIT for this pattern — Spark's regex has no such limit),
+    date-parser '%Y-%m-%d %H:%M:%S.%f %z' on $1, PROGRAM='Jellyfin',
+    set-severity($2): of Serilog's VRB/DBG/INF/WRN/ERR/FTL only ERR
+    resolves in the syslog-names table (the reference's set-severity
+    keeps the old severity for the rest — faithful, if surprising)."""
+    from axosyslog_spark.operators.rewrite import severity_by_name
+
+    src = F.col(src_col)
+    m = src.rlike(_JELLYFIN_RE)
+
+    def g(i: int) -> Column:
+        return F.regexp_extract(src, _JELLYFIN_RE, i)
+
+    if "severity" not in df.columns:
+        df = df.withColumn("severity", F.lit(5).cast("int"))
+    if "facility" not in df.columns:
+        df = df.withColumn("facility", F.lit(1).cast("int"))
+    new_sev = F.coalesce(
+        severity_by_name(F.when(m, g(2))), F.col("severity")
+    ).cast("int")
+    return df.withColumns(
+        {
+            "jellyfin_ok": m,
+            "msg_ts": F.when(
+                m,
+                F.coalesce(
+                    *[
+                        F.try_to_timestamp(g(1), F.lit(fmt))
+                        for fmt in (
+                            "yyyy-MM-dd HH:mm:ss.SSS XXX",
+                            "yyyy-MM-dd HH:mm:ss.SSS XX",
+                            "yyyy-MM-dd HH:mm:ss.SSSSSS XXX",
+                        )
+                    ]
+                ),
+            ),
+            "program": F.lit("Jellyfin"),
+            "severity": new_sev,
+            "pri": (F.col("facility") * 8 + new_sev).cast("int"),
+            "message": F.when(m, g(3)).otherwise(src),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# scl/qbittorrent/qbittorrent.conf
+# ---------------------------------------------------------------------------
+
+_QBIT_RE = r"^\((.)\) ([^ ]+) - (.*)"
+
+
+def qbittorrent_parser(df: DataFrame, src_col: str = "text") -> DataFrame:
+    """scl/qbittorrent/qbittorrent.conf qbittorrent(): regexp-parser
+    '(L) TS - MESSAGE', date-parser '%Y-%m-%dT%H:%M:%S' on $2,
+    PROGRAM='qBittorrent', and the if/elif severity ladder over $1:
+    C->critical, W->warning, I->info, N->notice (any other letter
+    keeps the previous severity)."""
+    src = F.col(src_col)
+    m = src.rlike(_QBIT_RE)
+
+    def g(i: int) -> Column:
+        return F.regexp_extract(src, _QBIT_RE, i)
+
+    if "severity" not in df.columns:
+        df = df.withColumn("severity", F.lit(5).cast("int"))
+    if "facility" not in df.columns:
+        df = df.withColumn("facility", F.lit(1).cast("int"))
+    lvl = F.when(m, g(1))
+    new_sev = (
+        F.when(lvl == "C", F.lit(2))
+        .when(lvl == "W", F.lit(4))
+        .when(lvl == "I", F.lit(6))
+        .when(lvl == "N", F.lit(5))
+        .otherwise(F.col("severity"))
+        .cast("int")
+    )
+    return df.withColumns(
+        {
+            "qbittorrent_ok": m,
+            "msg_ts": F.when(
+                m, F.try_to_timestamp(g(2), F.lit("yyyy-MM-dd'T'HH:mm:ss"))
+            ),
+            "program": F.lit("qBittorrent"),
+            "severity": new_sev,
+            "pri": (F.col("facility") * 8 + new_sev).cast("int"),
+            "message": F.when(m, g(3)).otherwise(src),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# scl/nodejs/plugin.conf — winston syslog transport
+# ---------------------------------------------------------------------------
+
+
+def nodejs_winston_parser(
+    df: DataFrame, src_col: str = "text", prefix: str = "nodejs_winston_"
+) -> DataFrame:
+    """scl/nodejs/plugin.conf nodejs(): winston's syslog transport
+    ships a JSON ARRAY line whose element [1] is the log object;
+    json-parser(extract-prefix('[1]') prefix('.nodejs.winston.'))
+    flattens that object, then the block promotes
+    ${.nodejs.winston.message} to MESSAGE and unsets the map entry.
+    Here: extract element 1, flatten to `nodejs_winston` map with
+    dotted keys under `prefix`, promote map['message'] to the message
+    column and remove it from the map."""
+    from axosyslog_spark.operators.jsonflatten import json_flatten
+
+    extracted = "__njs_extracted"
+    df = df.withColumn(
+        extracted, F.get_json_object(F.col(src_col), "$[1]")
+    )
+    df = json_flatten(
+        df, src_col=extracted, out_col="nodejs_winston", prefix=prefix
+    )
+    msg_key = f"{prefix}message"
+    mp = F.col("nodejs_winston")
+    return (
+        df.withColumns(
+            {
+                "message": F.coalesce(
+                    F.element_at(mp, msg_key), F.col(src_col)
+                ),
+                "nodejs_winston": F.when(
+                    mp.isNotNull(),
+                    F.map_filter(mp, lambda k, _: k != msg_key),
+                ),
+            }
+        )
+        .withColumnRenamed("nodejs_winston_ok", "nodejs_ok")
+        .drop(extracted)
+    )

@@ -565,3 +565,87 @@ def test_default_network_drivers_composition(spark):
     assert out[4]["path"] == "syslog" and out[4]["host"] == "h5"
     assert out[4]["appname"] == "cron" and out[4]["body"] == "job done"
     assert out[5]["path"] == "syslog" and out[5]["body"] == "not syslog at all"
+
+
+def test_solaris_msgid(spark):
+    # sample from scl/solaris/plugin.conf
+    rows = [
+        (0, "[ID 800047 auth.info] Accepted publickey for acsss "
+            "from 192.168.1.99 port 40386 ssh2"),
+        (1, "no msgid here"),
+    ]
+    df = spark.createDataFrame(rows, "id int, message string")
+    out = {r["id"]: r for r in scl.solaris_msgid_parser(df).collect()}
+    assert out[0]["solaris_msgid"] == "800047"
+    assert out[0]["message"].startswith("Accepted publickey for acsss")
+    assert out[1]["solaris_msgid"] is None
+    assert out[1]["message"] == "no msgid here"
+
+
+def test_arr_parser(spark):
+    rows = [
+        (0, "2024-03-01 12:34:56.7|Info|DownloadService|Report sent"),
+        (1, "2024-03-01 12:34:56.7|Fatal|Main|boom"),   # Fatal unresolvable
+        (2, "stray line"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r["id"]: r for r in scl.arr_parser(df, "Radarr").collect()}
+    assert out[0]["arr_ok"] and out[0]["program"] == "Radarr"
+    assert out[0]["severity"] == 6 and out[0]["arr_module"] == "DownloadService"
+    assert out[0]["message"] == "Report sent"
+    assert out[0]["msg_ts"] == dt.datetime(2024, 3, 1, 12, 34, 56, 700000)
+    # set-severity only knows syslog names: Fatal keeps the default
+    assert out[1]["severity"] == 5
+    assert not out[2]["arr_ok"] and out[2]["message"] == "stray line"
+
+
+def test_jellyfin_parser(spark):
+    rows = [
+        (0, '[2024-05-01 10:00:00.123 +02:00] [INF] [22] Core started'),
+        (1, '[2024-05-01 10:00:01.000 +00:00] [ERR] [3] It broke'),
+        (2, "partial garbage"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r["id"]: r for r in scl.jellyfin_parser(df).collect()}
+    assert out[0]["jellyfin_ok"] and out[0]["program"] == "Jellyfin"
+    # INF is not a syslog-names alias: severity keeps the default
+    assert out[0]["severity"] == 5
+    assert out[0]["message"] == "Core started"
+    # zone designator honored: 10:00 +02:00 == 08:00 UTC
+    assert out[0]["msg_ts"] == dt.datetime(2024, 5, 1, 8, 0, 0, 123000)
+    # ERR resolves via syslog-names
+    assert out[1]["severity"] == 3
+    assert not out[2]["jellyfin_ok"]
+
+
+def test_qbittorrent_parser(spark):
+    rows = [
+        (0, "(N) 2024-05-01T10:00:00 - Peer banned"),
+        (1, "(C) 2024-05-01T10:00:01 - Disk failure"),
+        (2, "(X) 2024-05-01T10:00:02 - Unknown level"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r["id"]: r for r in scl.qbittorrent_parser(df).collect()}
+    assert out[0]["severity"] == 5 and out[0]["message"] == "Peer banned"
+    assert out[0]["msg_ts"] == dt.datetime(2024, 5, 1, 10, 0, 0)
+    assert out[1]["severity"] == 2
+    assert out[2]["severity"] == 5  # ladder falls through, keeps default
+    assert out[0]["program"] == "qBittorrent"
+
+
+def test_nodejs_winston_parser(spark):
+    rows = [
+        (0, '["log",{"level":"info","message":"hello world",'
+            '"meta":{"module":"db","retry":"2"}}]'),
+        (1, "not json"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r["id"]: r for r in scl.nodejs_winston_parser(df).collect()}
+    assert out[0]["nodejs_ok"]
+    assert out[0]["message"] == "hello world"
+    m = out[0]["nodejs_winston"]
+    assert m["nodejs_winston_level"] == "info"
+    assert m["nodejs_winston_meta.module"] == "db"
+    assert "nodejs_winston_message" not in m
+    assert not out[1]["nodejs_ok"]
+    assert out[1]["message"] == "not json"
