@@ -9,7 +9,7 @@ Protocol:
      actually delivers (the box advertises 32 vCPUs but saturates
      near 8 — CPU steal)
   3. run the flagship pipeline at N and 4N cores (default 2 and 8,
-     inside the machine's honest capacity), min-of-3 per level
+     inside the machine's honest capacity), min-of-4 per level
   4. write BENCH/BASELINE.md with throughput at both levels, the
      scaling efficiency, and the calibration that justifies the level
      choice
@@ -60,14 +60,20 @@ import sys, time
 sys.path.insert(0, {repo!r})
 from axosyslog_spark.session import get_spark
 from axosyslog_spark.plans.pipeline import run_pipeline_observed
+# default driver memory (16g, -Xms-pinned + AlwaysPreTouch in
+# get_spark): a growing heap page-faults through the hypervisor on
+# every expansion, which measured 2.2x slower at local[8] and
+# dominated by SYSTEM time — the pre-touched heap moves that cost to
+# session startup, outside the timed region
 spark = get_spark("scale", cores={cpus}, extra_conf={{
-    "spark.driver.memory": "48g",
     "spark.sql.files.maxPartitionBytes": "8m",
 }})
 spark.conf.set("spark.sql.session.timeZone", "UTC")
 df = spark.read.parquet({path!r})
 best = 1e9
-for _ in range(2):
+# min-of-4: run 0 pays JIT warm-up, run 1 often still touches fresh
+# code-cache/metaspace pages; steady state arrives by run 2-3
+for _ in range(4):
     t0 = time.perf_counter()
     routed, obs = run_pipeline_observed(spark, df)
     routed.write.format("noop").mode("overwrite").save()
@@ -167,7 +173,7 @@ def main() -> None:
 
 Generated by tools/bench_scaling.py on {dt.date.today().isoformat()}.
 Host: {os.cpu_count()} advertised vCPUs (Firecracker sandbox), Spark
-local mode, steady-state timings after JIT warm-up (min-of-2 inside
+local mode, steady-state timings after JIT warm-up (min-of-4 inside
 each run, {rounds} interleaved rounds).
 
 ## Machine calibration (why N={n_small} vs 4N={n_big})
