@@ -472,3 +472,33 @@ def test_merge_cli_writes_file(tmp_path, capsys):
                   "--pub-date", "2025-01-01"])
     assert rc == 0
     assert load_pdb_xml(str(out))[0].name == "app-a"
+
+
+def test_dictionary_verb(tmp_path, capsys):
+    # pdbtool dictionary: parser handles + <value> names; -T for tags
+    import tools.pdbtool as pt
+
+    doc = """<patterndb version='6' pub_date='2024-01-01'>
+      <ruleset name='d' id='rs-d'>
+        <patterns><pattern>appd</pattern></patterns>
+        <rules>
+          <rule id='r-d1' class='system' provider='t'>
+            <patterns><pattern>delta @NUMBER:num@ @ESTRING:word: @</pattern></patterns>
+            <tags><tag>t1</tag><tag>t2</tag></tags>
+            <values><value name='alert.score'>9</value></values>
+          </rule>
+        </rules>
+      </ruleset>
+    </patterndb>
+    """
+    p = _write(tmp_path, "d.pdb", doc)
+    assert pt.main(["dictionary", "-p", p]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out == ["num", "word", "alert.score"]
+    assert pt.main(["dictionary", "-p", p, "-T"]) == 0
+    assert capsys.readouterr().out.splitlines() == ["t1", "t2"]
+    # program filter: 'appd' matches, 'other' does not
+    assert pt.main(["dictionary", "-p", p, "-P", "other"]) == 0
+    assert capsys.readouterr().out == ""
+    assert pt.main(["dictionary", "-p", p, "-P", "appd"]) == 0
+    assert len(capsys.readouterr().out.splitlines()) == 3

@@ -1,9 +1,11 @@
-"""pdbtool analog: test and match PatternDB XML rulesets from the CLI.
+"""pdbtool analog: PatternDB XML ruleset tooling from the CLI.
 
-Reference: the pdbtool utility (modules/correlation/pdbtool.c) offers
-`pdbtool match -p ruleset.pdb -M message` and `pdbtool test` (replay
-the <examples> blocks). Same verbs here, running on a tiny local
-SparkSession:
+Reference: the pdbtool utility (modules/correlation/pdbtool.c). Verbs
+here: test (replay <examples>), match (classify one message), dump
+(compiled pattern/dispatch structure), patternize (SLCT discovery),
+merge (combine a directory of pdb files into one v6 ruleset),
+dictionary (dump emit-able value names / tags). test/match run on a
+tiny local SparkSession; the rest are plan-time only:
 
     python tools/pdbtool.py test  --ruleset axosyslog_spark/fixtures/transcripts.pdb
     python tools/pdbtool.py match --ruleset axosyslog_spark/fixtures/transcripts.pdb \\
@@ -211,6 +213,42 @@ def merge_pdb_dir(dir_path, recursive=False, glob=None, sort=False,
     return "<?xml version='1.0' encoding='UTF-8'?>\n" + body + "\n"
 
 
+def cmd_dictionary(args) -> int:
+    """pdbtool dictionary analog (pdbtool.c:1048-1130
+    pdbtool_dictionary_walk): print every name the ruleset can emit —
+    parser field names (@TYPE:name@ handles) and synthetic <value>
+    names — or, with --dump-tags, the rule tags instead. --program
+    restricts to rulesets whose program selector matches (exact or
+    the selector's own glob). Plan-time only (no Spark); names print
+    in document order (the reference walks its radix trie, so its
+    order differs, but the name SET is the contract)."""
+    import fnmatch
+
+    from axosyslog_spark.operators.pdb_load import load_pdb_xml
+
+    for rs in load_pdb_xml(args.ruleset):
+        if args.program:
+            sel_ok = any(
+                s == args.program or fnmatch.fnmatchcase(args.program, s)
+                for s in rs.programs
+            )
+            if not sel_ok:
+                continue
+        pdb = rs.pattern_db()
+        if args.dump_tags:
+            for rule in rs.rules:
+                for t in rule.tags:
+                    print(t)
+            continue
+        for c in pdb.patterns:
+            for f in c.fields:
+                print(f.name)
+        for rule in rs.rules:
+            for name, _tmpl in rule.values:
+                print(name)
+    return 0
+
+
 def cmd_merge(args) -> int:
     merged = merge_pdb_dir(
         args.pdb_dir, recursive=args.recursive, glob=args.glob,
@@ -302,7 +340,15 @@ def main(argv=None) -> int:
     g.add_argument("--sort", "-s", action="store_true")
     g.add_argument("--pub-date", default=None,
                    help="override pub_date (default: today)")
+    dic = sub.add_parser(
+        "dictionary", help="dump emit-able value names (or tags)"
+    )
+    dic.add_argument("--ruleset", "-p", required=True)
+    dic.add_argument("--program", "-P", default=None)
+    dic.add_argument("--dump-tags", "-T", action="store_true")
     args = p.parse_args(argv)
+    if args.cmd == "dictionary":
+        return cmd_dictionary(args)
     if args.cmd == "patternize":
         return cmd_patternize(args)
     if args.cmd == "merge":
