@@ -1146,3 +1146,126 @@ def nodejs_winston_parser(
         .withColumnRenamed("nodejs_winston_ok", "nodejs_ok")
         .drop(extracted)
     )
+
+
+# ---------------------------------------------------------------------------
+# scl/loggly + scl/logmatic + scl/sumologic — wire-line destination
+# templates (the network/tls transport itself is N/A-batch; the LINE
+# each block renders is the batch-meaningful artifact)
+# ---------------------------------------------------------------------------
+
+
+def _syslog5424_prefix(
+    pri: Column,
+    ts: Column,
+    host: Column,
+    program: Column,
+    pid: Column | None,
+    msgid: Column | None,
+    dash_fallback: bool,
+) -> Column:
+    """``<PRI>1 ISODATE HOST PROGRAM PID MSGID`` — shared header of the
+    hosted-logging destination templates. ``dash_fallback`` renders
+    absent values as '-' (the blocks written as ${X:--}); without it a
+    bare macro renders empty, faithfully producing the double-space the
+    reference would emit."""
+    absent = F.lit("-") if dash_fallback else F.lit("")
+
+    def v(c: Column | None) -> Column:
+        if c is None:
+            return absent
+        return F.coalesce(c.cast("string"), absent)
+
+    from axosyslog_spark.functions.templates import macro
+
+    return F.concat(
+        F.lit("<"), F.coalesce(pri.cast("string"), F.lit("13")), F.lit(">1 "),
+        macro("ISODATE", ts), F.lit(" "),
+        v(host), F.lit(" "), v(program), F.lit(" "), v(pid), F.lit(" "),
+        v(msgid),
+    )
+
+
+def loggly_line(
+    token: str,
+    tag: str,
+    payload: Column,
+    pri: Column,
+    ts: Column,
+    host: Column,
+    program: Column,
+    pid: Column | None = None,
+    msgid: Column | None = None,
+) -> Column:
+    """scl/loggly/loggly.conf loggly() wire line:
+    ``<PRI>1 ISODATE HOST PROGRAM PID MSGID [token@41058 tag="tag"]
+    payload`` (the customer token rides an SD-ELEMENT with Loggly's
+    IANA enterprise number 41058; bare macros, no '-' fallbacks).
+    Transport framing (trailing newline, tcp) is the sink's concern."""
+    return F.concat(
+        _syslog5424_prefix(pri, ts, host, program, pid, msgid, False),
+        F.lit(f' [{token}@41058 tag="{tag}"] '), payload.cast("string"),
+    )
+
+
+def logmatic_line(
+    token: str,
+    payload: Column,
+    pri: Column,
+    ts: Column,
+    host: Column,
+    program: Column,
+    pid: Column | None = None,
+    msgid: Column | None = None,
+    sdata: Column | None = None,
+) -> Column:
+    """scl/logmatic/logmatic.conf logmatic() wire line: the raw API
+    token PREFIXES the frame — ``token <PRI>1 ISODATE HOST:-- ...
+    SDATA:-- payload`` (all header macros carry '-' fallbacks)."""
+    sd = F.coalesce(sdata.cast("string"), F.lit("-")) if sdata is not None \
+        else F.lit("-")
+    return F.concat(
+        F.lit(f"{token} "),
+        _syslog5424_prefix(pri, ts, host, program, pid, msgid, True),
+        F.lit(" "), sd, F.lit(" "), payload.cast("string"),
+    )
+
+
+def sumologic_syslog_line(
+    token: str,
+    tag: str,
+    payload: Column,
+    pri: Column,
+    ts: Column,
+    host: Column,
+    program: Column,
+    pid: Column | None = None,
+    msgid: Column | None = None,
+) -> Column:
+    """scl/sumologic/sumologic.conf sumologic-syslog() wire line:
+    ``<PRI>1 ISODATE HOST PROGRAM:-- PID:-- MSGID:-- [token
+    tag="tag"] payload`` — like loggly but the collector token is the
+    SD-ID itself (no enterprise number) and PROGRAM/PID/MSGID carry
+    '-' fallbacks while HOST does not."""
+    from axosyslog_spark.functions.templates import macro
+
+    dash = lambda c: F.coalesce(c.cast("string"), F.lit("-")) if c is not None else F.lit("-")  # noqa: E731
+    return F.concat(
+        F.lit("<"), F.coalesce(pri.cast("string"), F.lit("13")), F.lit(">1 "),
+        macro("ISODATE", ts), F.lit(" "),
+        F.coalesce(host.cast("string"), F.lit("")), F.lit(" "),
+        dash(program), F.lit(" "), dash(pid), F.lit(" "), dash(msgid),
+        F.lit(f' [{token} tag="{tag}"] '), payload.cast("string"),
+    )
+
+
+def sumologic_http_body(nv_pairs: Column) -> Column:
+    """scl/sumologic/sumologic.conf sumologic-http() POST body:
+    $(format-json --scope all-nv-pairs --exclude SOURCE) over the
+    message's name-value map — here a map<string,string> column with
+    the SOURCE key excluded, rendered as one JSON object (keys sorted
+    for determinism, matching value-pairs' sorted iteration)."""
+    filtered = F.map_filter(nv_pairs, lambda k, _: k != "SOURCE")
+    return F.to_json(
+        F.map_from_entries(F.array_sort(F.map_entries(filtered)))
+    )

@@ -649,3 +649,63 @@ def test_nodejs_winston_parser(spark):
     assert "nodejs_winston_message" not in m
     assert not out[1]["nodejs_ok"]
     assert out[1]["message"] == "not json"
+
+
+def test_hosted_logging_destination_lines(spark):
+    # loggly/logmatic/sumologic wire-line templates over one frame
+    df = spark.createDataFrame(
+        [(38, dt.datetime(2024, 6, 15, 10, 11, 5), "h1", "sshd", "77",
+          "login ok"),
+         (13, dt.datetime(2024, 6, 15, 10, 11, 6), None, None, None,
+          "bare")],
+        "pri int, ts timestamp, host string, prog string, pid string,"
+        " msg string",
+    )
+    out = df.select(
+        scl.loggly_line(
+            "TOK", "prod", F.col("msg"), F.col("pri"), F.col("ts"),
+            F.col("host"), F.col("prog"), F.col("pid"),
+        ).alias("loggly"),
+        scl.logmatic_line(
+            "APIKEY", F.col("msg"), F.col("pri"), F.col("ts"),
+            F.col("host"), F.col("prog"), F.col("pid"),
+        ).alias("logmatic"),
+        scl.sumologic_syslog_line(
+            "COLTOK", "t1", F.col("msg"), F.col("pri"), F.col("ts"),
+            F.col("host"), F.col("prog"), F.col("pid"),
+        ).alias("sumo"),
+    ).collect()
+    # empty MSGID renders empty (bare macro) -> the reference's own
+    # template would emit the same double space before the SD block
+    assert out[0]["loggly"] == (
+        '<38>1 2024-06-15T10:11:05Z h1 sshd 77  '
+        '[TOK@41058 tag="prod"] login ok'
+    )
+    assert out[0]["logmatic"] == (
+        'APIKEY <38>1 2024-06-15T10:11:05Z h1 sshd 77 - - login ok'
+    )
+    assert out[0]["sumo"] == (
+        '<38>1 2024-06-15T10:11:05Z h1 sshd 77 - [COLTOK tag="t1"] '
+        'login ok'
+    )
+    # absent header values: bare macros render empty (loggly), :--
+    # renders '-' (logmatic/sumologic program/pid)
+    assert out[1]["loggly"].startswith("<13>1 2024-06-15T10:11:06Z   ")
+    assert " - - - -" in out[1]["logmatic"]
+    assert out[1]["sumo"].startswith("<13>1 2024-06-15T10:11:06Z  - -")
+
+
+def test_sumologic_http_body(spark):
+    df = spark.createDataFrame(
+        [(1,)], "id int"
+    ).select(
+        scl.sumologic_http_body(
+            F.create_map(
+                F.lit("SOURCE"), F.lit("s1"),
+                F.lit("zkey"), F.lit("v2"),
+                F.lit("akey"), F.lit('va"l'),
+            )
+        ).alias("body")
+    )
+    # SOURCE excluded, keys sorted, JSON-escaped
+    assert df.first()["body"] == '{"akey":"va\\"l","zkey":"v2"}'
