@@ -1292,6 +1292,16 @@ def q_emb_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_near_dups(_embs(spark, sf), threshold=0.5, dim=EMB_DIM)
 
 
+def q_emb_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup composition: cosine near-dup pairs (LSH->verify) ->
+    connected components -> per-vector cluster + canonical flag. The
+    oracle recomputes the pair set exactly and resolves components
+    with a recursive reachability CTE — an independent algorithm."""
+    from axosyslog_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(_embs(spark, sf), threshold=0.5, dim=EMB_DIM)
+
+
 def q_emb_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate ANN — no SQL oracle (rows-only check); recall is
     instead asserted against brute force in tests/test_training_ops."""
@@ -2133,6 +2143,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "emb_topk": oracle.emb_topk_sql(5, 10),
         "emb_ivf_topk": oracle.emb_ivf_topk_sql(5, 10, 16, 4),
         "emb_near_dups": oracle.emb_near_dups_sql(500_000),
+        "emb_semantic_dedup": oracle.emb_semantic_dedup_sql(500_000),
         # doc_simhash_pairs, emb_lsh_topk: intentionally no oracle
         # (non-SQL-expressible; rows-only check)
     }
@@ -2161,6 +2172,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_lsh_topk": q_emb_lsh_topk,
         "op_scl_arr": q_op_scl_arr,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
     }
 
 

@@ -413,3 +413,35 @@ def ivf_topk(
             F.floor(F.col("cosine") * 1_000_000).cast("bigint").alias("cos_e6"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    dim: int | None = None,
+    n_planes: int = 4,
+    n_tables: int | None = None,
+    max_iters: int = 25,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication, end to end: cosine
+    near-duplicate PAIRS (LSH candidates -> exact verify, or
+    method='exact' ground truth) -> connected components over the dup
+    graph -> one row per vector with its cluster id and a `canonical`
+    keep flag (cluster = min reachable id; keep-one-per-cluster is
+    ``.filter("canonical")``).
+
+    Composition of two already-verified primitives —
+    embedding_near_dups (this module) and dedup.dup_clusters
+    (pointer-jumped min-label propagation) — so the scale story is
+    theirs: banded equi-joins for candidates, no all-pairs, O(log
+    diameter) label passes with per-pass localCheckpoint."""
+    from axosyslog_spark.operators.dedup import dup_clusters
+
+    pairs = embedding_near_dups(
+        df, threshold, id_col, vec_col, method, dim, n_planes, n_tables
+    )
+    ids = df.select(id_col)
+    return dup_clusters(pairs, ids, id_col=id_col, max_iters=max_iters)

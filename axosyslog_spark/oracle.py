@@ -618,3 +618,27 @@ def doc_gopher_sql(n: int = 2) -> str:
           ON ls.doc_id = t.doc_id
         """
     )
+
+
+def emb_semantic_dedup_sql(threshold_e6: int) -> str:
+    """SemDeDup oracle: the exact cosine near-dup pair set feeding a
+    recursive reachability CTE (cluster = min reachable vec_id) — an
+    algorithm independent of the engine's pointer-jumped label
+    propagation."""
+    inner = emb_near_dups_sql(threshold_e6)
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({inner}),
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION
+      SELECT id2, id1 FROM pairs
+    ),
+    comp(id, lbl) AS (
+        SELECT vec_id, vec_id FROM embeddings
+      UNION
+        SELECT e.a, c.lbl FROM edges e JOIN comp c ON c.id = e.b
+    )
+    SELECT id AS vec_id, min(lbl) AS cluster,
+           (min(lbl) = id) AS canonical
+    FROM comp GROUP BY id
+    """

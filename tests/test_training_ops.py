@@ -302,3 +302,32 @@ def test_gopher_repetition_signals(spark):
     # 'buy now buy now buy now please' normalized len 30, 3*7=21
     assert out[2]["top_gram_char_e6"] == 700_000
     assert out[3]["dup_line_e6"] == 0
+
+
+def test_semantic_dedup_composition(spark):
+    """semantic_dedup == near-dup pairs -> connected components; LSH
+    and exact paths agree on the fixture; exactly one canonical per
+    cluster and singletons are their own canonical."""
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = {r.vec_id: (r.cluster, r.canonical)
+           for r in similarity.semantic_dedup(
+               embs, threshold=0.5, dim=64).collect()}
+    exact = {r.vec_id: (r.cluster, r.canonical)
+             for r in similarity.semantic_dedup(
+                 embs, threshold=0.5, method="exact").collect()}
+    assert out == exact
+    assert len(out) == embs.count()
+    # every cluster's canonical is the min member and appears once
+    from collections import defaultdict
+    members = defaultdict(list)
+    for vid, (cl, canon) in out.items():
+        members[cl].append((vid, canon))
+    for cl, ms in members.items():
+        canons = [vid for vid, c in ms if c]
+        assert canons == [cl] and cl == min(v for v, _ in ms)
+    # the dup pairs ended up in shared clusters
+    pairs = similarity.embedding_near_dups(
+        embs, threshold=0.5, method="exact").collect()
+    assert pairs
+    for p in pairs:
+        assert out[p.id1][0] == out[p.id2][0]
