@@ -1269,3 +1269,90 @@ def sumologic_http_body(nv_pairs: Column) -> Column:
     return F.to_json(
         F.map_from_entries(F.array_sort(F.map_entries(filtered)))
     )
+
+
+# ---------------------------------------------------------------------------
+# scl/darwinosl/plugin.conf — darwin-oslog-stream() (`log stream
+# --style ndjson` parsing channel; the darwinosl() native source is a
+# platform transport, N/A-batch)
+# ---------------------------------------------------------------------------
+
+# darwinosl-metadata-db.csv: messageType -> unix severity
+_DARWIN_UNIXPRI = {
+    "Fault": 2, "Error": 3, "Notice": 5, "Info": 6, "Debug": 7,
+}
+_DARWIN_UNIXPRI_DEFAULT = 5  # the csv's 'unknown' default-selector row
+
+
+def darwin_oslog_stream_parser(
+    df: DataFrame, src_col: str = "text", prefix: str = "darwinoslog_"
+) -> DataFrame:
+    """scl/darwinosl/plugin.conf darwin-oslog-stream(): each ndjson
+    line from `log stream` is json-parsed under `prefix`, the
+    timestamp date-parsed ('%Y-%m-%d %T.%f%z' — Apple writes
+    '+0200'-style offsets), messageType enriched to a unix severity
+    through darwinosl-metadata-db.csv (default-selector 'unknown' ->
+    5), then the rewrite block: PROGRAM = basename(processImagePath)
+    when non-empty with spaces substituted to the literal '\\0x20'
+    (the block's subst), set-pri(unixpri), PID = processID, MSG =
+    activityIdentifier + optional ' (subsystem)' + optional
+    ' [category]' + ' ' + eventMessage, TRANSPORT pinned."""
+    from axosyslog_spark.operators.jsonflatten import json_flatten
+
+    df = json_flatten(df, src_col=src_col, out_col="darwinoslog",
+                      prefix=prefix)
+    mp = F.col("darwinoslog")
+
+    def fld(name: str) -> Column:
+        return F.element_at(mp, prefix + name)
+
+    sev_map = F.create_map(
+        *[F.lit(x) for k, v in _DARWIN_UNIXPRI.items() for x in (k, v)]
+    )
+    unixpri = F.coalesce(
+        F.element_at(sev_map, fld("messageType")).cast("int"),
+        F.lit(_DARWIN_UNIXPRI_DEFAULT),
+    )
+    img = F.coalesce(fld("processImagePath"), F.lit(""))
+    base = F.element_at(F.split(img, "/"), -1)
+    program = F.when(
+        F.trim(img) != "", F.replace(base, F.lit(" "), F.lit("\\0x20"))
+    ).otherwise(F.lit(""))
+    subsystem = F.coalesce(fld("subsystem"), F.lit(""))
+    category = F.coalesce(fld("category"), F.lit(""))
+    msg = F.concat(
+        F.coalesce(fld("activityIdentifier"), F.lit("")),
+        F.when(subsystem != "", F.concat(F.lit(" ("), subsystem, F.lit(")")))
+        .otherwise(F.lit("")),
+        F.when(category != "", F.concat(F.lit(" ["), category, F.lit("]")))
+        .otherwise(F.lit("")),
+        F.lit(" "),
+        F.coalesce(fld("eventMessage"), F.lit("")),
+    )
+    ts_raw = fld("timestamp")
+    return df.withColumns(
+        {
+            "darwin_ok": mp.isNotNull(),
+            "msg_ts": F.coalesce(
+                *[
+                    F.try_to_timestamp(ts_raw, F.lit(fmt))
+                    for fmt in (
+                        "yyyy-MM-dd HH:mm:ss.SSSSSSXX",
+                        "yyyy-MM-dd HH:mm:ss.SSSXX",
+                        "yyyy-MM-dd HH:mm:ssXX",
+                    )
+                ]
+            ),
+            "program": F.when(mp.isNotNull(), program),
+            "procid": F.when(mp.isNotNull(), fld("processID")),
+            # set-pri(unixpri): pri taken verbatim, severity/facility
+            # re-derived (rewrite-set-pri.c)
+            "pri": F.when(mp.isNotNull(), unixpri),
+            "severity": F.when(mp.isNotNull(), (unixpri % 8).cast("int")),
+            "facility": F.when(
+                mp.isNotNull(), F.floor(unixpri / 8).cast("int")
+            ),
+            "message": F.when(mp.isNotNull(), msg).otherwise(F.col(src_col)),
+            "transport": F.lit("local+darwinoslog_stream"),
+        }
+    )

@@ -709,3 +709,37 @@ def test_sumologic_http_body(spark):
     )
     # SOURCE excluded, keys sorted, JSON-escaped
     assert df.first()["body"] == '{"akey":"va\\"l","zkey":"v2"}'
+
+
+def test_darwin_oslog_stream_parser(spark):
+    line = (
+        '{"timestamp":"2024-05-01 10:00:00.123456+0200",'
+        '"messageType":"Error","processImagePath":"/usr/libexec/air portd",'
+        '"processID":"511","activityIdentifier":"0x42",'
+        '"subsystem":"com.apple.wifi","category":"scan",'
+        '"eventMessage":"scan failed"}'
+    )
+    minimal = (
+        '{"timestamp":"2024-05-01 10:00:01+0000","messageType":"Whatever",'
+        '"processImagePath":"","processID":"1","activityIdentifier":"0",'
+        '"eventMessage":"boot"}'
+    )
+    df = spark.createDataFrame(
+        [(0, line), (1, minimal), (2, "not json")], "id int, text string"
+    )
+    out = {r["id"]: r for r in scl.darwin_oslog_stream_parser(df).collect()}
+    r = out[0]
+    assert r["darwin_ok"]
+    # metadata csv: Error -> unixpri 3; set-pri derives sev/fac
+    assert r["pri"] == 3 and r["severity"] == 3 and r["facility"] == 0
+    # basename + the block's space->literal-\0x20 subst
+    assert r["program"] == "air\\0x20portd"
+    assert r["procid"] == "511"
+    assert r["message"] == "0x42 (com.apple.wifi) [scan] scan failed"
+    assert r["msg_ts"] == dt.datetime(2024, 5, 1, 8, 0, 0, 123456)
+    assert r["transport"] == "local+darwinoslog_stream"
+    # unknown messageType -> default 5; empty subsystem/category omitted
+    assert out[1]["pri"] == 5 and out[1]["message"] == "0 boot"
+    assert out[1]["program"] == ""
+    # non-json passthrough
+    assert not out[2]["darwin_ok"] and out[2]["message"] == "not json"
