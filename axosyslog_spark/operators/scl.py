@@ -1356,3 +1356,95 @@ def darwin_oslog_stream_parser(
             "transport": F.lit("local+darwinoslog_stream"),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# scl/elasticsearch/elastic-datastream.conf + scl/slack/slack.conf —
+# HTTP destination bodies (transport is N/A-batch; the body each
+# renders is the artifact)
+# ---------------------------------------------------------------------------
+
+
+def elasticsearch_datastream_body(
+    ts: Column,
+    host: Column,
+    program: Column,
+    pid: Column | None,
+    message: Column,
+    extra: dict[str, Column] | None = None,
+) -> Column:
+    """scl/elasticsearch/elastic-datastream.conf body: the _bulk
+    ndjson pair ``{"create":{ }}\\n`` + $(format-json --scope rfc5424
+    --exclude DATE --key ISODATE @timestamp=${ISODATE}) — the RFC5424
+    nv-pairs with DATE swapped for an ISO @timestamp. NULL fields are
+    omitted like --omit-empty under format-json's defaults for unset
+    names; the batch body_suffix newline is the sink's concern."""
+    from axosyslog_spark.functions.templates import macro
+
+    parts: list[Column] = [
+        macro("ISODATE", ts).alias("@timestamp"),
+        F.nullif(F.coalesce(host.cast("string"), F.lit("")), F.lit(""))
+        .alias("HOST"),
+        F.nullif(F.coalesce(program.cast("string"), F.lit("")), F.lit(""))
+        .alias("PROGRAM"),
+        (F.nullif(F.coalesce(pid.cast("string"), F.lit("")), F.lit(""))
+         if pid is not None else F.lit(None).cast("string")).alias("PID"),
+        message.cast("string").alias("MESSAGE"),
+    ]
+    if extra:
+        parts.extend(c.cast("string").alias(k) for k, c in extra.items())
+    return F.concat(
+        F.lit('{"create":{ }}\n'),
+        F.to_json(F.struct(*parts), {"ignoreNullFields": "true"}),
+    )
+
+
+# slack() default color ladder, one per severity 0..7 (slack.conf
+# colors() + color-chooser('${LEVEL_NUM}'))
+_SLACK_COLORS = (
+    "#512E5F", "#B03A2E", "#E74C3C", "#F39C12",
+    "#F8C471", "#7DCEA0", "#5DADE2", "#85929E",
+)
+
+
+def slack_attachment_body(
+    message: Column,
+    host: Column,
+    program: Column,
+    pid: Column,
+    severity: Column,
+    ts: Column,
+    colors: tuple[str, ...] = _SLACK_COLORS,
+) -> Column:
+    """scl/slack/slack.conf slack() attachment JSON: the block's
+    $(format-json) body with the defaults filled in — fallback and
+    author_name both render 'MSG - host: H | program: P(PID) |
+    severity: SEV', color indexes the 8-entry ladder with
+    $(list-nth ${LEVEL_NUM}), text is ${MSG}, ts is ${UNIXTIME};
+    the empty-default fields (pretext/title/...) are omitted, which
+    is what format-json does with empty values under --cast. The
+    surrounding '{"attachments":[' body-prefix / ']}' suffix and
+    the webhook POST are the sink's concern."""
+    from axosyslog_spark.functions.templates import macro
+
+    sev_name = macro("PRIORITY", severity=severity.cast("int"))
+    byline = F.concat(
+        F.lit("host: "), F.coalesce(host.cast("string"), F.lit("")),
+        F.lit(" | program: "), F.coalesce(program.cast("string"), F.lit("")),
+        F.lit("("), F.coalesce(pid.cast("string"), F.lit("")), F.lit(")"),
+        F.lit(" | severity: "), sev_name,
+    )
+    color = F.element_at(
+        F.array(*[F.lit(c) for c in colors]), (severity.cast("int") % 8) + 1
+    )
+    return F.to_json(
+        F.struct(
+            F.concat(message.cast("string"), F.lit(" - "), byline)
+            .alias("fallback"),
+            color.alias("color"),
+            byline.alias("author_name"),
+            message.cast("string").alias("text"),
+            F.unix_timestamp(ts).cast("string").alias("ts"),
+        ),
+        {"ignoreNullFields": "true"},
+    )

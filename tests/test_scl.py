@@ -743,3 +743,49 @@ def test_darwin_oslog_stream_parser(spark):
     assert out[1]["program"] == ""
     # non-json passthrough
     assert not out[2]["darwin_ok"] and out[2]["message"] == "not json"
+
+
+def test_elasticsearch_datastream_body(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 6, 15, 10, 11, 5), "h1", "sshd", "77",
+          "login ok")],
+        "ts timestamp, host string, prog string, pid string, msg string",
+    )
+    body = df.select(
+        scl.elasticsearch_datastream_body(
+            F.col("ts"), F.col("host"), F.col("prog"), F.col("pid"),
+            F.col("msg"),
+        ).alias("b")
+    ).first()["b"]
+    head, record = body.split("\n", 1)
+    assert head == '{"create":{ }}'
+    import json as _json
+
+    rec = _json.loads(record)
+    assert rec == {
+        "@timestamp": "2024-06-15T10:11:05Z", "HOST": "h1",
+        "PROGRAM": "sshd", "PID": "77", "MESSAGE": "login ok",
+    }
+
+
+def test_slack_attachment_body(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 6, 15, 10, 11, 5), "h1", "app", "9", 3,
+          "disk failing")],
+        "ts timestamp, host string, prog string, pid string,"
+        " sev int, msg string",
+    )
+    import json as _json
+
+    body = _json.loads(df.select(
+        scl.slack_attachment_body(
+            F.col("msg"), F.col("host"), F.col("prog"), F.col("pid"),
+            F.col("sev"), F.col("ts"),
+        ).alias("b")
+    ).first()["b"])
+    assert body["color"] == "#F39C12"          # severity 3 -> 4th entry
+    assert body["text"] == "disk failing"
+    assert body["author_name"] == "host: h1 | program: app(9) | severity: err"
+    assert body["fallback"].startswith("disk failing - host: h1")
+    assert body["ts"] == str(int(dt.datetime(2024, 6, 15, 10, 11, 5,
+                                             tzinfo=dt.timezone.utc).timestamp()))
