@@ -1448,3 +1448,84 @@ def slack_attachment_body(
         ),
         {"ignoreNullFields": "true"},
     )
+
+
+def discord_body(
+    message: Column,
+    max_msg_length: int = 2000,
+    username: str = "",
+    avatar_url: str = "",
+    tts: bool = False,
+) -> Column:
+    """scl/discord/discord.conf discord() webhook body: format-json
+    over content (the template truncated to max-msg-length, default
+    '[empty message]' fallback applied by the caller's template),
+    username / avatar_url omitted when empty, tts as a JSON bool."""
+    parts = [
+        F.substring(message.cast("string"), 1, max_msg_length)
+        .alias("content"),
+        (F.lit(username) if username else F.lit(None).cast("string"))
+        .alias("username"),
+        (F.lit(avatar_url) if avatar_url else F.lit(None).cast("string"))
+        .alias("avatar_url"),
+        F.lit(tts).alias("tts"),
+    ]
+    return F.to_json(F.struct(*parts), {"ignoreNullFields": "true"})
+
+
+def telegram_body(
+    message: Column,
+    chat_id: str,
+    parse_mode: str = "none",
+    disable_web_page_preview: bool = True,
+    disable_notification: bool = False,
+    max_size: int = 4096,
+) -> Column:
+    """scl/telegram/telegram.conf telegram() sendMessage body: the
+    urlencoded form string with text=$(url-encode $(substr template
+    0 max-size)) — the bot-id rides the URL, not the body."""
+    prefix = (
+        f"disable_web_page_preview={str(disable_web_page_preview).lower()}"
+        f"&disable_notification={str(disable_notification).lower()}"
+        f"&parse_mode={parse_mode}&chat_id={chat_id}&&text="
+    )
+    return F.concat(
+        F.lit(prefix),
+        F.url_encode(F.substring(message.cast("string"), 1, max_size)),
+    )
+
+
+def logscale_event_body(
+    rawstring: Column,
+    ts: Column,
+    host: Column | None = None,
+    program: Column | None = None,
+    pid: Column | None = None,
+    timezone: str = "",
+) -> Column:
+    """scl/logscale/logscale.conf logscale() humio-structured event:
+    format-json with rawstring=${MESSAGE}, timestamp=${S_ISODATE},
+    optional timezone, and attributes = the rfc5424 scope minus
+    MESSAGE/DATE (--omit-empty-values drops unset names). The
+    '[{"events":[' framing and bearer-token POST are the sink's."""
+    from axosyslog_spark.functions.templates import macro
+
+    def s(c: Column | None) -> Column:
+        if c is None:
+            return F.lit(None).cast("string")
+        return F.nullif(c.cast("string"), F.lit(""))
+
+    attrs = F.struct(
+        s(host).alias("HOST"), s(program).alias("PROGRAM"),
+        s(pid).alias("PID"),
+    )
+    return F.to_json(
+        F.struct(
+            rawstring.cast("string").alias("rawstring"),
+            macro("ISODATE", ts).alias("timestamp"),
+            (F.lit(timezone) if timezone else F.lit(None).cast("string"))
+            .alias("timezone"),
+            attrs.alias("attributes"),
+        ),
+        {"ignoreNullFields": "true"},
+    )

@@ -789,3 +789,32 @@ def test_slack_attachment_body(spark):
     assert body["fallback"].startswith("disk failing - host: h1")
     assert body["ts"] == str(int(dt.datetime(2024, 6, 15, 10, 11, 5,
                                              tzinfo=dt.timezone.utc).timestamp()))
+
+
+def test_chat_and_logscale_bodies(spark):
+    import json as _json
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 6, 15, 10, 11, 5), "h1", "app", None,
+          "hello & <world>")],
+        "ts timestamp, host string, prog string, pid string, msg string",
+    )
+    row = df.select(
+        scl.discord_body(F.col("msg"), max_msg_length=7).alias("d"),
+        scl.telegram_body(F.col("msg"), chat_id="42").alias("t"),
+        scl.logscale_event_body(
+            F.col("msg"), F.col("ts"), F.col("host"), F.col("prog"),
+            F.col("pid"),
+        ).alias("l"),
+    ).first()
+    d = _json.loads(row["d"])
+    assert d == {"content": "hello &", "tts": False}  # truncated, empties gone
+    assert row["t"] == (
+        "disable_web_page_preview=true&disable_notification=false"
+        "&parse_mode=none&chat_id=42&&text=hello+%26+%3Cworld%3E"
+    )
+    l = _json.loads(row["l"])
+    assert l["rawstring"] == "hello & <world>"
+    assert l["timestamp"] == "2024-06-15T10:11:05Z"
+    assert l["attributes"] == {"HOST": "h1", "PROGRAM": "app"}  # PID null -> omitted
+    assert "timezone" not in l
