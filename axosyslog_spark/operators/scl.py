@@ -25,6 +25,18 @@ one DataFrame projection stage:
   - mbox_source              — scl/mbox/mbox.conf ('^From ' framing)
   - default_network_drivers  — scl/default-network-drivers/plugin.conf
     (the raw-app / syslog / ewmm / app-parser composition)
+  - solaris_msgid_parser     — scl/solaris/plugin.conf
+  - arr_parser               — scl/arr/arr.conf (Radarr/Sonarr family)
+  - jellyfin_parser          — scl/jellyfin/jellyfin.conf
+  - qbittorrent_parser       — scl/qbittorrent/qbittorrent.conf
+  - nodejs_winston_parser    — scl/nodejs/plugin.conf
+  - darwin_oslog_stream_parser — scl/darwinosl/plugin.conf
+  - loggly_line / logmatic_line / sumologic_syslog_line /
+    sumologic_http_body / elasticsearch_datastream_body /
+    slack_attachment_body / discord_body / telegram_body /
+    logscale_event_body — hosted-destination wire formats (the
+    transports are N/A-batch; each block's rendered line/body is
+    the artifact)
 
 Everything is column algebra; `drop-invalid` behaviors surface as an
 `*_ok` boolean so routing can keep the reference's path semantics.
