@@ -118,22 +118,19 @@ def _strip_framing_bytes(text: Column) -> Column:
     framed classify/extract. Without this a literal \\x02 in hostile
     input would silently yield a wrong rule_id/field values.
 
-    The translate is gated behind four contains() probes so clean
-    text (the overwhelmingly common case — syslog payloads never
-    carry control bytes) pays scan-only cost, no string rebuild:
-    measured 0.75 s vs 2.50 s unconditional translate per 5M clean
-    rows (an rlike char-class guard measures WORSE than no guard,
-    4.7 s). Callers materialize the result once per row (apply()'s
-    __pdb_txt column), so the guard itself isn't re-evaluated per
-    dispatch-tree node."""
-    bad = _BLOCK_SEP + _MARK + _HIT + _FIELD_SEP
-    dirty = (
-        text.contains(_BLOCK_SEP)
-        | text.contains(_MARK)
-        | text.contains(_HIT)
-        | text.contains(_FIELD_SEP)
-    )
-    return F.when(dirty, F.translate(text, bad, "")).otherwise(text)
+    MUST stay a single-reference expression. A round-5 attempt gated
+    the translate behind four contains() probes (standalone microbench
+    3.3x faster on clean text), but the guard references `text` six
+    times instead of once, and when a composed pipeline's optimizer
+    collapses the materializing Project (CollapseProject re-inlines
+    __pdb_txt into EVERY dispatch-tree node), the expression tree
+    multiplies: the config-pipeline aggregate's generated
+    processNext() blew past Janino's 64 KB method limit, task binaries
+    grew 3.3 MB -> 18.4 MB, and the interpreted fallback OOMed a 16 GB
+    heap on 10k rows (test_config). On the real apply path the guard's
+    benefit was same-window noise anyway — the unconditional translate
+    stays."""
+    return F.translate(text, _BLOCK_SEP + _MARK + _HIT + _FIELD_SEP, "")
 
 
 # back-compat name (round-1/2 API used \x01 as the group joiner)
