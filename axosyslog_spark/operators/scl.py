@@ -1541,3 +1541,33 @@ def logscale_event_body(
         ),
         {"ignoreNullFields": "true"},
     )
+
+
+def network_load_balancer(
+    df: DataFrame,
+    targets: list[str],
+    key: Column,
+    failover: bool = True,
+) -> DataFrame:
+    """scl/loadbalancer/gen-loadbalancer.sh network-load-balancer():
+    the generated config fans out into one flags(final) channel per
+    target, message i going to ``targets[i]`` where i == ${R_USEC} %
+    target_count; each channel's failover list is every OTHER target
+    in declaration order (generated unless the caller overrides).
+    Batch analog: ``key`` stands in for R_USEC (any uniformly-spread
+    int column — the wall-clock microsecond has no batch meaning),
+    and the final-flag exclusivity is inherent to the mod assignment.
+    Adds lb_target and (when failover and >=2 targets, like the
+    script's guard) lb_failover."""
+    n = len(targets)
+    if n == 0:
+        raise ValueError("network-load-balancer needs at least one target")
+    tarr = F.array(*[F.lit(t) for t in targets])
+    idx = (key.cast("bigint") % n).cast("int")
+    out = df.withColumn("lb_target", F.element_at(tarr, idx + 1))
+    if failover and n >= 2:
+        out = out.withColumn(
+            "lb_failover",
+            F.filter(tarr, lambda t: t != F.col("lb_target")),
+        )
+    return out

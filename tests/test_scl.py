@@ -818,3 +818,16 @@ def test_chat_and_logscale_bodies(spark):
     assert l["timestamp"] == "2024-06-15T10:11:05Z"
     assert l["attributes"] == {"HOST": "h1", "PROGRAM": "app"}  # PID null -> omitted
     assert "timezone" not in l
+
+
+def test_network_load_balancer(spark):
+    df = spark.createDataFrame([(i,) for i in range(7)], "k int")
+    out = scl.network_load_balancer(
+        df, ["s1:514", "s2:514", "s3:514"], F.col("k")).collect()
+    for r in out:
+        assert r["lb_target"] == ["s1:514", "s2:514", "s3:514"][r["k"] % 3]
+        assert r["lb_target"] not in r["lb_failover"]
+        assert len(r["lb_failover"]) == 2
+    # the script skips failover generation below 2 targets
+    one = scl.network_load_balancer(df, ["only:514"], F.col("k"))
+    assert "lb_failover" not in one.columns
