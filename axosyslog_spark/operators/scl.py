@@ -1571,3 +1571,51 @@ def network_load_balancer(
             F.filter(tarr, lambda t: t != F.col("lb_target")),
         )
     return out
+
+
+def openobserve_log_body(
+    ts: Column,
+    host: Column,
+    program: Column,
+    pid: Column | None,
+    message: Column,
+    extra: dict[str, Column] | None = None,
+) -> Column:
+    """scl/openobserve/openobserve.conf openobserve-log() record: the
+    same rfc5424-minus-DATE-plus-@timestamp JSON record as
+    elasticsearch-datastream, POSTed to /api/{org}/{stream}/_json;
+    the '[' ... ']' array framing and auth are the sink's concern."""
+    body = elasticsearch_datastream_body(ts, host, program, pid, message,
+                                         extra)
+    # reuse the datastream record, minus its bulk-create header line
+    return F.substring_index(body, "\n", -1)
+
+
+def opensearch_body(
+    ts: Column,
+    host: Column,
+    program: Column,
+    pid: Column | None,
+    message: Column,
+    index: str,
+    op_type: str = "index",
+    custom_id: str = "",
+    extra: dict[str, Column] | None = None,
+) -> Column:
+    """scl/opensearch/opensearch.conf opensearch() _bulk body: the
+    action line $(format-json {op_type}._index / ._id with
+    --omit-empty-values, so an empty custom_id disappears) + newline +
+    the rfc5424 record with @timestamp — ndjson pair like
+    elasticsearch-datastream but with an explicit index/op_type."""
+    import json as _json
+
+    action: dict = {"_index": index}
+    if custom_id:
+        action["_id"] = custom_id
+    head = _json.dumps({op_type: action}, separators=(",", ":"))
+    record = F.substring_index(
+        elasticsearch_datastream_body(ts, host, program, pid, message,
+                                      extra),
+        "\n", -1,
+    )
+    return F.concat(F.lit(head + "\n"), record)

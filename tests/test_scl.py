@@ -831,3 +831,34 @@ def test_network_load_balancer(spark):
     # the script skips failover generation below 2 targets
     one = scl.network_load_balancer(df, ["only:514"], F.col("k"))
     assert "lb_failover" not in one.columns
+
+
+def test_openobserve_and_opensearch_bodies(spark):
+    import json as _json
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 6, 15, 10, 11, 5), "h1", "sshd", "77", "m1")],
+        "ts timestamp, host string, prog string, pid string, msg string",
+    )
+    row = df.select(
+        scl.openobserve_log_body(
+            F.col("ts"), F.col("host"), F.col("prog"), F.col("pid"),
+            F.col("msg"),
+        ).alias("oo"),
+        scl.opensearch_body(
+            F.col("ts"), F.col("host"), F.col("prog"), F.col("pid"),
+            F.col("msg"), index="logs", custom_id="id9",
+        ).alias("os"),
+        scl.opensearch_body(
+            F.col("ts"), F.col("host"), F.col("prog"), F.col("pid"),
+            F.col("msg"), index="logs",
+        ).alias("os_noid"),
+    ).first()
+    oo = _json.loads(row["oo"])
+    assert oo["@timestamp"] == "2024-06-15T10:11:05Z" and oo["HOST"] == "h1"
+    head, record = row["os"].split("\n", 1)
+    assert _json.loads(head) == {"index": {"_index": "logs", "_id": "id9"}}
+    assert _json.loads(record)["MESSAGE"] == "m1"
+    # empty custom_id omitted (--omit-empty-values)
+    assert _json.loads(row["os_noid"].split("\n", 1)[0]) == {
+        "index": {"_index": "logs"}}
