@@ -34,6 +34,11 @@ class CsvSpec:
     strip: bool = False           # strip whitespace around fields
     drop_invalid: bool = True     # parse_ok=False when column count short
     prefix: str = ""
+    # dialect (csv-scanner.c CSVScannerDialect): the in-quote escape
+    # character. None keeps the scanner's backslash default
+    # (escape-backslash); pass the quote char itself for the
+    # escape-double-char dialect (doubled quotes inside a quoted field).
+    escape: str | None = None
 
 
 def csv_parse(df: DataFrame, spec: CsvSpec, src_col: str = "text") -> DataFrame:
@@ -46,6 +51,8 @@ def csv_parse(df: DataFrame, spec: CsvSpec, src_col: str = "text") -> DataFrame:
         # quoted dialect -> from_csv handles embedded delimiters
         schema = ", ".join(f"`{c.name}` STRING" for c in spec.columns)
         opts = {"sep": spec.delimiter, "quote": spec.quote or '"'}
+        if spec.escape is not None:
+            opts["escape"] = spec.escape
         if spec.null_value is not None:
             opts["nullValue"] = spec.null_value
         parsed = F.from_csv(src, F.lit(schema), opts)

@@ -31,10 +31,14 @@ one DataFrame projection stage:
   - qbittorrent_parser       — scl/qbittorrent/qbittorrent.conf
   - nodejs_winston_parser    — scl/nodejs/plugin.conf
   - darwin_oslog_stream_parser — scl/darwinosl/plugin.conf
+  - mariadb_audit_parser    — scl/mariadb/audit.conf
+  - postgresql_csvlog_parser — scl/pgsql/pgsql.conf (26-column
+    csvlog + the shifted severity ladder)
   - loggly_line / logmatic_line / sumologic_syslog_line /
     sumologic_http_body / elasticsearch_datastream_body /
     slack_attachment_body / discord_body / telegram_body /
-    logscale_event_body — hosted-destination wire formats (the
+    logscale_event_body / google_pubsub_event+publish_body /
+    azure_monitor_body — hosted-destination wire formats (the
     transports are N/A-batch; each block's rendered line/body is
     the artifact)
 
@@ -1619,3 +1623,199 @@ def opensearch_body(
         "\n", -1,
     )
     return F.concat(F.lit(head + "\n"), record)
+
+
+# ---------------------------------------------------------------------------
+# round-5c batch: mariadb audit, postgresql csvlog, google-pubsub,
+# azure-monitor
+# ---------------------------------------------------------------------------
+
+_MARIADB_COLUMNS = (
+    "serverhost", "username", "host", "connectionid", "queryid",
+    "operation", "database", "object", "retcode",
+)
+
+# scl/mariadb/audit.conf second parser: split the stray syslog_info
+# word the csv stage swallowed into `prefix`serverhost
+_MARIADB_INFO_RE = r"^\s*(\S*?)(?: )?(\S+)$"
+
+
+def mariadb_audit_parser(
+    df: DataFrame, src_col: str = "message", prefix: str = ".mariadb."
+) -> DataFrame:
+    """scl/mariadb/audit.conf mariadb-audit-parser(): csv-parser over
+    $MESSAGE with delimiters(','), quote-pairs("''"),
+    flags(greedy, drop-invalid, escape-backslash) into the nine audit
+    columns, then the regexp-parser pass that re-splits the first
+    column (the syslog_info stray word + serverhost pair, e.g.
+    'columnstore-1 eff8a68bcd7f') into `prefix`syslog_info and the
+    real `prefix`serverhost.
+
+    The audit plugin's quoted fields ('SELECT ... WHERE 0=1') carry
+    backslash-escaped quotes (\\') — from_csv's backslash escape
+    dialect matches the scanner's escape-backslash flag. drop-invalid
+    surfaces as ``mariadb_ok``: the scanner drops on SHORT COLUMN
+    COUNT only (empty fields are legal — CONNECT rows carry empty
+    database/object), so ok keys on the LAST column being present
+    (a short row nulls out the tail), not on every field non-null."""
+    from axosyslog_spark.operators.csvparse import CsvColumn, CsvSpec, csv_parse
+
+    spec = CsvSpec(
+        columns=tuple(CsvColumn(c) for c in _MARIADB_COLUMNS),
+        delimiter=",",
+        quote="'",
+        prefix=prefix,
+        drop_invalid=False,
+    )
+    df = (
+        csv_parse(df, spec, src_col=src_col)
+        .drop("csv_ok")
+        .withColumn(
+            "mariadb_ok", F.col(f"`{prefix}{_MARIADB_COLUMNS[-1]}`").isNotNull()
+        )
+    )
+    raw = F.col(f"`{prefix}serverhost`")
+    return (
+        df.withColumn(
+            f"{prefix}syslog_info", F.regexp_extract(raw, _MARIADB_INFO_RE, 1)
+        )
+        .withColumn(
+            f"{prefix}serverhost", F.regexp_extract(raw, _MARIADB_INFO_RE, 2)
+        )
+    )
+
+
+# scl/pgsql/pgsql.conf postgresql-csvlog-parser() column list
+# (csvlog format, postgresql runtime-config-logging); int() hints
+# become casts, on-type-error(drop-property) == cast-to-NULL.
+_PGSQL_COLUMNS: tuple[tuple[str, str | None], ...] = (
+    ("timestamp", None), ("username", None), ("database", None),
+    ("pid", "int"), ("connection_from", None), ("session_id", None),
+    ("session_line_num", "int"), ("command_tag", None),
+    ("session_start_time", None), ("virtual_transaction_id", None),
+    ("transaction_id", "int"), ("severity", None),
+    ("sql_state_code", None), ("message", None), ("detail", None),
+    ("hint", None), ("internal_query", None),
+    ("internal_query_pos", "int"), ("context", None), ("query", None),
+    ("query_pos", "int"), ("location", None), ("application_name", None),
+    ("backend_type", None), ("leader_pid", "int"), ("query_id", "int"),
+)
+
+
+def postgresql_csvlog_parser(
+    df: DataFrame,
+    src_col: str = "text",
+    prefix: str = ".pgsql.",
+    host_from_col: str | None = None,
+) -> DataFrame:
+    """scl/pgsql/pgsql.conf postgresql-csvlog-parser(): the 26-column
+    csvlog csv-parser (quote-pairs('\"\"'), dialect escape-double-char,
+    flags(strip-whitespace), int() hints -> cast, on-type-error
+    drop-property -> NULL), then the conf's channel tail:
+
+      - date-parser('%Y-%m-%d %H:%M:%S.%f') over
+        $(substr ${.pgsql.timestamp} 0 23) -> ``ts`` (the conf strips
+        the non-standard zone suffix)
+      - PID = int(pid); MESSAGE = ${.pgsql.message};
+        connection_from defaulted to $HOST_FROM when empty
+      - the shifted severity ladder: a severity starting with DEBUG
+        maps to debug(7); otherwise resolve the name via the
+        syslog-names alias table (PANIC->0, ERROR->3, WARNING->4,
+        LOG/FATAL don't resolve -> severity unchanged), then
+        +1 when SEVERITY_NUM==0 and +1 again when SEVERITY_NUM<=4 —
+        so PANIC lands on crit(2), ERROR on warning(4), WARNING on
+        notice(5), matching the conf's comment block."""
+    from axosyslog_spark.operators.csvparse import CsvColumn, CsvSpec, csv_parse
+    from axosyslog_spark.operators.rewrite import severity_by_name
+
+    spec = CsvSpec(
+        columns=tuple(CsvColumn(n, cast) for n, cast in _PGSQL_COLUMNS),
+        delimiter=",",
+        quote='"',
+        escape='"',
+        strip=True,
+        # the trailing columns are version-gated (13+/14+); a 24-column
+        # v12 line must still parse -> only the always-present core is
+        # required (drop-invalid on the non-gated prefix is approximated
+        # by requiring the message column)
+        drop_invalid=False,
+        prefix=prefix,
+    )
+    df = csv_parse(df, spec, src_col=src_col).withColumnRenamed(
+        "csv_ok", "pgsql_ok"
+    )
+    df = df.withColumn(
+        "pgsql_ok", F.col(f"`{prefix}message`").isNotNull()
+    )
+    ts = F.to_timestamp(
+        F.substring(F.col(f"`{prefix}timestamp`"), 1, 23),
+        "yyyy-MM-dd HH:mm:ss.SSS",
+    )
+    df = (
+        df.withColumn("ts", ts)
+        .withColumn("pid", F.col(f"`{prefix}pid`"))
+        .withColumn("message", F.col(f"`{prefix}message`"))
+    )
+    if host_from_col is not None:
+        df = df.withColumn(
+            f"{prefix}connection_from",
+            F.when(
+                F.coalesce(F.col(f"`{prefix}connection_from`"), F.lit(""))
+                != "",
+                F.col(f"`{prefix}connection_from`"),
+            ).otherwise(F.col(host_from_col)),
+        )
+    sev_name = F.col(f"`{prefix}severity`")
+    base = F.col("severity") if "severity" in df.columns else F.lit(5)
+    resolved = F.coalesce(severity_by_name(sev_name), base.cast("int"))
+    shifted1 = F.when(resolved == 0, resolved + 1).otherwise(resolved)
+    shifted = F.when(shifted1 <= 4, shifted1 + 1).otherwise(shifted1)
+    sev = F.when(
+        F.upper(sev_name).startswith("DEBUG"), F.lit(7)
+    ).otherwise(shifted)
+    return df.withColumn("severity", sev.cast("int"))
+
+
+def google_pubsub_event(data: Column, attributes: Column) -> Column:
+    """scl/google/google-pubsub.conf body: one publish message —
+    $(format-json --omit-empty-values data=$(base64-encode `data`)
+    attributes=literal($(format-flat-json `attributes`))). ``data``
+    is base64-wrapped; ``attributes`` is a map column rendered as a
+    FLAT json object embedded verbatim (literal())."""
+    from axosyslog_spark.functions.templates import tf_base64_encode
+
+    # format-flat-json over a map: flat keys, reverse-lex entry order
+    # (tf_flat_value_pairs_sort's strcmp(s2, s1)); to_json preserves
+    # map entry order, so sort-then-rebuild renders it directly
+    attrs_json = F.to_json(
+        F.map_from_entries(F.reverse(F.array_sort(F.map_entries(attributes))))
+    )
+    # '{"data":"<b64>"}' spliced with the literal() attributes object
+    head = F.to_json(F.struct(tf_base64_encode(data).alias("data")))
+    return F.concat(
+        F.substr(head, F.lit(1), F.length(head) - 1),
+        F.lit(',"attributes":'),
+        attrs_json,
+        F.lit("}"),
+    )
+
+
+def google_pubsub_publish_body(events: Column) -> Column:
+    """The POST body for :publish — body_prefix('{"messages":[') +
+    delimiter(',') + body_suffix(']}') over a batch's rendered
+    events (an array column from collect_list within the batch
+    key). Batching (batch-lines/bytes/timeout) is the sink's
+    concern; this renders one batch's body."""
+    return F.concat(
+        F.lit('{"messages":['), F.array_join(events, ","), F.lit("]}")
+    )
+
+
+def azure_monitor_body(events: Column) -> Column:
+    """scl/azure/azure-monitor.conf azure_monitor(): the DCR ingestion
+    POST body — body_prefix('[') + per-message body(`template`) joined
+    by delimiter(',') + body_suffix(']'). The url/auth plumbing
+    (dce_uri/dcr_id/stream_name, cloud-auth) is transport, N/A-batch;
+    stream_name selection maps to the batch key of the groupBy that
+    produced ``events``."""
+    return F.concat(F.lit("["), F.array_join(events, ","), F.lit("]"))

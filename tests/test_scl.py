@@ -862,3 +862,118 @@ def test_openobserve_and_opensearch_bodies(spark):
     # empty custom_id omitted (--omit-empty-values)
     assert _json.loads(row["os_noid"].split("\n", 1)[0]) == {
         "index": {"_index": "logs"}}
+
+
+# ---------------------------------------------------------------------------
+# round-5c: mariadb audit, postgresql csvlog, google-pubsub, azure-monitor
+# ---------------------------------------------------------------------------
+
+
+def test_mariadb_audit_parser(spark):
+    # the four example lines from scl/mariadb/audit.conf (post-header
+    # $MESSAGE bodies)
+    rows = [
+        (0, "columnstore-1 eff8a68bcd7f,user1,172.18.0.1,32,394,QUERY,"
+            "syslog_ng,'SELECT * FROM test WHERE 0=1',1146"),
+        (1, "columnstore-1 centos,root,localhost,11,117,QUERY,loans,"
+            "'SELECT grade, AVG(loan_amnt) avg,FROM loanstats GROUP BY "
+            "grade ORDER BY grade',0"),
+        (2, "docker eff8a68bcd7f,root,172.18.0.3,13,0,CONNECT,,,0"),
+        (3, "docker eff8a68bcd7f,user1,172.18.0.3,11,58,QUERY,syslog_ng,"
+            "'insert into test (date, host, program, message) VALUES("
+            "\\'Apr 29 15:55:24\\', \\'locohost\\', \\'test-program\\', "
+            "\\'foo fighters bar baz\\')',0"),
+    ]
+    df = spark.createDataFrame(rows, "id int, message string")
+    out = {
+        r["id"]: r
+        for r in scl.mariadb_audit_parser(df).orderBy("id").collect()
+    }
+    assert out[0][".mariadb.syslog_info"] == "columnstore-1"
+    assert out[0][".mariadb.serverhost"] == "eff8a68bcd7f"
+    assert out[0][".mariadb.username"] == "user1"
+    assert out[0][".mariadb.object"] == "SELECT * FROM test WHERE 0=1"
+    assert out[0][".mariadb.retcode"] == "1146"
+    # quoted field keeps its embedded commas
+    assert "GROUP BY grade" in out[1][".mariadb.object"]
+    assert out[1][".mariadb.retcode"] == "0"
+    # CONNECT row: empty database/object
+    assert out[2][".mariadb.operation"] == "CONNECT"
+    assert out[2]["mariadb_ok"]  # empty fields are legal, row kept
+    # escape-backslash: \' inside the quoted SQL survives unescaped
+    assert "'Apr 29 15:55:24'" in out[3][".mariadb.object"]
+    assert out[3][".mariadb.operation"] == "QUERY"
+
+
+def test_postgresql_csvlog_parser(spark):
+    # csvlog line per postgresql runtime-config-logging: 26 columns,
+    # quoted fields with doubled quotes
+    line = (
+        '2023-02-14 10:00:12.345 UTC,"postgres","mydb",4242,'
+        '"127.0.0.1:50314",63eb4c2c.1092,2,"SELECT",'
+        "2023-02-14 10:00:00 UTC,3/13,0,ERROR,42P01,"
+        '"relation ""missing"" does not exist",,,,15,'
+        '"plpgsql block","SELECT * FROM missing",8,,"psql","client backend",,'
+        "123"
+    )
+    panic = (
+        '2023-02-14 10:00:12.345 UTC,"postgres","mydb",4242,'
+        ",63eb4c2c.1092,3,,,,0,PANIC,XX000,"
+        '"stack depth limit exceeded",,,,,,,,,"psql","client backend",,'
+    )
+    dbg = panic.replace(",PANIC,XX000,", ",DEBUG3,00000,")
+    warn = panic.replace(",PANIC,XX000,", ",WARNING,01000,")
+    fatal = panic.replace(",PANIC,XX000,", ",FATAL,57P01,")
+    df = spark.createDataFrame(
+        [(0, line), (1, panic), (2, dbg), (3, warn), (4, fatal)],
+        "id int, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in scl.postgresql_csvlog_parser(df).orderBy("id").collect()
+    }
+    r = out[0]
+    assert r[".pgsql.username"] == "postgres"
+    assert r["pid"] == 4242
+    # escape-double-char: ""missing"" -> "missing"
+    assert r["message"] == 'relation "missing" does not exist'
+    assert r[".pgsql.query_id"] == 123
+    assert str(r["ts"]).startswith("2023-02-14 10:00:12.345")
+    # severity ladder: ERROR(3) -> warning(4); PANIC(0) -> crit(2);
+    # DEBUG3 -> debug(7); WARNING(4) -> notice(5); FATAL unresolved ->
+    # stays at the 5 default then no shift applies (>4)
+    assert r["severity"] == 4
+    assert out[1]["severity"] == 2
+    assert out[2]["severity"] == 7
+    assert out[3]["severity"] == 5
+    assert out[4]["severity"] == 5
+    assert all(out[i]["pgsql_ok"] for i in out)
+
+
+def test_google_pubsub_and_azure_bodies(spark):
+    df = spark.createDataFrame(
+        [("hello", {"HOST": "h1", "PROGRAM": "app"})],
+        "data string, attrs map<string,string>",
+    )
+    ev = df.select(
+        scl.google_pubsub_event(F.col("data"), F.col("attrs")).alias("ev")
+    )
+    body = ev.agg(
+        scl.google_pubsub_publish_body(F.collect_list("ev")).alias("b")
+    ).collect()[0]["b"]
+    import base64
+    import json
+
+    parsed = json.loads(body)
+    msg = parsed["messages"][0]
+    assert base64.b64decode(msg["data"]).decode() == "hello"
+    # flat attributes, reverse-lex key order in the rendered text
+    assert msg["attributes"] == {"HOST": "h1", "PROGRAM": "app"}
+    raw = json.dumps(msg)  # roundtrip keeps python order; check source
+    assert body.index('"PROGRAM"') < body.index('"HOST"')
+
+    az = ev.agg(
+        scl.azure_monitor_body(F.collect_list("ev")).alias("b")
+    ).collect()[0]["b"]
+    arr = json.loads(az)
+    assert isinstance(arr, list) and arr[0]["attributes"]["HOST"] == "h1"
