@@ -262,6 +262,14 @@ class TemplateContext:
     extras: Column | None = None
     strict: bool = False
     field_fallback: bool = False
+    # correlation-context message list (array<struct> column) + its
+    # struct field names — enables $(context-length)/$(context-values)/
+    # $(context-lookup)/$(grep), which iterate the context's messages
+    # (context-funcs.c / cond-funcs.c). None outside a context-close
+    # frame, where those functions are a compile error like the
+    # reference outside grouping/PatternDB correlation.
+    context_entries: Column | None = None
+    context_entry_fields: tuple[str, ...] = ()
 
     def _ts_for(self, name: str) -> tuple[str, Column | None]:
         if name.startswith("S_"):
@@ -448,9 +456,67 @@ def strftime_to_java(fmt: str) -> str:
     return "".join(out)
 
 
+def _apply_context_func(
+    name: str, raw_args: list[str], ctx: TemplateContext
+) -> Column:
+    """$(context-length)/$(context-values)/$(context-lookup)/$(grep):
+    iterate ctx.context_entries (the correlation context's message
+    array). Value templates and the grep condition compile against a
+    PER-ELEMENT frame (each struct field becomes a binding), so the
+    whole evaluation stays one higher-order-function expression —
+    no explode, no shuffle."""
+    if ctx.context_entries is None:
+        # pre-entries back-compat: a close frame that bound only the
+        # aggregate columns still answers the aggregate-shaped funcs
+        if name == "context-length" and "CONTEXT_LENGTH" in ctx.columns:
+            return ctx.columns["CONTEXT_LENGTH"].cast("string")
+        if name == "context-values" and "CONTEXT_VALUES" in ctx.columns:
+            return F.array_join(ctx.columns["CONTEXT_VALUES"], ",")
+        raise TemplateError(
+            f"$({name}) needs a correlation context (grouping-by / "
+            "PatternDB context close frame)"
+        )
+    entries = ctx.context_entries
+    if name == "context-length":
+        return tf.tf_context_length(entries)
+
+    max_count = 0
+    while raw_args and raw_args[0].startswith(("-m", "--max-count")):
+        opt = raw_args.pop(0)
+        val = opt.split("=", 1)[1] if "=" in opt else raw_args.pop(0)
+        max_count = int(val)
+
+    def elem_ctx(e: Column) -> TemplateContext:
+        cols = {f: e[f] for f in ctx.context_entry_fields}
+        stamp = cols.get("ts", ctx.stamp)
+        return TemplateContext(columns=cols, stamp=stamp, recvd=ctx.recvd,
+                               now=ctx.now)
+
+    if name in ("grep", "context-lookup"):
+        if not raw_args:
+            raise TemplateError(f"$({name} [opts] condition $nv ...)")
+        cond_src, tmpl_srcs = raw_args[0], raw_args[1:]
+        cond = lambda e: parse_condition(cond_src, elem_ctx(e))  # noqa: E731
+    else:  # context-values
+        cond, tmpl_srcs = None, raw_args
+    fns = [
+        (lambda src: lambda e: compile_template(src, elem_ctx(e)))(src)
+        for src in tmpl_srcs
+    ]
+    if not fns:
+        # zero value templates emit nothing per message (the reference's
+        # inner argv loop is empty)
+        return F.lit("")
+    if cond is None:
+        return tf.tf_context_values(entries, fns)
+    return tf.tf_grep(entries, cond, fns, max_count)
+
+
 def _apply_func(call: FuncCall, ctx: TemplateContext) -> Column:
     name = call.argv[0]
     raw_args = list(call.argv[1:])
+    if name in ("context-length", "context-values", "context-lookup", "grep"):
+        return _apply_context_func(name, raw_args, ctx)
     args = [
         Arg(a, compile_template(a, ctx), a if "$" not in a else None)
         for a in raw_args
@@ -522,24 +588,6 @@ def _apply_func(call: FuncCall, ctx: TemplateContext) -> Column:
                 raise TemplateError("$(tags-head) takes literal tag names")
             out = F.when(F.array_contains(tags, a.lit), F.lit(a.lit)).otherwise(out)
         return out
-    if name == "context-length":
-        # bound by correlation-context evaluation (context-funcs.c);
-        # grouping.correlate_pdb provides CONTEXT_LENGTH at close time
-        if "CONTEXT_LENGTH" not in ctx.columns:
-            raise TemplateError(
-                "$(context-length) needs a correlation context "
-                "(grouping.correlate_pdb binds CONTEXT_LENGTH)"
-            )
-        return ctx.columns["CONTEXT_LENGTH"].cast("string")
-    if name == "context-values":
-        if "CONTEXT_VALUES" not in ctx.columns:
-            raise TemplateError("$(context-values) needs a correlation context")
-        return F.array_join(ctx.columns["CONTEXT_VALUES"], ",")
-    if name == "grep":
-        raise TemplateError(
-            "$(grep)/context lookups need a correlation context; use "
-            "grouping.grouped_ordered_agg + functions.templates.tf_grep"
-        )
     if name in ("+", "-", "*", "/", "%"):
         if len(args) != 2:
             raise TemplateError(f"$({name} a b) takes two arguments")

@@ -10,6 +10,8 @@ format-welf (modules/kvformat/format-welf.c), format-date
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -129,29 +131,78 @@ def tf_iterate(c: Column, fn, init: Column) -> Column: return F.aggregate(c, ini
 
 
 # ---------------------------------------------------------------------------
-# context funcs (modules/basicfuncs/context-funcs.c) — operate on a
-# collected-context array column (the correlation context analog)
+# context funcs (modules/basicfuncs/context-funcs.c, cond-funcs.c
+# $(grep)) — operate on a collected-context array column (the batch
+# analog of the correlation context's message list)
 # ---------------------------------------------------------------------------
 
+
+def str_repr_encode(c: Column, forbidden: str = ",") -> Column:
+    """lib/str-repr/encode.c str_repr_encode_append: the syslog-ng
+    list-element encoding. Empty -> '""'; an element containing an
+    apostrophe (or both quote kinds) is double-quoted with backslash
+    escapes; quote-only elements are apostrophe-quoted; elements with
+    whitespace/control/backslash or a forbidden char (the list
+    delimiter) are double-quoted; plain text passes through."""
+    c = c.cast("string")
+    esc = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    for ch, rep in (("\b", "\\b"), ("\f", "\\f"), ("\n", "\\n"),
+                    ("\r", "\\r"), ("\t", "\\t")):
+        esc = F.replace(esc, F.lit(ch), F.lit(rep))
+    dq = F.concat(F.lit('"'), F.replace(esc, F.lit('"'), F.lit('\\"')),
+                  F.lit('"'))
+    sq = F.concat(F.lit("'"), esc, F.lit("'"))
+    needs = c.rlike("[\\x08\\x0c\\n\\r\\t\\\\ " + re.escape(forbidden) + "]")
+    return (
+        F.when(c.isNull() | (c == ""), F.lit('""'))
+        .when(c.contains("'"), dq)          # both-quotes case folds in here
+        .when(c.contains('"'), sq)
+        .when(needs, dq)
+        .otherwise(c)
+    )
+
+
+def list_repr(values: Column) -> Column:
+    """Render an array<string> as the syslog-ng comma list
+    (str_repr_encode_append per element, ',' joined) — the LM_VT_LIST
+    wire form $(grep)/$(context-values) emit."""
+    # single-arg lambda: transform would otherwise bind the element
+    # INDEX to str_repr_encode's `forbidden` parameter
+    return F.array_join(F.transform(values, lambda e: str_repr_encode(e)), ",")
+
+
 def tf_context_length(ctx: Column) -> Column:
-    """$(context-length) — number of messages in the context."""
-    return F.size(ctx)
+    """$(context-length) — number of messages in the context
+    (context-funcs.c tf_context_length_call, prints num_messages)."""
+    return F.size(ctx).cast("string")
 
 
-def tf_context_values(ctx: Column) -> Column:
-    """$(context-values) — all values as a list."""
-    return ctx
+def tf_context_values(ctx: Column, value_fns=None) -> Column:
+    """$(context-values $nv...) — every message's rendered values as
+    one encoded comma list (context-funcs.c tf_context_values_call)."""
+    if value_fns:
+        vals = F.flatten(F.transform(
+            ctx, lambda e: F.array(*[fn(e).cast("string") for fn in value_fns])
+        ))
+    else:
+        vals = ctx
+    return list_repr(vals)
 
 
-def tf_context_lookup(ctx: Column, cond) -> Column:
-    """$(context-lookup filter) — values matching the condition."""
-    return F.filter(ctx, cond)
-
-
-def tf_grep(ctx: Column, cond, value_fn=None) -> Column:
-    """$(grep cond value) — extract value from matching context rows."""
+def tf_grep(ctx: Column, cond, value_fns=None, max_count: int = 0) -> Column:
+    """$(grep [--max-count N] cond $nv...) — values from the context
+    messages matching the condition, as an encoded comma list
+    (cond-funcs.c tf_grep_call; --max-count bounds MATCHING MESSAGES,
+    each of which emits all its value templates).
+    $(context-lookup) shares this implementation
+    (context-funcs.c uses tf_grep_prepare + the same loop)."""
     hits = F.filter(ctx, cond)
-    return F.transform(hits, value_fn) if value_fn else hits
+    if max_count:
+        hits = F.slice(hits, 1, max_count)
+    return tf_context_values(hits, value_fns)
+
+
+tf_context_lookup = tf_grep
 
 
 # ---------------------------------------------------------------------------

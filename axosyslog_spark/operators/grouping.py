@@ -342,10 +342,24 @@ def correlate_pdb(
         )
         gap_min = max(rule.context_timeout, 1) / 60.0
         sess = sessionize(keyed, key="__ctx_key", ts_col=ts_col, gap_minutes=gap_min)
+        # the context's message list, time-ordered (ts leads the struct
+        # so array_sort orders by arrival like the reference's context
+        # append) — feeds $(context-values)/$(context-lookup)/$(grep)
+        # in action templates as one higher-order expression, no
+        # explode/second shuffle
+        entry_fields = [ts_col] + [
+            c for c in keyed.columns
+            if c not in (ts_col, "__ctx_key")
+            and not c.startswith("__")
+            and dict(keyed.dtypes)[c] in ("string", "int", "bigint")
+        ]
         agg = sess.groupBy("__ctx_key", "session_id").agg(
             F.count(F.lit(1)).alias("n_msgs"),
             F.min(ts_col).alias("first_ts"),
             F.max(ts_col).alias("last_ts"),
+            F.array_sort(
+                F.collect_list(F.struct(*entry_fields))
+            ).alias("__ctx_entries"),
         )
         close_ctx = TemplateContext(
             columns={
@@ -354,6 +368,8 @@ def correlate_pdb(
             },
             stamp=F.col("last_ts"),
             field_fallback=False,
+            context_entries=F.col("__ctx_entries"),
+            context_entry_fields=tuple(entry_fields),
         )
         for action in timeout_actions:
             synth = agg.select(

@@ -56,8 +56,15 @@ def test_context_funcs(spark):
     r = df.filter(F.col("conv_id") == "c1").select(
         tf.tf_context_length(F.col("ctx")).alias("n"),
         tf.tf_grep(F.col("ctx"), lambda x: x.contains("failed")).alias("hits"),
+        tf.tf_grep(
+            F.col("ctx"), lambda x: x.contains("failed"), max_count=2
+        ).alias("capped"),
     ).collect()[0]
-    assert r.n == 3 and len(r.hits) == 3
+    # LM_VT_LIST wire form: encoded comma list ('login failed' has a
+    # space -> each element double-quoted per str-repr/encode.c)
+    assert r.n == "3"
+    assert r.hits == '"login failed","login failed","login failed"'
+    assert r.capped == '"login failed","login failed"'
 
 
 def test_value_pairs_scope(spark):

@@ -502,3 +502,52 @@ def test_dictionary_verb(tmp_path, capsys):
     assert capsys.readouterr().out == ""
     assert pt.main(["dictionary", "-p", p, "-P", "appd"]) == 0
     assert len(capsys.readouterr().out.splitlines()) == 3
+
+
+CONTEXT_GREP_XML = """\
+<patterndb version='5' pub_date='2024-01-01'>
+  <ruleset name='jobs' id='rs-ctx2'>
+    <rules>
+      <rule id='r-job2' class='system' provider='t'
+            context-id='job-${jid}' context-timeout='60'>
+        <patterns><pattern>job @NUMBER:jid@ @ESTRING:verb:@</pattern></patterns>
+        <actions>
+          <action trigger='timeout'>
+            <message>
+              <values>
+                <value name='verbs'>$(context-values ${verb})</value>
+                <value name='starts'>$(grep ('${verb}' eq 'start') ${jid})</value>
+              </values>
+            </message>
+          </action>
+        </actions>
+      </rule>
+    </rules>
+  </ruleset>
+</patterndb>
+"""
+
+
+def test_context_funcs_in_pdb_actions(spark):
+    """$(context-values)/$(grep) inside a timeout action iterate the
+    closed context's message list (context-funcs.c batch analog) —
+    entries ride the close aggregation as one collect_list, no second
+    shuffle."""
+    from axosyslog_spark.operators.grouping import correlate_pdb
+
+    [rs] = load_pdb_xml(CONTEXT_GREP_XML)
+    rows = [
+        (0, "job 7 start", "2024-01-01 00:00:00"),
+        (1, "job 7 run",   "2024-01-01 00:00:30"),
+        (2, "job 9 start", "2024-01-01 00:00:10"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string, ts_s string").select(
+        "id", "text", F.to_timestamp("ts_s").alias("ts")
+    )
+    matched = rs.pattern_db().apply(df)
+    synth = {r["context_key"]: r for r in correlate_pdb(matched, rs.rules).collect()}
+    # time-ordered context iteration: start before run
+    assert synth["job-7"]["verbs"] == "start,run"
+    assert synth["job-7"]["starts"] == "7"
+    assert synth["job-9"]["verbs"] == "start"
+    assert synth["job-9"]["starts"] == "9"

@@ -274,3 +274,74 @@ def test_tag_and_tags_head_funcs(spark, frame):
             assert got == "1:yes:alertable"
         else:
             assert got == "0:no:info"
+
+
+# ---------------------------------------------------------------------------
+# context funcs: $(context-length) / $(context-values) / $(grep) /
+# $(context-lookup) over a bound context-entries array
+# ---------------------------------------------------------------------------
+
+
+def _ctx_frame(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                [
+                    ("bash", "run ls", "2024-01-01 00:00:01"),
+                    ("edit", "open, then save", "2024-01-01 00:00:02"),
+                    ("bash", "it's done", "2024-01-01 00:00:03"),
+                ],
+            )
+        ],
+        "entries array<struct<tool:string,text:string,ts_s:string>>",
+    )
+    ctx = TemplateContext(
+        context_entries=F.col("entries"),
+        context_entry_fields=("tool", "text", "ts_s"),
+    )
+    return df, ctx
+
+
+def test_context_length_and_values(spark):
+    df, ctx = _ctx_frame(spark)
+    row = df.select(
+        compile_template("$(context-length)", ctx).alias("n"),
+        compile_template("$(context-values ${tool})", ctx).alias("tools"),
+        compile_template("$(context-values ${text})", ctx).alias("texts"),
+    ).collect()[0]
+    assert row["n"] == "3"
+    assert row["tools"] == "bash,edit,bash"
+    # list encoding: spaces force double quotes; an apostrophe element
+    # is double-quoted; a comma-bearing element is quoted too
+    assert row["texts"] == '"run ls","open, then save","it\'s done"'
+
+
+def test_grep_and_context_lookup(spark):
+    df, ctx = _ctx_frame(spark)
+    row = df.select(
+        compile_template(
+            "$(grep ('${tool}' eq 'bash') ${text})", ctx
+        ).alias("g"),
+        compile_template(
+            "$(grep --max-count 1 ('${tool}' eq 'bash') ${text})", ctx
+        ).alias("g1"),
+        compile_template(
+            "$(context-lookup ('${tool}' ne 'bash') ${tool} ${text})", ctx
+        ).alias("lk"),
+        compile_template(
+            "$(grep ('${tool}' eq 'nope') ${text})", ctx
+        ).alias("none"),
+    ).collect()[0]
+    assert row["g"] == '"run ls","it\'s done"'
+    assert row["g1"] == '"run ls"'
+    # per matching message, ALL value templates are emitted in order
+    assert row["lk"] == 'edit,"open, then save"'
+    assert row["none"] == ""
+
+
+def test_context_funcs_require_context():
+    ctx = TemplateContext()
+    with pytest.raises(TemplateError):
+        compile_template("$(grep ('a' eq 'a') $x)", ctx)
+    with pytest.raises(TemplateError):
+        compile_template("$(context-values $x)", ctx)
