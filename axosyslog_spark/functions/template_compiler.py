@@ -270,6 +270,11 @@ class TemplateContext:
     # reference outside grouping/PatternDB correlation.
     context_entries: Column | None = None
     context_entry_fields: tuple[str, ...] = ()
+    # named-template registry (cfg_tree_lookup_template analog) for
+    # $(template name); and the deterministic hosts mapping
+    # (dns-cache-hosts analog) for $(dns-resolve-ip)
+    templates: dict[str, str] = field(default_factory=dict)
+    dns_hosts: dict[str, str] | None = None
 
     def _ts_for(self, name: str) -> tuple[str, Column | None]:
         if name.startswith("S_"):
@@ -512,11 +517,81 @@ def _apply_context_func(
     return tf.tf_grep(entries, cond, fns, max_count)
 
 
+# loose shapes accepted by g_sockaddr_inet_or_inet6_new's parsers —
+# an invalid address makes $(dns-resolve-ip) return empty
+_IPV4_RE = r"^(\d{1,3}\.){3}\d{1,3}$"
+_IPV6_RE = r"^[0-9A-Fa-f:]*:[0-9A-Fa-f:.]*$"
+
+
+def _apply_template_func(raw_args: list[str], ctx: TemplateContext) -> Column:
+    """$(template name [fallback]) — basicfuncs/tf-template.c: static
+    binding when the name resolves in the config's template registry
+    at compile time; dynamic when the name itself is a template (has
+    '$'), becoming a runtime lookup over the registry (a CASE chain —
+    still one codegen'd expression) with the optional fallback
+    template when nothing matches."""
+    if not raw_args:
+        raise TemplateError("$(template name [fallback])")
+    name = raw_args[0]
+    if name in ctx.templates:  # static binding
+        return compile_template(ctx.templates[name], ctx)
+    if "$" not in name:
+        raise TemplateError(f"$(template): unknown template {name!r}")
+    name_col = compile_template(name, ctx)
+    out = (
+        compile_template(raw_args[1], ctx)
+        if len(raw_args) > 1
+        else F.lit("")
+    )
+    for tname, tbody in ctx.templates.items():
+        out = F.when(
+            name_col == F.lit(tname), compile_template(tbody, ctx)
+        ).otherwise(out)
+    return out
+
+
 def _apply_func(call: FuncCall, ctx: TemplateContext) -> Column:
     name = call.argv[0]
     raw_args = list(call.argv[1:])
     if name in ("context-length", "context-values", "context-lookup", "grep"):
         return _apply_context_func(name, raw_args, ctx)
+    if name == "env":
+        # misc-funcs.c tf_env: config-time getenv per arg; a missing
+        # var is skipped; a present non-last arg gets a trailing space
+        # (quirk preserved)
+        import os
+
+        parts: list[str] = []
+        for i, a in enumerate(raw_args):
+            val = os.environ.get(a)
+            if val is None:
+                continue
+            parts.append(val + (" " if i < len(raw_args) - 1 else ""))
+        return F.lit("".join(parts))
+    if name == "template":
+        return _apply_template_func(raw_args, ctx)
+    if name == "dns-resolve-ip":
+        # ip-funcs.c tf_dns_resolve_ip with use-dns(persist_only)
+        # semantics: resolution consults ONLY the configured hosts
+        # mapping (dns-cache-hosts file analog, ctx.dns_hosts) — the
+        # deterministic mode; a live-resolver batch would be an enrich
+        # broadcast join, not a template function. Unresolved valid
+        # IPs render as the IP; invalid addresses render empty.
+        while raw_args and raw_args[0].startswith("--"):
+            opt = raw_args.pop(0)  # host-resolve options: accepted, no-op
+            if "=" not in opt and raw_args and not raw_args[0].startswith("-"):
+                # options with separate values not used by persist_only
+                pass
+        if len(raw_args) != 1:
+            raise TemplateError("$(dns-resolve-ip [OPTIONS] IP)")
+        ip = compile_template(raw_args[0], ctx)
+        valid = ip.rlike(_IPV4_RE) | ip.rlike(_IPV6_RE)
+        hosts = ctx.dns_hosts or {}
+        resolved = ip
+        if hosts:
+            lut = F.create_map(*[F.lit(x) for kv in hosts.items() for x in kv])
+            resolved = F.coalesce(F.element_at(lut, ip), ip)
+        return F.when(valid, resolved).otherwise(F.lit(""))
     args = [
         Arg(a, compile_template(a, ctx), a if "$" not in a else None)
         for a in raw_args
@@ -668,17 +743,6 @@ def _apply_func(call: FuncCall, ctx: TemplateContext) -> Column:
         # $(indent-multi-line ${MSG}): continuation lines tab-indented
         # (basic-funcs.c tf_indent_multi_line)
         return F.regexp_replace(one(), "\n", "\n\t")
-    if name == "env":
-        # config-time environment lookup — folds to a literal
-        import os
-
-        if args[0].lit is None:
-            raise TemplateError("$(env NAME) takes a literal name")
-        return F.lit(os.environ.get(args[0].lit, ""))
-    if name == "template":
-        # $(template name) — evaluate a named/inline template; without
-        # a registry the argument IS the template (already compiled)
-        return one()
     if name == "format-date":
         if not args:
             raise TemplateError("$(format-date fmt [ts])")

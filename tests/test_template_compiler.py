@@ -251,8 +251,10 @@ def test_unknown_function_raises(frame):
 
 def test_misc_funcs(frame):
     assert _render(frame, "$(indent-multi-line x)") == ["x", "x"]
+    # tf-template.c dynamic binding: the arg's RESULT is looked up as a
+    # template NAME; with an empty registry and no fallback -> empty
     got = _render(frame, '$(template "${HOST}!")')
-    assert got == ["h1!", "h2!"]
+    assert got == ["", ""]
     import os
 
     os.environ["AXOSPARK_TEST_ENV"] = "yes"
@@ -345,3 +347,62 @@ def test_context_funcs_require_context():
         compile_template("$(grep ('a' eq 'a') $x)", ctx)
     with pytest.raises(TemplateError):
         compile_template("$(context-values $x)", ctx)
+
+
+# ---------------------------------------------------------------------------
+# $(env), $(template), $(dns-resolve-ip)
+# ---------------------------------------------------------------------------
+
+
+def test_env_func(spark, monkeypatch):
+    monkeypatch.setenv("AXO_T_A", "alpha")
+    monkeypatch.delenv("AXO_T_B", raising=False)
+    ctx = TemplateContext()
+    df = spark.range(1)
+    row = df.select(
+        compile_template("$(env AXO_T_A)", ctx).alias("a"),
+        compile_template("$(env AXO_T_B)", ctx).alias("b"),
+        # tf_env quirk: present non-last arg keeps its trailing space
+        compile_template("$(env AXO_T_A AXO_T_B)", ctx).alias("ab"),
+    ).collect()[0]
+    assert row["a"] == "alpha"
+    assert row["b"] == ""
+    assert row["ab"] == "alpha "
+
+
+def test_template_func_static_dynamic(spark):
+    ctx = TemplateContext(
+        columns={"HOST": F.lit("h1"), "which": F.col("which")},
+        templates={"short": "${HOST}", "long": "host=${HOST}"},
+    )
+    df = spark.createDataFrame([("short",), ("long",), ("nope",)],
+                               "which string")
+    rows = df.select(
+        compile_template("$(template long)", ctx).alias("static"),
+        compile_template("$(template ${which})", ctx).alias("dyn"),
+        compile_template("$(template ${which} fallback)", ctx).alias("dynfb"),
+    ).collect()
+    assert all(r["static"] == "host=h1" for r in rows)
+    assert [r["dyn"] for r in rows] == ["h1", "host=h1", ""]
+    assert [r["dynfb"] for r in rows] == ["h1", "host=h1", "fallback"]
+    with pytest.raises(TemplateError):
+        compile_template("$(template missing-name)", ctx)
+
+
+def test_dns_resolve_ip(spark):
+    ctx = TemplateContext(
+        columns={"ip": F.col("ip")},
+        dns_hosts={"10.0.0.1": "gw.example.com", "::1": "localhost6"},
+    )
+    df = spark.createDataFrame(
+        [("10.0.0.1",), ("10.9.9.9",), ("::1",), ("not-an-ip",)],
+        "ip string",
+    )
+    got = [
+        r["h"]
+        for r in df.select(
+            compile_template("$(dns-resolve-ip ${ip})", ctx).alias("h")
+        ).collect()
+    ]
+    # mapped -> hostname; unmapped valid IP -> itself; invalid -> empty
+    assert got == ["gw.example.com", "10.9.9.9", "localhost6", ""]
