@@ -312,6 +312,69 @@ class _Compiler:
             st = st.fork()
             st.updates[self._field_name(tgt.text)] = F.lit(None)
             return st
+        if t.text == "set_pri" and (
+            self.peek(1) is not None and self.peek(1).text == "("
+        ):
+            # func-set-pri.c set_pri([value]): 0..191 inclusive, an
+            # out-of-range or non-integer value is a runtime error ->
+            # batch analog keeps the previous pri (masked when)
+            self.next()
+            self.eat("(")
+            val = self.expr(st)
+            self.eat(")")
+            self.eat(";")
+            st = st.fork()
+            live = st.active if st.active is not None else F.lit(True)
+            v = val.cast("string").try_cast("int")
+            ok = live & v.between(0, 191)
+            def _prev(n):
+                u = st.updates.get(n)
+                return u if u is not None else self._field_ref(n)
+
+            prev_pri, prev_sev, prev_fac = (
+                _prev("pri"), _prev("severity"), _prev("facility")
+            )
+            st.updates["pri"] = F.when(ok, v).otherwise(prev_pri)
+            st.updates["severity"] = F.when(ok, v % 8).otherwise(prev_sev)
+            st.updates["facility"] = F.when(
+                ok, (v - v % 8) / 8
+            ).otherwise(prev_fac).cast("int")
+            return st
+        if t.text == "set_timestamp" and (
+            self.peek(1) is not None and self.peek(1).text == "("
+        ):
+            # func-timestamp.c set_timestamp(datetime,
+            # stamp=["stamp","recvd"]): writes the frame's ts /
+            # recvd_ts column
+            self.next()
+            self.eat("(")
+            val = self.expr(st)
+            which = "stamp"
+            if self.at(","):
+                self.next()
+                kw = self.next()
+                if kw.text != "stamp":
+                    raise FilterXSyntaxError(
+                        "set_timestamp: only the stamp= keyword is allowed"
+                    )
+                self.eat("=")
+                wv = self.next()
+                which = _unquote(wv.text)
+                if which not in ("stamp", "recvd"):
+                    raise FilterXSyntaxError(
+                        'set_timestamp: stamp must be "stamp" or "recvd"'
+                    )
+            self.eat(")")
+            self.eat(";")
+            st = st.fork()
+            name = "ts" if which == "stamp" else "recvd_ts"
+            prev = st.updates.get(name)
+            prev = prev if prev is not None else self._field_ref(name)
+            live = st.active if st.active is not None else F.lit(True)
+            st.updates[name] = F.when(
+                live, val.cast("timestamp")
+            ).otherwise(prev.cast("timestamp"))
+            return st
         if t.kind == "field" and self.peek(1) is not None and self.peek(1).text in ("=", "+="):
             self.next()
             op = self.next().text
@@ -1143,6 +1206,97 @@ def _FUNCS_DISPATCH(
                 flat[k] = str(v)
         pairs = [x for kv in flat.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
         return F.create_map(*pairs)
+    # --- digest (lib/filterx/func-digest.c): digest(input, alg="sha256") ---
+    if fn == "digest":
+        alg = (
+            kwraws.get("alg")
+            or (raws[1] if len(raws) > 1 and raws[1] else None)
+            or "sha256"
+        )
+        b = one.cast("binary")
+        algos = {
+            "md5": F.md5(b), "sha1": F.sha1(b), "sha224": F.sha2(b, 224),
+            "sha256": F.sha2(b, 256), "sha384": F.sha2(b, 384),
+            "sha512": F.sha2(b, 512),
+        }
+        if alg not in algos:
+            raise FilterXSyntaxError(f"digest: unsupported algorithm {alg!r}")
+        return algos[alg]
+    if fn == "uuid7":
+        # func-uuid.c uuid7: time-ordered v7 — 48-bit unix-millis
+        # prefix, version nibble 7, random tail (inherently
+        # nondeterministic like the reference; the tail reuses uuid()'s
+        # CSPRNG bits, the variant bits come with them)
+        ms = F.lpad(
+            F.lower(F.hex(F.unix_millis(F.current_timestamp()))), 12, "0"
+        )
+        tail = F.expr("uuid()")
+        return F.concat(
+            F.substring(ms, 1, 8), F.lit("-"), F.substring(ms, 9, 4),
+            F.lit("-7"), F.substring(tail, 16, 3),
+            F.substring(tail, 19, 24),
+        )
+    if fn == "is_sdata_from_enterprise":
+        # func-sdata.c: any SDATA SD-ID carries the given
+        # enterprise-number suffix (name@EID or name@EID.sub)
+        eid = _need_raw(fn, raws, 0)
+        sd = F.col("sdata")
+        # key forms: "name@EID" (SD-ID alone) or "name@EID.param"
+        pat = "@" + re.escape(eid) + "(\\.|$)"
+        return sd.isNotNull() & F.exists(
+            F.map_keys(sd), lambda k: k.rlike(pat)
+        )
+    if fn == "get_timestamp":
+        # func-timestamp.c get_timestamp(msg, stamp=["stamp","recvd"]):
+        # our frames carry the event stamp in ts / the receive stamp in
+        # recvd_ts when present
+        which = kwraws.get("stamp") or "stamp"
+        if which not in ("stamp", "recvd"):
+            raise FilterXSyntaxError(
+                'get_timestamp: stamp must be "stamp" or "recvd"'
+            )
+        name = "ts" if which == "stamp" else "recvd_ts"
+        return F.col(name).cast("timestamp")
+    if fn == "guess_timezone":
+        # func-timestamp.c guess_timezone(datetime): pick the zone
+        # whose UTC reinterpretation lands closest to the receive
+        # stamp — same argmin chain as rewrite.guess_timezone; the
+        # receive stamp is the frame's recvd_ts (second arg overrides)
+        recvd = a[1] if len(a) > 1 else F.col("recvd_ts")
+        tzs = [
+            "UTC", "America/New_York", "America/Los_Angeles",
+            "Europe/London", "Europe/Budapest", "Asia/Tokyo",
+        ]
+        stamp = one.cast("timestamp")
+        deltas = {
+            tz: F.abs(
+                F.unix_timestamp(F.to_utc_timestamp(stamp, tz))
+                - F.unix_timestamp(recvd.cast("timestamp"))
+            )
+            for tz in tzs
+        }
+        best = F.least(*deltas.values())
+        out = F.to_utc_timestamp(stamp, tzs[-1])
+        for tz in reversed(tzs[:-1]):
+            out = F.when(deltas[tz] == best, F.to_utc_timestamp(stamp, tz)).otherwise(out)
+        return out
+    # --- type constructors (filterx-globals.c json/json_array/dict/
+    #     list/object): json() parses an object to our open-schema map,
+    #     json_array() to a list; dict()/list()/object() with an arg
+    #     pass the value through (the reference's dup-to-type), empty
+    #     ctors make the empty container ---
+    if fn in ("json", "object") and a:
+        return F.from_json(one.cast("string"), "map<string,string>")
+    if fn == "json_array" and a:
+        return F.from_json(one.cast("string"), "array<string>")
+    if fn in ("dict", "object", "json") and not a:
+        return F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        )
+    if fn in ("list", "json_array") and not a:
+        return F.array().cast("array<string>")
+    if fn in ("dict", "list") and a:
+        return one
     raise FilterXSyntaxError(f"unknown filterx function {fn!r}()")
 
 

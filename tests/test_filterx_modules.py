@@ -318,3 +318,108 @@ def test_format_windows_eventlog_xml(spark):
         "<Data Name='TargetUser'>bob&lt;x&gt;</Data>"
         "<Data Name='Empty' />"
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5: digest, uuid7, sdata enterprise probe, timestamp accessors,
+# set_pri, type ctors
+# ---------------------------------------------------------------------------
+
+
+def test_digest_and_type_ctors(spark):
+    import hashlib
+
+    from axosyslog_spark.functions.filterx_lang import compile_filterx
+
+    df = spark.createDataFrame([(0, "payload")], "id int, text string")
+    blk = compile_filterx(
+        """
+        $d256 = digest($text);
+        $d1 = digest($text, "sha1");
+        $dm = digest($text, alg="md5");
+        $obj = json("{\\"a\\": \\"1\\"}");
+        $arr = json_array("[\\"x\\",\\"y\\"]");
+        $empty = dict();
+        """,
+        known_fields=df.columns,
+    )
+    r = blk.apply(df).first()
+    assert r["d256"] == hashlib.sha256(b"payload").hexdigest()
+    assert r["d1"] == hashlib.sha1(b"payload").hexdigest()
+    assert r["dm"] == hashlib.md5(b"payload").hexdigest()
+    assert r["obj"] == {"a": "1"}
+    assert r["arr"] == ["x", "y"]
+    assert r["empty"] == {}
+
+
+def test_digest_bad_algo_rejected(spark):
+    from axosyslog_spark.functions.filterx_lang import (
+        FilterXSyntaxError,
+        compile_filterx,
+    )
+
+    with pytest.raises(FilterXSyntaxError):
+        compile_filterx('$d = digest($text, "crc32");', known_fields=["text"])
+
+
+def test_uuid7_shape(spark):
+    from axosyslog_spark.functions.filterx_lang import compile_filterx
+
+    df = spark.createDataFrame([(0,)], "id int")
+    blk = compile_filterx("$u = uuid7();", known_fields=df.columns)
+    u = blk.apply(df).first()["u"]
+    import re as _re
+
+    assert _re.fullmatch(
+        r"[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[0-9a-f]{4}-[0-9a-f]{12}", u
+    ), u
+
+
+def test_is_sdata_from_enterprise(spark):
+    from axosyslog_spark.functions.filterx_lang import compile_filterx
+
+    df = spark.createDataFrame(
+        [
+            (0, {"meta@32473.seq": "1"}),
+            (1, {"origin@99999": "x"}),
+            (2, {"plain": "y"}),
+        ],
+        "id int, sdata map<string,string>",
+    )
+    blk = compile_filterx(
+        "$hit = is_sdata_from_enterprise(\"32473\");",
+        known_fields=df.columns,
+    )
+    got = {r["id"]: r["hit"] for r in blk.apply(df).collect()}
+    assert got == {0: True, 1: False, 2: False}
+
+
+def test_set_pri_and_timestamps(spark):
+    from axosyslog_spark.functions.filterx_lang import compile_filterx
+
+    df = spark.createDataFrame(
+        [(0, 13, 5, 1, "2024-01-01 00:00:05", "2024-01-01 00:00:09")],
+        "id int, pri int, severity int, facility int, ts_s string, rs string",
+    ).selectExpr(
+        "id", "pri", "severity", "facility",
+        "to_timestamp(ts_s) as ts", "to_timestamp(rs) as recvd_ts",
+    )
+    blk = compile_filterx(
+        """
+        set_pri(165);
+        $stamp = get_timestamp();
+        $rcv = get_timestamp(stamp="recvd");
+        set_timestamp($rcv);
+        """,
+        known_fields=df.columns,
+    )
+    r = blk.apply(df).first()
+    assert (r["pri"], r["severity"], r["facility"]) == (165, 5, 20)
+    assert str(r["rcv"]).startswith("2024-01-01 00:00:09")
+    assert str(r["ts"]).startswith("2024-01-01 00:00:09")  # set_timestamp wrote it
+    assert str(r["stamp"]).startswith("2024-01-01 00:00:05")
+
+    # out-of-range pri keeps the previous value (reference runtime error)
+    blk2 = compile_filterx("set_pri(500);", known_fields=df.columns)
+    r2 = blk2.apply(df).first()
+    assert (r2["pri"], r2["severity"], r2["facility"]) == (13, 5, 1)
