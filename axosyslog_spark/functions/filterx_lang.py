@@ -751,6 +751,33 @@ class _Compiler:
             e = self.expr(st)
             self.eat(")")
             return e
+        if t.text == "[":
+            # list literal (expr-literal-container.c): elements are
+            # expressions; the container is our array<string>
+            vals: list[Column] = []
+            while not self.at("]"):
+                vals.append(self.expr(st).cast("string"))
+                if self.at(","):
+                    self.next()
+            self.eat("]")
+            if not vals:
+                return F.array().cast("array<string>")
+            return F.array(*vals)
+        if t.text == "{":
+            # dict literal (expr-literal-container.c): string keys,
+            # expression values; nested dict literals flatten to
+            # dotted keys at COMPILE time (the open-schema
+            # map<string,string> model — same shape json-parser
+            # produces)
+            pairs = self._dict_literal_pairs(st, "")
+            if not pairs:
+                return F.map_from_arrays(
+                    F.array().cast("array<string>"),
+                    F.array().cast("array<string>"),
+                )
+            return F.create_map(
+                *[x for k, v in pairs for x in (F.lit(k), v.cast("string"))]
+            )
         if t.text == "true":
             return F.lit(True)
         if t.text == "false":
@@ -812,6 +839,30 @@ class _Compiler:
                 self.next()
         self.eat(")")
         return _FUNCS_DISPATCH(fn, args, raws, kwargs, kwraws, self.known)
+
+    def _dict_literal_pairs(
+        self, st: _State, prefix: str
+    ) -> list[tuple[str, Column]]:
+        """Parse dict-literal pairs after the opening '{'; a nested
+        '{' recurses with the dotted prefix."""
+        pairs: list[tuple[str, Column]] = []
+        while not self.at("}"):
+            k = self.next()
+            if k.kind != "string":
+                raise FilterXSyntaxError(
+                    "dict literal keys must be string literals"
+                )
+            self.eat(":")
+            key = prefix + _unquote(k.text)
+            if self.at("{"):
+                self.next()
+                pairs.extend(self._dict_literal_pairs(st, key + "."))
+            else:
+                pairs.append((key, self.expr(st)))
+            if self.at(","):
+                self.next()
+        self.eat("}")
+        return pairs
 
     # --- helpers ---
     def _field_name(self, tok_text: str) -> str:

@@ -445,3 +445,41 @@ def test_typecast_and_transform_builtins(spark):
 def test_break_outside_switch_is_an_error():
     with pytest.raises(FilterXSyntaxError):
         compile_filterx("break;")
+
+
+def test_dict_and_list_literals(spark):
+    """expr-literal-container.c: dict/list literal expressions; nested
+    dicts flatten to dotted keys at compile time (open-schema map)."""
+    from axosyslog_spark.functions.filterx_lang import compile_filterx
+
+    df = spark.createDataFrame([(0, "h1", "err")], "id int, host string, st string")
+    blk = compile_filterx(
+        """
+        $msg = {"host": $host, "nested": {"status": $st, "n": 2}};
+        $tags = ["a", $st, 3];
+        $empty_d = {};
+        $empty_l = [];
+        $js = format_json($msg);
+        """,
+        known_fields=df.columns,
+    )
+    r = blk.apply(df).first()
+    assert r["msg"] == {"host": "h1", "nested.status": "err", "nested.n": "2"}
+    assert r["tags"] == ["a", "err", "3"]
+    assert r["empty_d"] == {} and r["empty_l"] == []
+    import json as _json
+
+    assert _json.loads(r["js"]) == {
+        "host": "h1", "nested.status": "err", "nested.n": "2"
+    }
+
+
+def test_dict_literal_key_must_be_string(spark):
+    from axosyslog_spark.functions.filterx_lang import (
+        FilterXSyntaxError,
+        compile_filterx,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(FilterXSyntaxError):
+        compile_filterx("$m = {key: 1};", known_fields=["key"])
