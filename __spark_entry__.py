@@ -968,6 +968,96 @@ def q_op_scl_arr(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_op_scl_mariadb(spark: SparkSession, sf: str) -> DataFrame:
+    """mariadb-audit-parser (scl/mariadb/audit.conf) under the replica
+    oracle: audit lines synthesized from events (QUERY rows carry a
+    quoted SQL object with an embedded comma; CONNECT rows carry the
+    conf's empty database/object fields), parsed by the real csv +
+    regexp composition; the oracle computes the expected columns
+    straight from the source table so a parser bug cannot cancel."""
+    from axosyslog_spark.operators.scl import mariadb_audit_parser
+
+    ev = _utc(spark).read.parquet(f"{sf}/events.parquet")
+    is_q = F.col("event_id") % 3 != 0
+    u = lambda m: (F.col("user_id") % m).cast("string")  # noqa: E731
+    e = lambda m: (F.col("event_id") % m).cast("string")  # noqa: E731
+    line = F.concat(
+        F.lit("docker h"), u(5), F.lit(",u"), u(3),
+        F.lit(",172.18.0."), e(250), F.lit(","), e(100), F.lit(","),
+        F.col("event_id").cast("string"), F.lit(","),
+        F.when(is_q, F.lit("QUERY")).otherwise(F.lit("CONNECT")), F.lit(","),
+        F.when(is_q, F.concat(F.lit("db"), u(4))).otherwise(F.lit("")),
+        F.lit(","),
+        F.when(
+            is_q,
+            F.concat(F.lit("'SELECT g, AVG(x) FROM t"), u(4),
+                     F.lit(" GROUP BY g'")),
+        ).otherwise(F.lit("")),
+        F.lit(","), e(2),
+    )
+    df = ev.select("event_id", line.alias("message"))
+    out = mariadb_audit_parser(df)
+    p = ".mariadb."
+    return out.select(
+        "event_id",
+        F.col(f"`{p}syslog_info`").alias("syslog_info"),
+        F.col(f"`{p}serverhost`").alias("serverhost"),
+        F.col(f"`{p}username`").alias("username"),
+        F.col(f"`{p}host`").alias("client_host"),
+        F.col(f"`{p}connectionid`").alias("connectionid"),
+        F.col(f"`{p}queryid`").alias("queryid"),
+        F.col(f"`{p}operation`").alias("operation"),
+        F.col(f"`{p}database`").alias("dbname"),
+        F.col(f"`{p}object`").alias("objectval"),
+        F.col(f"`{p}retcode`").alias("retcode"),
+        "mariadb_ok",
+    )
+
+
+def q_op_scl_pgsql(spark: SparkSession, sf: str) -> DataFrame:
+    """postgresql-csvlog-parser (scl/pgsql/pgsql.conf) under the
+    replica oracle: 26-column csvlog lines synthesized from events —
+    the message field carries doubled quotes AND an embedded comma
+    (escape-double-char dialect), the severity word rotates through
+    the ladder (PANIC/ERROR/WARNING shift; LOG/FATAL unresolvable
+    keep the default) — parsed by the real 26-column spec; expected
+    columns computed straight from the source table."""
+    from axosyslog_spark.operators.scl import postgresql_csvlog_parser
+
+    ev = _utc(spark).read.parquet(f"{sf}/events.parquet")
+    u = lambda m: (F.col("user_id") % m).cast("string")  # noqa: E731
+    e = lambda m: (F.col("event_id") % m).cast("string")  # noqa: E731
+    sev_word = F.element_at(
+        F.array(*[F.lit(x) for x in (
+            "ERROR", "WARNING", "LOG", "INFO", "PANIC", "DEBUG2", "FATAL"
+        )]),
+        (F.col("event_id") % 7 + 1).cast("int"),
+    )
+    line = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), F.lit('.123 UTC,"postgres","db'),
+        u(3), F.lit('",'), e(10000), F.lit(',"10.0.0.'), e(200),
+        F.lit(':5432",63eb4c2c.1092,'), e(9), F.lit(',"SELECT",,3/13,0,'),
+        sev_word, F.lit(',42P01,"relation ""t'), u(5),
+        F.lit('"", missing",,,,,,"SELECT 1",,,"psql","client backend",,'),
+        F.col("event_id").cast("string"),
+    )
+    df = ev.select("event_id", line.alias("text"))
+    out = postgresql_csvlog_parser(df)
+    p = ".pgsql."
+    return out.select(
+        "event_id",
+        F.col(f"`{p}username`").alias("username"),
+        F.col(f"`{p}database`").alias("dbname"),
+        "pid",
+        F.col(f"`{p}connection_from`").alias("conn_from"),
+        "severity",
+        "message",
+        F.col(f"`{p}query_id`").alias("query_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("ts_str"),
+        "pgsql_ok",
+    )
+
+
 def q_op_rewrite_suite(spark: SparkSession, sf: str) -> DataFrame:
     """The rewrite/filter family under ONE oracle slot (consolidated
     from the former op_rewrite_filter + op_subst + op_tags gate
@@ -1920,6 +2010,45 @@ def _all_oracle_sql() -> dict[str, str]:
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
         FROM lines
         """,
+        "op_scl_mariadb": """
+        SELECT event_id,
+               'docker' AS syslog_info,
+               'h' || CAST(user_id % 5 AS VARCHAR) AS serverhost,
+               'u' || CAST(user_id % 3 AS VARCHAR) AS username,
+               '172.18.0.' || CAST(event_id % 250 AS VARCHAR) AS client_host,
+               CAST(event_id % 100 AS VARCHAR) AS connectionid,
+               CAST(event_id AS VARCHAR) AS queryid,
+               CASE WHEN event_id % 3 != 0 THEN 'QUERY'
+                    ELSE 'CONNECT' END AS operation,
+               CASE WHEN event_id % 3 != 0
+                    THEN 'db' || CAST(user_id % 4 AS VARCHAR) END AS dbname,
+               CASE WHEN event_id % 3 != 0
+                    THEN 'SELECT g, AVG(x) FROM t'
+                         || CAST(user_id % 4 AS VARCHAR) || ' GROUP BY g'
+               END AS objectval,
+               CAST(event_id % 2 AS VARCHAR) AS retcode,
+               TRUE AS mariadb_ok
+        FROM events
+        """,
+        "op_scl_pgsql": """
+        SELECT event_id,
+               'postgres' AS username,
+               'db' || CAST(user_id % 3 AS VARCHAR) AS dbname,
+               CAST(event_id % 10000 AS INT) AS pid,
+               '10.0.0.' || CAST(event_id % 200 AS VARCHAR)
+                 || ':5432' AS conn_from,
+               CASE ['ERROR','WARNING','LOG','INFO','PANIC','DEBUG2','FATAL']
+                      [CAST(event_id % 7 AS INT) + 1]
+                    WHEN 'ERROR' THEN 4 WHEN 'WARNING' THEN 5
+                    WHEN 'INFO' THEN 6 WHEN 'PANIC' THEN 2
+                    WHEN 'DEBUG2' THEN 7 ELSE 5 END AS severity,
+               'relation "t' || CAST(user_id % 5 AS VARCHAR)
+                 || '", missing' AS message,
+               CAST(event_id AS INT) AS query_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') || '.123' AS ts_str,
+               TRUE AS pgsql_ok
+        FROM events
+        """,
         "op_scl_dnd": """
         SELECT event_id,
                CASE event_id % 4 WHEN 0 THEN 'raw-app' WHEN 1 THEN 'ewmm'
@@ -2172,6 +2301,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_lsh_topk": q_emb_lsh_topk,
         "op_scl_arr": q_op_scl_arr,
+        "op_scl_mariadb": q_op_scl_mariadb,
+        "op_scl_pgsql": q_op_scl_pgsql,
         "emb_semantic_dedup": q_emb_semantic_dedup,
     }
 
