@@ -523,6 +523,24 @@ _IPV4_RE = r"^(\d{1,3}\.){3}\d{1,3}$"
 _IPV6_RE = r"^[0-9A-Fa-f:]*:[0-9A-Fa-f:.]*$"
 
 
+def _str_repr_py(s: str) -> str:
+    """Plan-time mirror of templates.str_repr_encode (str-repr/
+    encode.c) for compile-time-known strings like $(names) output."""
+    if s == "":
+        return '""'
+    esc = s.replace("\\", "\\\\")
+    for ch, rep in (("\b", "\\b"), ("\f", "\\f"), ("\n", "\\n"),
+                    ("\r", "\\r"), ("\t", "\\t")):
+        esc = esc.replace(ch, rep)
+    if "'" in s:
+        return '"' + esc.replace('"', '\\"') + '"'
+    if '"' in s:
+        return "'" + esc + "'"
+    if any(c in s for c in "\b\f\n\r\t\\ ,"):
+        return '"' + esc.replace('"', '\\"') + '"'
+    return s
+
+
 def _apply_template_func(raw_args: list[str], ctx: TemplateContext) -> Column:
     """$(template name [fallback]) — basicfuncs/tf-template.c: static
     binding when the name resolves in the config's template registry
@@ -570,6 +588,46 @@ def _apply_func(call: FuncCall, ctx: TemplateContext) -> Column:
         return F.lit("".join(parts))
     if name == "template":
         return _apply_template_func(raw_args, ctx)
+    if name in ("values", "names"):
+        # basicfuncs/vp-funcs.c $(values ...)/$(names ...): render the
+        # value-pairs selection as an encoded comma list of values /
+        # names (LM_VT_LIST). The selectable set is the context's
+        # bound names (ctx.columns — the macro frame); scope names
+        # match case-insensitively against the bindings.
+        import fnmatch
+
+        from axosyslog_spark.operators.rewrite import VALUE_PAIRS_SCOPES
+
+        globs: list[str] = []
+        excls: list[str] = []
+        i = 0
+        while i < len(raw_args):
+            tok = raw_args[i]
+            if tok in ("--scope", "-s"):
+                globs += VALUE_PAIRS_SCOPES[raw_args[i + 1]]
+                i += 2
+            elif tok in ("--key", "-k"):
+                globs.append(raw_args[i + 1])
+                i += 2
+            elif tok in ("--exclude", "-x"):
+                excls.append(raw_args[i + 1])
+                i += 2
+            else:  # bare glob (value_pairs_new_from_cmdline default)
+                globs.append(tok)
+                i += 1
+        sel = sorted(
+            n for n in ctx.columns
+            if any(fnmatch.fnmatch(n.lower(), g.lower()) for g in globs)
+            and not any(fnmatch.fnmatch(n.lower(), g.lower()) for g in excls)
+        )
+        if name == "names":
+            # names are compile-time strings — encode plan-side
+            return F.lit(",".join(_str_repr_py(n) for n in sel))
+        if not sel:
+            return F.lit("")
+        return tf.list_repr(
+            F.array(*[ctx.columns[n].cast("string") for n in sel])
+        )
     if name == "dns-resolve-ip":
         # ip-funcs.c tf_dns_resolve_ip with use-dns(persist_only)
         # semantics: resolution consults ONLY the configured hosts

@@ -406,3 +406,20 @@ def test_dns_resolve_ip(spark):
     ]
     # mapped -> hostname; unmapped valid IP -> itself; invalid -> empty
     assert got == ["gw.example.com", "10.9.9.9", "localhost6", ""]
+
+
+def test_values_and_names_funcs(frame):
+    # vp-funcs.c $(values)/$(names): encoded comma lists over the
+    # bound macro frame, sorted by name; scopes match our schema names
+    got = _render(frame, "$(names --key HOST --key PROGRAM)")
+    assert got == ["HOST,PROGRAM", "HOST,PROGRAM"]
+    # values appear in sorted-NAME order: HOST then PROGRAM
+    got = _render(frame, "$(values --key HOST --key PROGRAM)")
+    assert got == ["h1,app", "h2,db"]
+    got = _render(frame, "$(values --key H*)")
+    assert got == ["h1", "h2"]
+    # exclude wins; elements with spaces get quoted per str-repr
+    got = _render(frame, "$(values --key * --exclude SEVERITY_NUM "
+                         "--exclude FACILITY_NUM --exclude PROGRAM "
+                         "--exclude HOST)")
+    assert got == ['"hello world"', '"x=1 y=2"']
