@@ -312,6 +312,90 @@ class _Compiler:
             st = st.fork()
             st.updates[self._field_name(tgt.text)] = F.lit(None)
             return st
+        if t.text == "set_fields" and (
+            self.peek(1) is not None and self.peek(1).text == "("
+        ):
+            # func-set-fields.c: set_fields($dict,
+            #   overrides={"k": [e1, e2] | e, ...},
+            #   defaults={...}, replacements={...});
+            # per field: first non-null override wins; else if the key
+            # is present, first non-null replacement; else first
+            # non-null default. The reference mutates the dict ref;
+            # the batch analog writes the rebuilt map back to the
+            # $field.
+            self.next()
+            self.eat("(")
+            tgt = self.next()
+            if tgt.kind != "field":
+                raise FilterXSyntaxError(
+                    "set_fields() first argument must be a $field dict"
+                )
+            name = self._field_name(tgt.text)
+            specs: dict[str, dict[str, list[Column]]] = {}
+            while self.at(","):
+                self.next()
+                kw = self.next()
+                if kw.text not in ("overrides", "defaults", "replacements"):
+                    raise FilterXSyntaxError(
+                        f"set_fields(): unknown keyword {kw.text!r}"
+                    )
+                self.eat("=")
+                self.eat("{")
+                spec: dict[str, list[Column]] = {}
+                while not self.at("}"):
+                    k = self.next()
+                    if k.kind != "string":
+                        raise FilterXSyntaxError(
+                            "set_fields(): field name must be a string literal"
+                        )
+                    self.eat(":")
+                    exprs: list[Column] = []
+                    if self.at("["):
+                        self.next()
+                        while not self.at("]"):
+                            exprs.append(self.expr(st))
+                            if self.at(","):
+                                self.next()
+                        self.eat("]")
+                    else:
+                        exprs.append(self.expr(st))
+                    spec[_unquote(k.text)] = exprs
+                    if self.at(","):
+                        self.next()
+                self.eat("}")
+                specs[kw.text] = spec
+            self.eat(")")
+            self.eat(";")
+            st = st.fork()
+            prev = st.updates.get(name)
+            d = prev if prev is not None else self._field_ref(name)
+            fields = sorted(
+                set().union(*[set(s) for s in specs.values()] or [set()])
+            )
+            for k in fields:
+                ov = [c.cast("string") for c in specs.get("overrides", {}).get(k, [])]
+                rep = [c.cast("string") for c in specs.get("replacements", {}).get(k, [])]
+                dft = [c.cast("string") for c in specs.get("defaults", {}).get(k, [])]
+                ovc = F.coalesce(*ov) if ov else F.lit(None).cast("string")
+                repc = F.coalesce(*rep) if rep else F.lit(None).cast("string")
+                dftc = F.coalesce(*dft) if dft else F.lit(None).cast("string")
+                present = F.map_contains_key(d, F.lit(k))
+                newv = (
+                    F.when(ovc.isNotNull(), ovc)
+                    .when(present, F.coalesce(repc, F.element_at(d, F.lit(k))))
+                    .otherwise(dftc)
+                )
+                base = F.map_filter(d, lambda kk, _v: kk != F.lit(k))
+                d = F.when(
+                    newv.isNotNull(),
+                    F.map_concat(base, F.create_map(F.lit(k), newv)),
+                ).otherwise(base)
+            live = st.active
+            if live is not None:
+                prev_d = prev if prev is not None else self._field_ref(name)
+                d = F.when(live, d).otherwise(prev_d)
+            st.updates[name] = d
+            return st
         if t.text == "set_pri" and (
             self.peek(1) is not None and self.peek(1).text == "("
         ):

@@ -423,3 +423,31 @@ def test_set_pri_and_timestamps(spark):
     blk2 = compile_filterx("set_pri(500);", known_fields=df.columns)
     r2 = blk2.apply(df).first()
     assert (r2["pri"], r2["severity"], r2["facility"]) == (13, 5, 1)
+
+
+def test_set_fields(spark):
+    """func-set-fields.c: overrides always win (first non-null),
+    replacements apply only to present keys, defaults only to absent
+    ones; null candidates are skipped; nothing valid -> key untouched."""
+    from axosyslog_spark.functions.filterx_lang import compile_filterx
+
+    df = spark.createDataFrame(
+        [(0, {"a": "1", "b": "2"}, "zz", None)],
+        "id int, d map<string,string>, src string, nul string",
+    )
+    blk = compile_filterx(
+        """
+        set_fields($d,
+          overrides={"a": [$nul, $src], "x": $nul},
+          defaults={"c": "dc", "b": "db"},
+          replacements={"b": "rb", "y": "ry"});
+        """,
+        known_fields=df.columns,
+    )
+    r = blk.apply(df).first()
+    # a: first override ($nul) skipped, $src wins -> "zz"
+    # x: only a null override, key absent, no default -> stays absent
+    # b: present -> replacement "rb" (default ignored)
+    # c: absent -> default "dc"
+    # y: absent -> replacement does NOT apply
+    assert r["d"] == {"a": "zz", "b": "rb", "c": "dc"}
