@@ -15,9 +15,11 @@ lib/template/tests/test_template_compile.c:
                    top level), nested parens stay in one arg,
                    backslash escapes the next char
   - ``$$`` -> literal '$'; ``$`` + other char -> literal
-  - ``${X}@N`` / ``$(fn)@N`` correlation msg_ref suffix: parsed and
-    carried, but batch evaluation addresses the current row only
-    (context rows are a grouping-stage concern); ``@@`` -> '@'
+  - ``${X}@N`` / ``$(fn)@N`` correlation msg_ref suffix: with a bound
+    context (ctx.context_entries) a value ref resolves against the
+    addressed context message — @0 = newest, counting backward,
+    out-of-range -> empty (eval.c:173-188); without a context the
+    current row is addressed; ``@@`` -> '@'
 
 Spark-first: compilation happens ONCE at plan time on the driver; the
 output is a single Column expression (concat of parts), so rendering
@@ -922,7 +924,28 @@ def compile_template(template: str, ctx: TemplateContext) -> Column:
         if isinstance(elem, Lit):
             parts.append(F.lit(elem.text))
         elif isinstance(elem, ValueRef):
-            parts.append(ctx.resolve(elem.name, elem.default))
+            if elem.msg_ref > 0 and ctx.context_entries is not None:
+                # eval.c:173-188 context addressing: stored msg_ref is
+                # user's @N + 1; msg_ndx = num_messages - msg_ref
+                # (counts BACKWARD: @0 = newest). Out of range ->
+                # empty string without evaluating.
+                entries = ctx.context_entries
+                n = F.size(entries)
+                idx = n - F.lit(elem.msg_ref) + 1  # element_at is 1-based
+                e = F.element_at(entries, idx)
+                if elem.name in ctx.context_entry_fields:
+                    val = e[elem.name].cast("string")
+                elif elem.default is not None:
+                    val = F.lit(elem.default)
+                else:
+                    val = F.lit("")
+                parts.append(
+                    F.when(
+                        (F.lit(elem.msg_ref) <= n) & val.isNotNull(), val
+                    ).otherwise(F.lit(elem.default or ""))
+                )
+            else:
+                parts.append(ctx.resolve(elem.name, elem.default))
         else:
             parts.append(F.coalesce(_apply_func(elem, ctx).cast("string"), F.lit("")))
     if not parts:

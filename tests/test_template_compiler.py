@@ -423,3 +423,21 @@ def test_values_and_names_funcs(frame):
                          "--exclude FACILITY_NUM --exclude PROGRAM "
                          "--exclude HOST)")
     assert got == ['"hello world"', '"x=1 y=2"']
+
+
+def test_msg_ref_context_addressing(spark):
+    """eval.c msg_ref: @0 addresses the NEWEST context message, @1 one
+    older; out-of-range expands to empty without evaluating."""
+    df, ctx = _ctx_frame(spark)
+    row = df.select(
+        compile_template("${tool}@0", ctx).alias("newest"),
+        compile_template("${tool}@1", ctx).alias("older"),
+        compile_template("${tool}@2", ctx).alias("oldest"),
+        compile_template("${tool}@9", ctx).alias("oor"),
+        compile_template("${nope}@0", ctx).alias("unknown"),
+    ).collect()[0]
+    assert row["newest"] == "bash"   # ts 00:00:03 entry
+    assert row["older"] == "edit"
+    assert row["oldest"] == "bash"   # ts 00:00:01 entry
+    assert row["oor"] == ""
+    assert row["unknown"] == ""
