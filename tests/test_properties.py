@@ -299,3 +299,35 @@ def test_patterndb_never_garbled_by_control_bytes(spark, texts):
     ).collect()
     for r in rows:
         assert r["r"] == r["c"]
+
+
+# ---------------------------------------------------------------------------
+# str-repr list encoding: the plan-time Python mirror must agree with
+# the column-side implementation for any input
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="ascii", exclude_characters="\x00"
+            ),
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_str_repr_py_matches_column(spark, texts):
+    from axosyslog_spark.functions.template_compiler import _str_repr_py
+    from axosyslog_spark.functions.templates import str_repr_encode
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, s string"
+    )
+    rows = df.select("id", str_repr_encode(F.col("s")).alias("enc")).collect()
+    got = {r["id"]: r["enc"] for r in rows}
+    for i, t in enumerate(texts):
+        assert got[i] == _str_repr_py(t), repr(t)
