@@ -1432,6 +1432,26 @@ def _FUNCS_DISPATCH(
         return F.array().cast("array<string>")
     if fn in ("dict", "list") and a:
         return one
+    # lib/filterx/object-metrics-labels.c: a labels object is a
+    # (name, value) list; our map<string,string> representation is
+    # key-unique BY CONSTRUCTION (every build site folds duplicates
+    # through entries_to_map's last-value-wins — the same rule
+    # _dedup's hash-replace applies), so metrics_labels() is the
+    # map itself and dedup_metrics_labels() is a true-returning
+    # no-op like the reference's already-deduped fast path.
+    if fn == "metrics_labels":
+        if not a:
+            return F.map_from_arrays(
+                F.array().cast("array<string>"),
+                F.array().cast("array<string>"),
+            )
+        return one
+    if fn == "dedup_metrics_labels":
+        if not a:
+            raise FilterXSyntaxError(
+                "Usage: dedup_metrics_labels(my_metrics_labels)"
+            )
+        return F.lit(True)
     raise FilterXSyntaxError(f"unknown filterx function {fn!r}()")
 
 

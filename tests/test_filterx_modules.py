@@ -451,3 +451,20 @@ def test_set_fields(spark):
     # c: absent -> default "dc"
     # y: absent -> replacement does NOT apply
     assert r["d"] == {"a": "zz", "b": "rb", "c": "dc"}
+
+
+def test_metrics_labels(spark):
+    from axosyslog_spark.functions.filterx_lang import compile_filterx
+
+    df = spark.createDataFrame([(0, "h1")], "id int, host string")
+    blk = compile_filterx(
+        """
+        $labels = metrics_labels({"host": $host, "app": "x"});
+        $empty = metrics_labels();
+        $ok = dedup_metrics_labels($labels);
+        """,
+        known_fields=df.columns,
+    )
+    r = blk.apply(df).first()
+    assert r["labels"] == {"host": "h1", "app": "x"}
+    assert r["empty"] == {} and r["ok"] is True
