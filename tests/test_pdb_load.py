@@ -551,3 +551,27 @@ def test_context_funcs_in_pdb_actions(spark):
     assert synth["job-7"]["starts"] == "7"
     assert synth["job-9"]["verbs"] == "start"
     assert synth["job-9"]["starts"] == "9"
+
+
+def test_reference_windowseventlog_pdb_replays(spark):
+    """Parity against the reference's OWN shipped ruleset: scl/
+    windowseventlog/windowseventlog.xml (the windows-eventlog-parser
+    block is db-parser over this document) loads through our pdb
+    loader and every <example> classifies to its rule with its
+    expected values — multi-line NLSTRING patterns included. Read
+    from the reference tree at test time (never copied)."""
+    import os
+
+    from axosyslog_spark.operators.pdb_load import check_examples, load_pdb_xml
+
+    path = "/root/reference/scl/windowseventlog/windowseventlog.xml"
+    if not os.path.exists(path):
+        import pytest as _pytest
+
+        _pytest.skip("reference tree not present")
+    rulesets = load_pdb_xml(path)
+    assert rulesets, "no rulesets parsed"
+    n_examples = sum(len(rs.examples) for rs in rulesets)
+    assert n_examples > 0, "reference document ships examples"
+    problems = [p for rs in rulesets for p in check_examples(spark, rs)]
+    assert problems == [], problems
