@@ -1058,6 +1058,58 @@ def q_op_scl_pgsql(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_CTX_GREP_XML = """\
+<patterndb version='5' pub_date='2024-01-01'>
+  <ruleset name='jobs' id='rs-ctxgrep'>
+    <rules>
+      <rule id='r-job' class='system' provider='gate'
+            context-id='job-${jid}' context-timeout='36000'>
+        <patterns><pattern>job @NUMBER:jid@ @ESTRING:verb:@</pattern></patterns>
+        <actions>
+          <action trigger='timeout'>
+            <message><values>
+              <value name='verbs'>$(context-values ${verb})</value>
+              <value name='starts'>$(grep ('${verb}' eq 'v0') ${jid})</value>
+              <value name='len'>$(context-length)</value>
+              <value name='newest'>${verb}@0</value>
+              <value name='prev'>${verb}@1</value>
+            </values></message>
+          </action>
+        </actions>
+      </rule>
+    </rules>
+  </ruleset>
+</patterndb>
+"""
+
+
+def q_pipe_context_grep(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlation-context template funcs under the replica oracle:
+    $(context-values)/$(grep)/$(context-length) and the @N msg_ref
+    iterate the closed context's time-ordered message list (one
+    collect_list riding the close aggregation — context-funcs.c /
+    eval.c:173-188 batch analog). Contexts are one-per-jid (unique
+    monotone ts, huge timeout); the oracle mirrors with ordered
+    string_agg over the same synthesized lines."""
+    from axosyslog_spark.operators.grouping import correlate_pdb
+    from axosyslog_spark.operators.pdb_load import load_pdb_xml
+
+    ev = _utc(spark).read.parquet(f"{sf}/events.parquet")
+    line = F.concat(
+        F.lit("job "), (F.col("event_id") % 50).cast("string"),
+        F.lit(" v"), (F.col("event_id") % 7).cast("string"),
+    )
+    # unique, event_id-monotone stamps -> deterministic context order
+    ts = F.timestamp_seconds(F.lit(1700000000) + F.col("event_id"))
+    df = ev.select("event_id", line.alias("text"), ts.alias("ts"))
+    [rs] = load_pdb_xml(_CTX_GREP_XML)
+    matched = rs.pattern_db().apply(df)
+    out = correlate_pdb(matched, rs.rules)
+    return out.select(
+        "context_key", "n_msgs", "verbs", "starts", "len", "newest", "prev",
+    )
+
+
 def q_op_rewrite_suite(spark: SparkSession, sf: str) -> DataFrame:
     """The rewrite/filter family under ONE oracle slot (consolidated
     from the former op_rewrite_filter + op_subst + op_tags gate
@@ -2010,6 +2062,24 @@ def _all_oracle_sql() -> dict[str, str]:
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
         FROM lines
         """,
+        "pipe_context_grep": """
+        WITH lines AS (
+          SELECT event_id,
+                 CAST(event_id % 50 AS VARCHAR) AS jid,
+                 'v' || CAST(event_id % 7 AS VARCHAR) AS verb
+          FROM events
+        )
+        SELECT 'job-' || jid AS context_key,
+               CAST(COUNT(*) AS BIGINT) AS n_msgs,
+               string_agg(verb, ',' ORDER BY event_id) AS verbs,
+               string_agg(CASE WHEN verb = 'v0' THEN jid END,
+                          ',' ORDER BY event_id) AS starts,
+               CAST(COUNT(*) AS VARCHAR) AS len,
+               list(verb ORDER BY event_id)[-1] AS newest,
+               list(verb ORDER BY event_id)[-2] AS prev
+        FROM lines
+        GROUP BY jid
+        """,
         "op_scl_mariadb": """
         SELECT event_id,
                'docker' AS syslog_info,
@@ -2303,6 +2373,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_scl_arr": q_op_scl_arr,
         "op_scl_mariadb": q_op_scl_mariadb,
         "op_scl_pgsql": q_op_scl_pgsql,
+        "pipe_context_grep": q_pipe_context_grep,
         "emb_semantic_dedup": q_emb_semantic_dedup,
     }
 
