@@ -81,7 +81,7 @@ _TOKEN_RE = re.compile(
   | (?P<regex>/(?:\\.|[^/\\])+/)
   | (?P<number>-?\d+\.\d+|-?\d+)
   | (?P<field>\$\{[^}]+\}|\$[A-Za-z_][A-Za-z0-9_.]*)
-  | (?P<op>\?\?|===|!==|==|!=|<=|>=|=~|!~|&&|\|\||\+=|\.\.|[-+*/%<>=(){}\[\],;?:!])
+  | (?P<op>\?\?|===|!==|==|!=|<=|>=|=~|!~|&&|\|\||\+=|\.\.|[-+*/%<>=(){}\[\],;?:!.])
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -305,13 +305,53 @@ class _Compiler:
             self.next()
             self.eat("(")
             tgt = self.next()
-            if tgt.kind != "field":
-                raise FilterXSyntaxError("unset() takes a $field")
+            if tgt.kind not in ("field", "name"):
+                raise FilterXSyntaxError("unset() takes a $field or dict key")
+            key = self._maybe_key(st)
             self.eat(")")
             self.eat(";")
             st = st.fork()
-            st.updates[self._field_name(tgt.text)] = F.lit(None)
+            if key is None:
+                if tgt.kind != "field":
+                    raise FilterXSyntaxError("unset() takes a $field")
+                st.updates[self._field_name(tgt.text)] = F.lit(None)
+                return st
+            # unset(d.k) / unset($f["k"]): remove the key from the
+            # dict value (expr-unset over a dict member)
+            base = self._target_base(tgt, st)
+            removed = F.map_filter(base, lambda kk, _v: kk != key)
+            self._target_store(tgt, removed, st)
             return st
+        if (
+            t.kind in ("field", "name")
+            and self.peek(1) is not None
+            and self.peek(1).text in ("[", ".")
+        ):
+            # dict-member assignment: d["k"] = v; / $f.k = v;
+            # (expr-set-subscript.c / expr-setattr.c). One path level —
+            # our open-schema dicts are flat map<string,string> (deeper
+            # literals flatten to dotted keys at parse time).
+            save = self.i
+            self.next()
+            key = self._maybe_key(st)
+            if key is not None and self.at("=") and not (
+                self.peek(1) is not None and self.peek(1).text == "="
+            ):
+                self.next()
+                val = self.expr(st)
+                self.eat(";")
+                st = st.fork()
+                base = self._target_base(t, st)
+                stripped = F.map_filter(base, lambda kk, _v: kk != key)
+                newd = F.map_concat(
+                    stripped, F.create_map(key, val.cast("string"))
+                )
+                live = st.active
+                if live is not None:
+                    newd = F.when(live, newd).otherwise(base)
+                self._target_store(t, newd, st)
+                return st
+            self.i = save  # not an assignment: an expression statement
         if t.text == "set_fields" and (
             self.peek(1) is not None and self.peek(1).text == "("
         ):
@@ -800,8 +840,19 @@ class _Compiler:
         expr-string-operators.c — Python-style half-open, negative
         indices from the end, clamped; start > end yields NULL where
         the reference raises an eval error) and `e[k]` dict/list
-        subscript (NULL when missing, like a failed getattr)."""
-        while self.at("["):
+        subscript (NULL when missing, like a failed getattr). `.name`
+        attribute access (expr-getattr.c) is subscript sugar over our
+        map-typed dicts."""
+        while self.at("[") or self.at("."):
+            if self.at("."):
+                self.next()
+                nm = self.next()
+                if nm.kind != "name":
+                    raise FilterXSyntaxError(
+                        f"attribute access needs a name, got {nm.text!r}"
+                    )
+                e = F.try_element_at(e, F.lit(nm.text))
+                continue
             self.next()
             if self.at(".."):
                 self.next()
@@ -923,6 +974,47 @@ class _Compiler:
                 self.next()
         self.eat(")")
         return _FUNCS_DISPATCH(fn, args, raws, kwargs, kwraws, self.known)
+
+    def _maybe_key(self, st: _State) -> Column | None:
+        """After a target token: parse ONE `["k"]` / `.name` path
+        segment into a key Column; None when no path follows. Deeper
+        paths are rejected (flat map model)."""
+        key: Column | None = None
+        if self.at("["):
+            self.next()
+            key = self.expr(st).cast("string")
+            self.eat("]")
+        elif self.at("."):
+            self.next()
+            nm = self.next()
+            if nm.kind != "name":
+                raise FilterXSyntaxError(
+                    f"attribute access needs a name, got {nm.text!r}"
+                )
+            key = F.lit(nm.text)
+        if key is not None and (self.at("[") or self.at(".")):
+            raise FilterXSyntaxError(
+                "nested dict-member assignment is not supported (flat "
+                "map<string,string> model — use dotted keys)"
+            )
+        return key
+
+    def _target_base(self, t: Tok, st: _State) -> Column:
+        """Current value of an assignment target token (local or
+        $field), honoring pending updates."""
+        if t.kind == "field":
+            name = self._field_name(t.text)
+            pend = st.updates.get(name)
+            return pend if pend is not None else self._field_ref(name)
+        if t.text in st.env:
+            return st.env[t.text]
+        raise FilterXSyntaxError(f"unknown name {t.text!r} (declare it?)")
+
+    def _target_store(self, t: Tok, val: Column, st: _State) -> None:
+        if t.kind == "field":
+            st.updates[self._field_name(t.text)] = val
+        else:
+            st.env[t.text] = val
 
     def _dict_literal_pairs(
         self, st: _State, prefix: str

@@ -483,3 +483,55 @@ def test_dict_literal_key_must_be_string(spark):
 
     with _pytest.raises(FilterXSyntaxError):
         compile_filterx("$m = {key: 1};", known_fields=["key"])
+
+
+def test_dict_member_assignment_and_unset(spark):
+    """Ported behaviors from the reference's functional suite
+    (tests/light test_filterx_dict.py): subscript/attr assignment on
+    dict locals and fields, unset of a dict key, dynamic message-value
+    keys."""
+    from axosyslog_spark.functions.filterx_lang import compile_filterx
+
+    df = spark.createDataFrame([(0, "test_key")], "id int, msg string")
+    blk = compile_filterx(
+        """
+        declare log = {"id": "a", "m": "b"};
+        unset(log.id);
+        $from_local = log.m;
+        declare d = {};
+        d["test_key"] = "test_value";
+        $looked_up = d[$msg];
+        $f = {"x": "1"};
+        $f["y"] = "2";
+        $f["z"] = $msg;
+        unset($f["x"]);
+        """,
+        known_fields=df.columns,
+    )
+    r = blk.apply(df).first()
+    assert r["from_local"] == "b"
+    assert r["looked_up"] == "test_value"
+    # NOTE: $f.y on a FIELD lexes as the dotted column "f.y" (the
+    # open-schema NV convention) — dict members on fields use the
+    # subscript form; the attr form is for locals (log.id above)
+    assert r["f"] == {"y": "2", "z": "test_key"}
+
+
+def test_dict_member_assignment_respects_liveness(spark):
+    from axosyslog_spark.functions.filterx_lang import compile_filterx
+
+    df = spark.createDataFrame(
+        [(0, "go"), (1, "stop")], "id int, msg string"
+    )
+    blk = compile_filterx(
+        """
+        $d = {"a": "1"};
+        if ($msg == "go") {
+          $d["b"] = "2";
+        };
+        """,
+        known_fields=df.columns,
+    )
+    got = {r["id"]: r["d"] for r in blk.apply(df).collect()}
+    assert got[0] == {"a": "1", "b": "2"}
+    assert got[1] == {"a": "1"}
