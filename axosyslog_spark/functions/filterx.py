@@ -119,10 +119,43 @@ def format_kv_fx(m: Column, pair_sep: str = " ", value_sep: str = "=") -> Column
     )
 
 
-def unset_empties(m: Column) -> Column:
-    """unset_empties() — drop empty-string values from the open-schema
-    map (filterx func)."""
-    return F.map_filter(m, lambda _k, v: v != "")
+def unset_empties(
+    m: Column,
+    targets: Column | None = None,
+    replacement: Column | None = None,
+    ignorecase: bool = False,
+) -> Column:
+    """unset_empties() — lib/filterx/func-unset-empties.c over the
+    flat open-schema map. Defaults remove NULL and "" values; an
+    explicit ``targets`` array REPLACES the defaults entirely (NULL is
+    removed only when the list carries a null element — the reference's
+    targets=[..., null, ...]); ``ignorecase`` folds string comparison;
+    ``replacement`` substitutes the value instead of removing the key.
+    ``recursive`` has no flat-map meaning (values are strings) and is
+    accepted upstream as a no-op."""
+    if targets is None:
+        def is_t(v: Column) -> Column:
+            return v.isNull() | (v == "")
+    else:
+        tlist = (
+            F.transform(targets, lambda x: F.lower(x)) if ignorecase
+            else targets
+        )
+        null_target = F.exists(targets, lambda x: x.isNull())
+
+        def is_t(v: Column) -> Column:
+            tv = F.lower(v) if ignorecase else v
+            return F.when(v.isNull(), null_target).otherwise(
+                F.coalesce(F.array_contains(tlist, tv), F.lit(False))
+            )
+
+    if replacement is not None:
+        return F.transform_values(
+            m, lambda _k, v: F.when(is_t(v), replacement).otherwise(v)
+        )
+    return F.map_filter(
+        m, lambda _k, v: ~F.coalesce(is_t(v), F.lit(True))
+    )
 
 
 def keys(m: Column) -> Column:

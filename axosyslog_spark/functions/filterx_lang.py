@@ -301,6 +301,28 @@ class _Compiler:
                 (_unquote(nm.text), F.when(live, inc).otherwise(F.lit(0)))
             )
             return st
+        if t.text == "unset_empties" and (
+            self.peek(1) is not None and self.peek(1).text == "("
+        ):
+            # statement form mutates its dict argument in place like
+            # the reference (func-unset-empties.c returns true and
+            # writes through the ref) — the rebuilt map stores back to
+            # the $field / local
+            tgt = self.peek(2)
+            if tgt is None or tgt.kind not in ("field", "name"):
+                raise FilterXSyntaxError(
+                    "unset_empties() first argument must be a $field or "
+                    "local dict"
+                )
+            val = self.expr(st)  # the whole call parses as a call expr
+            self.eat(";")
+            st = st.fork()
+            base = self._target_base(tgt, st)
+            live = st.active
+            if live is not None:
+                val = F.when(live, val).otherwise(base)
+            self._target_store(tgt, val, st)
+            return st
         if t.text == "unset":
             self.next()
             self.eat("(")
@@ -932,6 +954,9 @@ class _Compiler:
         args: list[Column] = []
         raws: list[str | None] = []  # plan-time strings for fns that
         # need them (format patterns, type names, glob patterns)
+        shapes: list[str | None] = []  # 'list' when the arg came from
+        # a [...] literal (any-of semantics in startswith/endswith/
+        # includes, func-str.c)
         kwargs: dict[str, Column] = {}
         kwraws: dict[str, str | None] = {}
         while not self.at(")"):
@@ -969,11 +994,14 @@ class _Compiler:
                 raws.append(_unquote(t.text))
             else:
                 raws.append(None)
+            shapes.append("list" if t is not None and t.text == "[" else None)
             args.append(self.expr(st))
             if self.at(","):
                 self.next()
         self.eat(")")
-        return _FUNCS_DISPATCH(fn, args, raws, kwargs, kwraws, self.known)
+        return _FUNCS_DISPATCH(
+            fn, args, raws, kwargs, kwraws, self.known, shapes
+        )
 
     def _maybe_key(self, st: _State) -> Column | None:
         """After a target token: parse ONE `["k"]` / `.name` path
@@ -1133,6 +1161,7 @@ def _FUNCS_DISPATCH(
     kwargs: dict[str, Column] | None = None,
     kwraws: dict[str, str | None] | None = None,
     known=None,
+    shapes: list[str | None] | None = None,
 ) -> Column:
     one = a[0] if a else F.lit(None)
     kwargs = kwargs or {}
@@ -1211,12 +1240,19 @@ def _FUNCS_DISPATCH(
         return F.trim(one)
     if fn == "len":
         return F.length(one.cast("string"))
+    def _any_of(pred):
+        # func-str.c: a list second argument means any-of (the
+        # reference iterates the literal/array elements)
+        if shapes and len(shapes) > 1 and shapes[1] == "list":
+            return F.exists(a[1], pred)
+        return pred(a[1])
+
     if fn == "startswith":
-        return one.startswith(a[1])
+        return _any_of(lambda x: one.startswith(x))
     if fn == "endswith":
-        return one.endswith(a[1])
+        return _any_of(lambda x: one.endswith(x))
     if fn == "includes":
-        return one.contains(a[1])
+        return _any_of(lambda x: one.contains(x))
     if fn == "md5":
         return F.md5(one.cast("binary"))
     if fn == "sha1":
@@ -1297,7 +1333,13 @@ def _FUNCS_DISPATCH(
     if fn == "unset_empties":
         from axosyslog_spark.functions.filterx import unset_empties
 
-        return unset_empties(one)
+        # recursive= accepted, no-op (flat map<string,string> values)
+        return unset_empties(
+            one,
+            targets=kwargs.get("targets"),
+            replacement=kwargs.get("replacement"),
+            ignorecase=kwraws.get("ignorecase") == "true",
+        )
     if fn == "regexp_subst":
         return F.regexp_replace(one, a[1], a[2])
     if fn == "regexp_search":

@@ -468,3 +468,70 @@ def test_metrics_labels(spark):
     r = blk.apply(df).first()
     assert r["labels"] == {"host": "h1", "app": "x"}
     assert r["empty"] == {} and r["ok"] is True
+
+
+def test_unset_empties_variants(spark):
+    """Cases ported from the reference functional suite
+    (test_filterx_funcs.py unset_empties family, flat-map subset):
+    defaults remove NULL + ""; explicit targets REPLACE defaults (NULL
+    removed only when null is listed); ignorecase; replacement
+    substitutes instead of removing."""
+    from axosyslog_spark.functions.filterx_lang import compile_filterx
+
+    df = spark.createDataFrame(
+        [(0, "x")],
+        "id int, msg string",
+    )
+    blk = compile_filterx(
+        """
+        declare src = {"foo": "", "bar": "-", "baz": "N/A"};
+        $defaults = unset_empties(src);
+        unset_empties(src, targets=["n/a", "-"], recursive=true,
+                      ignorecase=true);
+        $no_defaults = src;
+        declare t2 = {"foo": "", "bar": "-", "baz": "N/A"};
+        unset_empties(t2, targets=["n/a", "-", ""], ignorecase=false);
+        $tgt = t2;
+        declare t3 = {"foo": "", "bar": "-", "baz": "N/A"};
+        unset_empties(t3, targets=["n/a", "-", ""], ignorecase=true,
+                      replacement="do");
+        $repl = t3;
+        """,
+        known_fields=df.columns,
+    )
+    r = blk.apply(df).first()
+    assert r["defaults"] == {"bar": "-", "baz": "N/A"}
+    # targets replace defaults: "" survives, "-" and "N/A" (folded) go
+    assert r["no_defaults"] == {"foo": ""}
+    # case-sensitive: "N/A" != "n/a" -> survives
+    assert r["tgt"] == {"baz": "N/A"}
+    assert r["repl"] == {"foo": "do", "bar": "do", "baz": "do"}
+
+
+def test_startswith_endswith_includes_list_args(spark):
+    """func-str.c any-of semantics: a [...] second argument matches
+    when ANY element matches (ported from the reference functional
+    startswith/endswith/includes cases, msg=fooBARbAz)."""
+    from axosyslog_spark.functions.filterx_lang import compile_filterx
+
+    df = spark.createDataFrame([(0, "fooBARbAz")], "id int, msg string")
+    blk = compile_filterx(
+        """
+        declare foo = "foo";
+        declare bar = "bar";
+        $s1 = startswith($msg, "foo");
+        $s2 = startswith($msg, ["foo"]);
+        $s3 = startswith($msg, ["bar", "foo"]);
+        $s4 = startswith($msg, [bar, foo]);
+        $s5 = startswith($msg, ["bar"]);
+        $e1 = endswith($msg, ["xyz", "bAz"]);
+        $i1 = includes($msg, ["nope", "BAR"]);
+        $i2 = includes($msg, ["nope"]);
+        """,
+        known_fields=df.columns,
+    )
+    r = blk.apply(df).first()
+    assert (r["s1"], r["s2"], r["s3"], r["s4"], r["s5"]) == (
+        True, True, True, True, False
+    )
+    assert r["e1"] is True and r["i1"] is True and r["i2"] is False
