@@ -29,9 +29,13 @@ Expressions: literals (string/number/bool/null), $field refs
 (``${dotted.name}`` for dotted columns), locals, ``?? ``, ternary
 ``a ? b : c``, and/or/not, comparisons (type-aware ``==``/``!=`` plus
 ``<`` family on the natural column types, ``=~``/``!~`` regex),
-arithmetic ``+ - * / %``, ``in [..]`` membership, list literals,
+arithmetic ``+ - * / %``, ``in [..]`` membership, dict/list literal
+expressions (nested dict literals flatten to dotted keys),
 string slicing ``s[a..b]`` (expr-string-operators.c: negative
-indices, clamped, half-open) and dict/list subscript ``m[k]``, and a
+indices, clamped, half-open), dict/list subscript ``m[k]`` and
+``.name`` attribute access on locals, dict-member assignment
+``d["k"] = v`` / ``$f["k"] = v`` and member unset (expr-set-subscript /
+expr-setattr; one flat level — map<string,string> model), and a
 builtin function registry (string/int/double/bool/datetime casts,
 lower, upper, strip/lstrip/rstrip, len, startswith/endswith/includes,
 strcasecmp, glob_match, md5/sha1/sha256/sha512,
