@@ -977,3 +977,47 @@ def test_google_pubsub_and_azure_bodies(spark):
     ).collect()[0]["b"]
     arr = json.loads(az)
     assert isinstance(arr, list) and arr[0]["attributes"]["HOST"] == "h1"
+
+
+def test_postgresql_csvlog_functional_goldens(spark):
+    """The two golden lines from the reference's functional suite
+    (tests/light postgresql-csvlog-parser): short v12-era column
+    counts, quoted message with doubled quotes AND embedded commas,
+    DEBUG3 -> debug, LOG unresolvable -> the incoming severity (the
+    functional source arrives at info), empty connection_from
+    defaulting to $HOST_FROM."""
+    l1 = (
+        '2023-09-20 16:50:02.165 CET,,,407764,,650b069a.638d4,2,,'
+        '2023-09-20 16:50:02 CET,,0,DEBUG3,00000,"starting PostgreSQL '
+        '15.4 (Ubuntu 15.4-0ubuntu0.23.04.1) on x86_64-pc-linux-gnu, '
+        'compiled by gcc (Ubuntu 12.3.0-1ubuntu1~23.04) 12.3.0, '
+        '64-bit",,,,,,,,,"","postmaster",,0'
+    )
+    l2 = (
+        '2023-08-08 12:05:52.805 UTC,,,22113,,64d22fa0.5661,1,,'
+        '2023-08-08 12:05:52 UTC,23/74060,0,LOG,00000,"automatic vacuum '
+        'of table ""tablename"": index scans: 0",,,,,,,,,""'
+    )
+    df = spark.createDataFrame(
+        [(0, l1, 6, "localhost"), (1, l2, 6, "localhost")],
+        "id int, text string, severity int, host_from string",
+    )
+    out = {
+        r["id"]: r
+        for r in scl.postgresql_csvlog_parser(df, host_from_col="host_from")
+        .orderBy("id")
+        .collect()
+    }
+    assert out[0]["pid"] == 407764
+    assert out[0]["message"].startswith("starting PostgreSQL 15.4")
+    assert out[0]["severity"] == 7  # DEBUG3
+    assert str(out[0]["ts"]).startswith("2023-09-20 16:50:02.165")
+    assert out[0][".pgsql.session_id"] == "650b069a.638d4"
+    assert out[0][".pgsql.query_id"] == 0
+    assert out[1]["severity"] == 6  # LOG unresolvable -> incoming info
+    assert out[1]["message"] == (
+        'automatic vacuum of table "tablename": index scans: 0'
+    )
+    assert out[1][".pgsql.connection_from"] == "localhost"
+    assert out[1][".pgsql.virtual_transaction_id"] == "23/74060"
+    assert all(out[i]["pgsql_ok"] for i in out)
