@@ -342,6 +342,55 @@ def parse_sdata(df: DataFrame, sd_col: str, out_col: str = "sdata") -> DataFrame
     )
 
 
+def sdata_parser(
+    df: DataFrame,
+    src_col: str,
+    out_col: str = "sdata",
+    prefix: str = ".SDATA.",
+) -> DataFrame:
+    """sdata-parser() — modules/sdata-parser: parse an SDATA-shaped
+    STRING (usually carried in $MESSAGE) into the dotted map. Unlike
+    the RFC5424 header path, the standalone parser ACCEPTS UNQUOTED
+    param values (``sub=Vimsvc.ha-eventmgr``) — the functional suite's
+    golden round-trips them back out quoted through the $SDATA macro.
+    Rows with no [id ...] block get an empty map (parse failure)."""
+    from axosyslog_spark.operators.kvscan import entries_to_map
+
+    src = F.col(src_col)
+    blocks = F.regexp_extract_all(src, F.lit(r"\[([^\]]+)\]"), 1)
+    param_re = r'([\w.@-]+)=(?:"[^"]*"|[^\s\]]+)'
+    entries = F.flatten(
+        F.transform(
+            blocks,
+            lambda b: F.transform(
+                F.regexp_extract_all(b, F.lit(param_re), 0),
+                lambda p: F.struct(
+                    F.concat(
+                        F.lit(prefix),
+                        F.substring_index(b, " ", 1),
+                        F.lit("."),
+                        F.substring_index(p, "=", 1),
+                    ).alias("key"),
+                    # value = after the FIRST '=' (quoted values may
+                    # carry '='), quotes stripped when present
+                    F.regexp_replace(
+                        F.regexp_replace(p, r"^[\w.@-]+=", ""),
+                        '^"(.*)"$',
+                        "$1",
+                    ).alias("value"),
+                ),
+            ),
+        )
+    )
+    return df.withColumn(
+        out_col,
+        F.when(
+            src.isNull() | (F.size(blocks) == 0),
+            F.expr("map()").cast("map<string,string>"),
+        ).otherwise(entries_to_map(entries)),
+    )
+
+
 def tags_parser(df: DataFrame, src_col: str, out_col: str = "tags") -> DataFrame:
     """tags-parser(): parse a $TAGS-style comma list back into the tags
     array (modules/tagsparser/)."""

@@ -84,3 +84,30 @@ def test_free_text(spark):
     row = parse_stage(_mk(spark, ["turn about click with no structure"])).collect()[0]
     assert row.kind == "free" and row.parse_ok is False
     assert row.latency_ms is None and row.status is None
+
+
+def test_sdata_parser_unquoted_values_roundtrip(spark):
+    """Golden from the reference functional suite (tests/light
+    sdata-parser): UNQUOTED param values parse, and the $SDATA macro
+    re-renders the block with quotes."""
+    from pyspark.sql import functions as F
+
+    from axosyslog_spark.operators.parse import format_sdata, sdata_parser
+
+    line = (
+        "[Originator@6876 sub=Vimsvc.ha-eventmgr opID=esxui-13c6-6b16 "
+        "sid=5214bde6 user=root]"
+    )
+    df = spark.createDataFrame([(0, line), (1, "no sdata here")],
+                               "id int, msg string")
+    out = sdata_parser(df, "msg")
+    rows = {r["id"]: r for r in out.select(
+        "id", "sdata", format_sdata(F.col("sdata")).alias("rendered")
+    ).collect()}
+    assert rows[0]["sdata"][".SDATA.Originator@6876.sub"] == "Vimsvc.ha-eventmgr"
+    assert rows[0]["sdata"][".SDATA.Originator@6876.user"] == "root"
+    assert rows[0]["rendered"] == (
+        '[Originator@6876 sub="Vimsvc.ha-eventmgr" opID="esxui-13c6-6b16" '
+        'sid="5214bde6" user="root"]'
+    )
+    assert rows[1]["sdata"] == {}
