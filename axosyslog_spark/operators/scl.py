@@ -1819,3 +1819,77 @@ def azure_monitor_body(events: Column) -> Column:
     stream_name selection maps to the batch key of the groupBy that
     produced ``events``."""
     return F.concat(F.lit("["), F.array_join(events, ","), F.lit("]"))
+
+
+# ---------------------------------------------------------------------------
+# app-transform() — modules/appmodel/transformation.c + app-transform-
+# generator.c: named transformations bound to (application, topic),
+# each an ordered list of transforms, each an ordered list of parser /
+# filterx steps
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass(frozen=True)
+class TransformStep:
+    """One step: a parser (DataFrame -> DataFrame callable) or a
+    filterx block source (transformation.h TransformStep)."""
+    name: str
+    parser: Callable[[DataFrame], DataFrame] | None = None
+    filterx: str | None = None
+
+
+@_dataclass(frozen=True)
+class Transform:
+    name: str
+    steps: tuple[TransformStep, ...]
+
+
+@_dataclass(frozen=True)
+class Transformation:
+    """transformation NAME[topic] { transform[name] { step[...] } }."""
+    app: str
+    topic: str
+    transforms: tuple[Transform, ...]
+
+
+def app_transform(
+    df: DataFrame,
+    transformations: list[Transformation],
+    app_col: str = "app",
+    topic: str = "default",
+    include_transforms: list[str] | None = None,
+) -> DataFrame:
+    """app-transform(filterx-app-variable($app) topic(T)
+    [include-transforms(...)]): rows whose application variable
+    matches a transformation's name (and topic) run that
+    transformation's transforms in declaration order, each transform's
+    steps in order; include-transforms keeps only the named
+    transforms; an unknown application passes through untouched
+    (the reference generates an empty branch). Branch-and-reunite like
+    app_parser — no shuffle, one union."""
+    from axosyslog_spark.functions.filterx_lang import compile_filterx
+
+    chosen = {
+        t.app: t for t in transformations if t.topic == topic
+    }
+    apps = [a for a in chosen]
+    rest = df.filter(
+        F.col(app_col).isNull() | ~F.col(app_col).isin(apps)
+    )
+    out = rest
+    for app in apps:
+        b = df.filter(F.col(app_col) == app)
+        for tr in chosen[app].transforms:
+            if include_transforms and tr.name not in include_transforms:
+                continue
+            for step in tr.steps:
+                if step.parser is not None:
+                    b = step.parser(b)
+                else:
+                    b = compile_filterx(
+                        step.filterx, known_fields=b.columns
+                    ).apply(b)
+        out = out.unionByName(b, allowMissingColumns=True)
+    return out

@@ -1021,3 +1021,82 @@ def test_postgresql_csvlog_functional_goldens(spark):
     assert out[1][".pgsql.connection_from"] == "localhost"
     assert out[1][".pgsql.virtual_transaction_id"] == "23/74060"
     assert all(out[i]["pgsql_ok"] for i in out)
+
+
+def test_app_transform(spark):
+    """app-transform() cases mirrored from the reference functional
+    suite (tests/light app-transform): the app variable selects the
+    transformation by name+topic, transforms run in order with all
+    steps, include-transforms filters, and an unknown app passes
+    through untouched."""
+    from pyspark.sql import DataFrame
+
+    def marker(name):
+        def step(df: DataFrame) -> DataFrame:
+            return df.withColumn(name, F.lit(True))
+        return step
+
+    def t11n(app):
+        return scl.Transformation(
+            app=app, topic="default",
+            transforms=tuple(
+                scl.Transform(
+                    name=f"parser_{p}",
+                    steps=tuple(
+                        scl.TransformStep(
+                            name=f"step_{s}",
+                            parser=marker(f"{app}___parser_{p}___step_{s}"),
+                        )
+                        for s in (1, 2)
+                    ),
+                )
+                for p in (1, 2)
+            ),
+        )
+
+    transformations = [t11n("parser_only_1"), t11n("parser_only_2")]
+    df = spark.createDataFrame(
+        [(0, "parser_only_1"), (1, "parser_only_2"), (2, "non_existing_app")],
+        "id int, app string",
+    )
+    out = {r["id"]: r.asDict() for r in
+           scl.app_transform(df, transformations).collect()}
+
+    def hits(d):
+        return {k for k, v in d.items() if v is True}
+
+    assert hits(out[0]) == {
+        "parser_only_1___parser_1___step_1",
+        "parser_only_1___parser_1___step_2",
+        "parser_only_1___parser_2___step_1",
+        "parser_only_1___parser_2___step_2",
+    }
+    assert hits(out[1]) == {
+        "parser_only_2___parser_1___step_1",
+        "parser_only_2___parser_1___step_2",
+        "parser_only_2___parser_2___step_1",
+        "parser_only_2___parser_2___step_2",
+    }
+    assert hits(out[2]) == set()
+
+    only1 = {r["id"]: r.asDict() for r in scl.app_transform(
+        df, transformations, include_transforms=["parser_1"]
+    ).collect()}
+    assert hits(only1[0]) == {
+        "parser_only_1___parser_1___step_1",
+        "parser_only_1___parser_1___step_2",
+    }
+
+    # a filterx step composes with parser steps
+    fx = scl.Transformation(
+        app="fxapp", topic="default",
+        transforms=(scl.Transform(
+            name="t", steps=(
+                scl.TransformStep(name="s1", filterx='$cls = "x";'),
+                scl.TransformStep(name="s2", parser=marker("after")),
+            )
+        ),),
+    )
+    df2 = spark.createDataFrame([(0, "fxapp")], "id int, app string")
+    r = scl.app_transform(df2, [fx]).collect()[0]
+    assert r["cls"] == "x" and r["after"] is True
