@@ -870,12 +870,83 @@ def _apply_func(call: FuncCall, ctx: TemplateContext) -> Column:
             pairs.append((k, compile_template(v, ctx)))
         return tf.format_welf(dict(pairs))
     if name in ("format-json", "format-flat-json"):
-        pairs = []
-        for a in raw_args:
-            k, _, v = a.partition("=")
-            pairs.append((k, compile_template(v, ctx)))
-        fmt = tf.format_json if name == "format-json" else tf.format_flat_json
-        return fmt(dict(pairs))
+        # modules/json/format-json.c: explicit k=v pairs AND/OR a
+        # value-pairs selection (globs / --scope / --key / --exclude)
+        # with the transforms.c rekey chain applied at COMPILE time
+        # (keys here are plan-time strings); format-json nests dotted
+        # keys into objects, format-flat-json emits them verbatim;
+        # pair order is reverse-lexicographic at each level
+        # (tf_flat_value_pairs_sort's strcmp(s2, s1) — the functional
+        # value-pairs goldens show the same order for the nested form)
+        import fnmatch
+
+        from axosyslog_spark.operators.rewrite import (
+            VALUE_PAIRS_SCOPES,
+            apply_key_transforms,
+        )
+
+        pairs: list[tuple[str, Column]] = []
+        sel: list[str] = []
+        excl: list[str] = []
+        transforms: list[tuple] = []
+        i = 0
+        while i < len(raw_args):
+            arg = raw_args[i]
+            if arg == "--add-prefix":
+                transforms.append(("add-prefix", raw_args[i + 1])); i += 2
+            elif arg == "--replace-prefix":
+                old, _, new = raw_args[i + 1].partition("=")
+                transforms.append(("replace-prefix", old, new)); i += 2
+            elif arg == "--shift":
+                transforms.append(("shift", int(raw_args[i + 1]))); i += 2
+            elif arg == "--shift-levels":
+                transforms.append(("shift-levels", int(raw_args[i + 1])))
+                i += 2
+            elif arg == "--upper":
+                transforms.append(("upper",)); i += 1
+            elif arg == "--lower":
+                transforms.append(("lower",)); i += 1
+            elif arg in ("--scope", "-s"):
+                sel += VALUE_PAIRS_SCOPES[raw_args[i + 1]]; i += 2
+            elif arg in ("--key", "-k"):
+                sel.append(raw_args[i + 1]); i += 2
+            elif arg in ("--exclude", "-x"):
+                excl.append(raw_args[i + 1]); i += 2
+            elif arg == "--omit-empty-values":
+                i += 1  # NULLs already drop via ignoreNullFields
+            elif "=" in arg and not arg.startswith("--"):
+                k, _, v = arg.partition("=")
+                pairs.append((k, compile_template(v, ctx)))
+                i += 1
+            else:  # bare glob selection
+                sel.append(arg); i += 1
+        for n in sorted(ctx.columns):
+            if any(fnmatch.fnmatch(n.lower(), g.lower()) for g in sel) and \
+               not any(fnmatch.fnmatch(n.lower(), g.lower()) for g in excl):
+                pairs.append(
+                    (apply_key_transforms(n, transforms), ctx.columns[n])
+                )
+        if name == "format-flat-json":
+            return tf.format_flat_json(dict(pairs))
+        # nested render: dotted keys become objects
+        tree: dict = {}
+        for k, col in pairs:
+            d = tree
+            parts = k.split(".")
+            for p in parts[:-1]:
+                d = d.setdefault(p, {})
+            d[parts[-1]] = col
+
+        def emit(d: dict) -> Column:
+            fields = []
+            for k in sorted(d, reverse=True):
+                v = d[k]
+                fields.append(
+                    (emit(v) if isinstance(v, dict) else v).alias(k)
+                )
+            return F.struct(*fields)
+
+        return F.to_json(emit(tree), {"ignoreNullFields": "true"})
     if name == "binary":
         # $(binary n n ...) — basicfuncs/str-funcs.c:505-578
         # tf_binary_prepare: a compile-time constant built from

@@ -441,3 +441,43 @@ def test_msg_ref_context_addressing(spark):
     assert row["oldest"] == "bash"   # ts 00:00:01 entry
     assert row["oor"] == ""
     assert row["unknown"] == ""
+
+
+def test_format_json_value_pairs_selection(spark):
+    """The reference functional value-pairs goldens: glob selection,
+    rekey transforms, and NESTED dotted-key rendering with
+    reverse-lexicographic pair order at each level."""
+    df = spark.createDataFrame([(0, "value1", "value2", "msg")],
+                               "id int, v1 string, v2 string, m string")
+    ctx = TemplateContext(columns={
+        "test.key1": F.col("v1"),
+        "test.key2": F.col("v2"),
+        "MESSAGE": F.col("m"),
+    })
+
+    def render(t):
+        return df.select(compile_template(t, ctx).alias("o")).first()["o"]
+
+    assert render("$(format-json test.*)") == (
+        r'{"test":{"key2":"value2","key1":"value1"}}'
+    )
+    assert render("$(format-json test.* --add-prefix foo.)") == (
+        r'{"foo":{"test":{"key2":"value2","key1":"value1"}}}'
+    )
+    assert render("$(format-json test.* --replace-prefix test=foobar)") == (
+        r'{"foobar":{"key2":"value2","key1":"value1"}}'
+    )
+    assert render("$(format-json test.* --shift-levels 1)") == (
+        r'{"key2":"value2","key1":"value1"}'
+    )
+    assert render("$(format-json test.* --shift 2)") == (
+        r'{"st":{"key2":"value2","key1":"value1"}}'
+    )
+    assert render("$(format-json test.* --upper)") == (
+        r'{"TEST":{"KEY2":"value2","KEY1":"value1"}}'
+    )
+    assert render("$(format-json MESSAGE --lower)") == r'{"message":"msg"}'
+    # k=v pairs still compose alongside selection
+    assert render("$(format-json test.* extra=${MESSAGE})") == (
+        r'{"test":{"key2":"value2","key1":"value1"},"extra":"msg"}'
+    )
