@@ -207,3 +207,175 @@ def gopher_repetition(
             "top_gram", "top_gram_count", "top_gram_char_e6",
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """TF-IDF top-k terms per document (the keyword-extraction /
+    topic-signal stage of a corpus pipeline).
+
+    Integer-exact scoring so the DuckDB oracle hashes bit-for-bit:
+    ``idf_e6 = floor(1e6 * n_docs / df_term)`` (linear inverse
+    document frequency — a monotone stand-in for log-idf that stays
+    in exact bigint arithmetic; floor of an integer division is
+    correctly rounded in both engines) and ``score_e6 = tf * idf_e6``.
+    Ties break by term ascending.
+
+    Scale shape: one explode + (doc, term) hash agg (the only big
+    shuffle, linear in corpus tokens), a vocabulary-sized document-
+    frequency table joined back (broadcast at any corpus size — it is
+    bounded by |vocabulary|), a 1-row n_docs aggregate (broadcast
+    cross join), and a per-doc window top-k. No floats, no global
+    sort.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),
+    )
+    tf = base.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "idf_e6", F.floor(F.lit(1_000_000) * F.col("__n") / F.col("df"))
+        )
+        .withColumn("score_e6", F.col("tf") * F.col("idf_e6"))
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("score_e6"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("rank").cast("int").alias("rank"),
+            "term", "tf", "df", "score_e6",
+        )
+    )
+
+
+def unigram_rarity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style quality bucketing (head/middle/tail): score every
+    document against a language model and split the corpus into
+    quality terciles.
+
+    CCNet scores with a 5-gram KenLM; here the language model is the
+    corpus's OWN unigram frequency table, and the per-token score is
+    the integer-quantized inverse frequency
+    ``rarity_e6 = floor(1e6 * total_tokens / count(term))`` — a
+    monotone proxy for -log p(term) that stays in exact bigint
+    arithmetic (so the oracle hashes bit-for-bit; a real KenLM plugs
+    into the same column slot). Document score = floor(mean rarity);
+    buckets = ntile(n) over (score asc, id asc), so bucket 1 = most
+    common tokens = "head", bucket n = rarest = "tail", exactly the
+    CCNet split semantics.
+
+    Scale shape: explode + two hash aggs (corpus term counts are
+    vocabulary-bounded -> broadcast back; per-doc sum is the one big
+    shuffle). The final ntile is a global sort of (score, id) pairs
+    only — at 100 TB production would precompute the two cut points
+    (CCNet itself uses fixed thresholds per language) and bucket by
+    comparison; ntile here keeps the small-scale result exactly
+    reproducible for the oracle.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),
+    )
+    term_counts = base.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = base.select(F.count(F.lit(1)).alias("__total"))
+    per_tok = (
+        base.join(F.broadcast(term_counts), "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "rarity_e6",
+            F.floor(F.lit(1_000_000) * F.col("__total") / F.col("cnt")),
+        )
+    )
+    per_doc = per_tok.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.floor(F.sum("rarity_e6") / F.count(F.lit(1))).alias("rarity_e6"),
+    )
+    w = Window.orderBy(F.asc("rarity_e6"), F.asc("id"))
+    names = F.when(F.col("__b") == 1, F.lit("head")).when(
+        F.col("__b") == n_buckets, F.lit("tail")
+    ).otherwise(F.lit("middle"))
+    return (
+        per_doc.withColumn("__b", F.ntile(n_buckets).over(w))
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "rarity_e6",
+            names.alias("bucket"),
+        )
+    )
+
+
+# line-level and page-level C4 cleaning rules (Raffel et al. 2020,
+# "Exploring the Limits of Transfer Learning..." §2.2) — the classic
+# web-corpus cleanup pass
+_C4_TERMINAL = r'[.!?"]$'
+_C4_MIN_LINE_WORDS = 3
+_C4_MIN_SENTENCES = 5
+
+
+def c4_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4 cleaning rules as pure column algebra (no explode — the
+    line pass is an array filter inside one projection, so per-doc
+    cost is O(len) and the operator never shuffles):
+
+      line rules:  keep a line iff it ends in terminal punctuation
+                   (``. ! ? "``), has >= 3 words, and does not
+                   mention "javascript" (case-insensitive);
+      page rules:  drop the page if it contains ``{``, if it contains
+                   "lorem ipsum" (case-insensitive), or if the kept
+                   text has < 5 sentences (terminal-punct count).
+
+    Returns per document: line counts, sentence count, the keep
+    verdict, the FIRST failing page rule (brace > lorem_ipsum >
+    too_few_sentences — the order the C4 paper lists them), and the
+    md5 of the cleaned text for downstream exact dedup.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: F.trim(ln).rlike(_C4_TERMINAL)
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= _C4_MIN_LINE_WORDS)
+        & ~F.lower(ln).contains("javascript"),
+    )
+    cleaned = F.array_join(kept, "\n")
+    n_sentences = F.length(F.regexp_replace(cleaned, r"[^.!?]", ""))
+    has_brace = F.col(text_col).contains("{")
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    too_few = n_sentences < _C4_MIN_SENTENCES
+    reason = (
+        F.when(has_brace, F.lit("brace"))
+        .when(has_lorem, F.lit("lorem_ipsum"))
+        .when(too_few, F.lit("too_few_sentences"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        reason.isNull().alias("kept"),
+        reason.alias("drop_reason"),
+        F.md5(cleaned.cast("binary")).alias("cleaned_md5"),
+    )

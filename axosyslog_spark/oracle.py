@@ -642,3 +642,125 @@ def emb_semantic_dedup_sql(threshold_e6: int) -> str:
            (min(lbl) = id) AS canonical
     FROM comp GROUP BY id
     """
+
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
+def doc_tfidf_sql(k: int = 3) -> str:
+    """TF-IDF top-k terms per doc with the integer-exact linear idf
+    (idf_e6 = floor(1e6 * n_docs / df)) mirroring
+    textstats.tfidf_top_terms."""
+    return f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+    base AS (
+      SELECT doc_id AS id, unnest(string_split(nt, ' ')) AS term FROM norm
+    ),
+    tf AS (SELECT id, term, count(*) AS tf FROM base GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.id, tf.term, tf.tf, dfreq.df,
+             CAST(floor(1000000 * nd.n / dfreq.df) AS BIGINT) AS idf_e6
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    ),
+    ranked AS (
+      SELECT id, term, tf, df, tf * idf_e6 AS score_e6,
+             row_number() OVER (
+               PARTITION BY id ORDER BY tf * idf_e6 DESC, term ASC
+             ) AS rn
+      FROM scored
+    )
+    SELECT id AS doc_id, CAST(rn AS INT) AS rank, term, tf, df, score_e6
+    FROM ranked WHERE rn <= {k}
+    """
+
+
+def doc_rarity_buckets_sql(n_buckets: int = 3) -> str:
+    """CCNet-style head/middle/tail quality buckets over the integer
+    unigram-rarity score, mirroring textstats.unigram_rarity_buckets."""
+    return f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+    base AS (
+      SELECT doc_id AS id, unnest(string_split(nt, ' ')) AS term FROM norm
+    ),
+    tc AS (SELECT term, count(*) AS cnt FROM base GROUP BY 1),
+    tot AS (SELECT count(*) AS total FROM base),
+    per_tok AS (
+      SELECT base.id,
+             CAST(floor(1000000 * tot.total / tc.cnt) AS BIGINT) AS r
+      FROM base JOIN tc USING (term) CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT id, count(*) AS n_tokens,
+             CAST(floor(sum(r) * 1.0 / count(*)) AS BIGINT) AS rarity_e6
+      FROM per_tok GROUP BY 1
+    ),
+    b AS (
+      SELECT *, ntile({n_buckets}) OVER (
+        ORDER BY rarity_e6 ASC, id ASC
+      ) AS bkt
+      FROM per_doc
+    )
+    SELECT id AS doc_id, n_tokens, rarity_e6,
+           CASE WHEN bkt = 1 THEN 'head'
+                WHEN bkt = {n_buckets} THEN 'tail'
+                ELSE 'middle' END AS bucket
+    FROM b
+    """
+
+
+def doc_c4_filter_sql(brace_mod: int, lorem_mod: int) -> str:
+    """C4 cleaning-rule verdicts, mirroring textstats.c4_filter over
+    the deterministic pseudo-page staging used by the gate query
+    (replace ' table ' -> '.' + newline, terminal '.', plus the
+    brace/lorem injections keyed on doc_id)."""
+    return f"""
+    WITH staged AS (
+      SELECT doc_id,
+             replace(text, ' table ', '.' || chr(10)) || '.'
+             || CASE WHEN doc_id % {brace_mod} = 0 THEN ' {{' ELSE '' END
+             || CASE WHEN doc_id % {lorem_mod} = 0
+                     THEN ' Lorem ipsum' ELSE '' END AS text
+      FROM documents
+    ),
+    split AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM staged
+    ),
+    kept AS (
+      SELECT doc_id, text, lines,
+             list_filter(
+               lines,
+               ln -> regexp_matches(trim(ln), '[.!?"]$')
+                     AND len(string_split_regex(trim(ln), '\\s+')) >= 3
+                     AND NOT contains(lower(ln), 'javascript')
+             ) AS kl
+      FROM split
+    ),
+    agg AS (
+      SELECT doc_id, text,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(kl) AS BIGINT) AS n_kept_lines,
+             coalesce(array_to_string(kl, chr(10)), '') AS cleaned
+      FROM kept
+    ),
+    verdict AS (
+      SELECT doc_id, n_lines, n_kept_lines,
+             CAST(length(regexp_replace(cleaned, '[^.!?]', '', 'g'))
+                  AS BIGINT) AS n_sentences,
+             CASE WHEN contains(text, '{{') THEN 'brace'
+                  WHEN contains(lower(text), 'lorem ipsum')
+                       THEN 'lorem_ipsum'
+                  WHEN length(regexp_replace(cleaned, '[^.!?]', '', 'g'))
+                       < 5 THEN 'too_few_sentences'
+                  ELSE NULL END AS drop_reason,
+             md5(cleaned) AS cleaned_md5
+      FROM agg
+    )
+    SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+           (drop_reason IS NULL) AS kept, drop_reason, cleaned_md5
+    FROM verdict
+    """

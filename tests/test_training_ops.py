@@ -331,3 +331,85 @@ def test_semantic_dedup_composition(spark):
     assert pairs
     for p in pairs:
         assert out[p.id1][0] == out[p.id2][0]
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms / CCNet rarity buckets / C4 cleaning rules (round 5)
+# ---------------------------------------------------------------------------
+
+def test_tfidf_top_terms(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common common common"),
+            (2, "banana cherry common common"),
+            (3, "common common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.df, r.score_e6)
+        for r in textstats.tfidf_top_terms(df, k=2).collect()
+    }
+    # doc 1: apple tf=2 df=1 idf=3e6 -> 6e6 beats common tf=3 df=3 -> 3e6
+    assert out[(1, 1)] == ("apple", 2, 1, 6_000_000)
+    assert out[(1, 2)] == ("common", 3, 3, 3_000_000)
+    # doc 2: cherry tf=1 df=1 -> 3e6 beats common tf=2 df=3 -> 2e6
+    assert out[(2, 1)] == ("cherry", 1, 1, 3_000_000)
+    assert out[(2, 2)] == ("common", 2, 3, 2_000_000)
+    # doc 3: only one distinct term
+    assert out[(3, 1)] == ("common", 4, 3, 4_000_000)
+    assert (3, 2) not in out
+
+
+def test_unigram_rarity_buckets(spark):
+    # 6 docs; each rare token occurs exactly ONCE in the corpus, so a
+    # doc's mean rarity grows strictly with its rare-token share
+    rows = [
+        (i, " ".join(["common"] * (6 - i)
+                     + ["rare%d_%d" % (i, j) for j in range(i)]))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.rarity_e6, r.bucket)
+           for r in textstats.unigram_rarity_buckets(df, n_buckets=3).collect()}
+    assert len(out) == 6
+    # doc 0 is all-common -> head; doc 5 is nearly all-rare -> tail
+    assert out[0][1] == "head" and out[5][1] == "tail"
+    scores = [out[i][0] for i in range(6)]
+    assert scores == sorted(scores)  # rarity grows with rare-token share
+    assert [out[i][1] for i in range(6)] == [
+        "head", "head", "middle", "middle", "tail", "tail"
+    ]
+
+
+def test_c4_filter_rules(spark):
+    pages = [
+        # kept: 5 well-formed sentences across lines
+        (1, "One two three four.\nFive six seven eight. Nine ten eleven."
+            "\nTwelve thirteen fourteen. And a final full line here."),
+        # line rules: no-terminal + short + javascript lines all drop
+        (2, "no terminal punctuation here\nso. it.\n"
+            "please enable JavaScript to view this page.\n"
+            "One two three four. Five six seven. Eight nine ten. "
+            "Eleven twelve. Thirteen fourteen."),
+        # page rules, checked in order: brace wins over lorem
+        (3, "Code sample { x. One two. Three four. Five six. Seven. Eight."),
+        (4, "Lorem Ipsum dolor sit amet. One two. Three four. Five. Six."),
+        (5, "Too short to keep."),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, text string")
+    out = {r.doc_id: r for r in textstats.c4_filter(df).collect()}
+    assert out[1].kept and out[1].drop_reason is None
+    assert out[1].n_lines == 3 and out[1].n_kept_lines == 3
+    assert out[1].n_sentences == 5
+    # doc 2: the three bad lines dropped, the good line keeps 5 sentences
+    assert out[2].n_lines == 4 and out[2].n_kept_lines == 1
+    assert out[2].kept and out[2].n_sentences == 5
+    assert out[3].drop_reason == "brace"
+    assert out[4].drop_reason == "lorem_ipsum"
+    assert out[5].drop_reason == "too_few_sentences"
+    assert not out[5].kept
+    # cleaned_md5 is the md5 of the kept text (exact-dedup ready)
+    import hashlib
+    kept_text = pages[0][1]  # doc 1 keeps everything
+    assert out[1].cleaned_md5 == hashlib.md5(kept_text.encode()).hexdigest()
