@@ -1003,6 +1003,42 @@ class _Compiler:
             if self.at(","):
                 self.next()
         self.eat(")")
+        if fn == "vars":
+            # func-vars.c: dump the scope as a dict — declared
+            # variables under their names, message-tied variables
+            # (fields written in this block) under a '$' prefix;
+            # exclude_msg_values=true drops the message-tied ones and
+            # must be a boolean LITERAL (the reference ctor errors on
+            # anything else)
+            if "exclude_msg_values" in (kwargs | kwraws) and kwraws.get(
+                "exclude_msg_values"
+            ) not in ("true", "false"):
+                raise FilterXSyntaxError(
+                    "vars: exclude_msg_values must be a boolean literal"
+                )
+            entries: list[tuple[str, Column]] = [
+                (n, c) for n, c in st.env.items() if c is not None
+            ]
+            if kwraws.get("exclude_msg_values") != "true":
+                entries += [
+                    ("$" + n, c)
+                    for n, c in st.updates.items()
+                    if c is not None
+                ]
+            if not entries:
+                return F.map_from_arrays(
+                    F.array().cast("array<string>"),
+                    F.array().cast("array<string>"),
+                )
+            return F.create_map(
+                *[x for k, v in entries for x in (F.lit(k), v.cast("string"))]
+            )
+        if fn == "load_vars":
+            # func-vars.c filterx_function_load_vars_new: "function has
+            # been deprecated and removed"
+            raise FilterXSyntaxError(
+                "load_vars() has been deprecated and removed"
+            )
         return _FUNCS_DISPATCH(
             fn, args, raws, kwargs, kwraws, self.known, shapes
         )
@@ -1170,6 +1206,11 @@ def _FUNCS_DISPATCH(
     one = a[0] if a else F.lit(None)
     kwargs = kwargs or {}
     kwraws = kwraws or {}
+    if fn == "move":
+        # filterx-globals.c: move() is an ownership/copy-elision hint
+        # on the reference's object heap; columns are immutable
+        # expressions, so it is the identity
+        return one
     if fn == "format_syslog_5424":
         # filterx-func-format-syslog.c: format_syslog_5424(message,
         # add_octet_count=false, pri=, timestamp=, host=, program=,

@@ -535,3 +535,41 @@ def test_dict_member_assignment_respects_liveness(spark):
     got = {r["id"]: r["d"] for r in blk.apply(df).collect()}
     assert got[0] == {"a": "1", "b": "2"}
     assert got[1] == {"a": "1"}
+
+
+def test_vars_dumps_scope(frame):
+    # func-vars.c: declared variables by name, message-tied writes
+    # with a '$' prefix; exclude_msg_values=true keeps only declares
+    out = filterx(
+        frame,
+        """
+        declare thr = 1000;
+        $slow = $latency_ms > thr;
+        $dump = vars();
+        $dump_novals = vars(exclude_msg_values=true);
+        """,
+    )
+    got = _rows(out)
+    assert got[1]["dump"] == {"thr": "1000", "$slow": "true"}
+    assert got[0]["dump"] == {"thr": "1000", "$slow": "false"}
+    assert got[1]["dump_novals"] == {"thr": "1000"}
+
+
+def test_vars_exclude_must_be_literal(frame):
+    with pytest.raises(FilterXSyntaxError):
+        compile_filterx(
+            "declare x = vars(exclude_msg_values=$status);",
+            known_fields=frame.columns,
+        )
+
+
+def test_load_vars_is_removed(frame):
+    # the reference ctor hard-errors: "deprecated and removed"
+    with pytest.raises(FilterXSyntaxError):
+        compile_filterx("$x = load_vars();", known_fields=frame.columns)
+
+
+def test_move_is_identity(frame):
+    out = filterx(frame, "$h2 = move($host);")
+    got = _rows(out)
+    assert all(got[i]["h2"] == got[i]["host"] for i in got)
