@@ -1503,6 +1503,49 @@ _C4_BRACE_MOD = 31
 _C4_LOREM_MOD = 37
 
 
+_PII_MODS = (3, 5, 7, 11)  # email / ip / phone / ssn injection keys
+
+
+def q_doc_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub (emails/SSNs/phones/IPv4): the corpus is synthetic
+    word soup, so the gate query deterministically injects PII keyed
+    on doc_id (all four categories, overlapping on lcm factors), then
+    redacts and counts. The operator (textstats.pii_redact) takes any
+    text column; the reference ships the credit-card specialization
+    (scl/rewrite cc-mask)."""
+    from axosyslog_spark.operators.textstats import pii_redact
+
+    em, ip, ph, ssn = _PII_MODS
+    d = F.col("doc_id")
+    staged = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % em == 0,
+                F.concat(
+                    F.lit(" reach user"), d.cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % ip == 0,
+                F.concat(
+                    F.lit(" from 10."), (d % 256).cast("string"),
+                    F.lit(".0.1"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(d % ph == 0, F.lit(" call 555-867-5309")).otherwise(
+                F.lit("")
+            ),
+            F.when(d % ssn == 0, F.lit(" ssn 123-45-6789")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return pii_redact(staged)
+
+
 def q_doc_c4_filter(spark: SparkSession, sf: str) -> DataFrame:
     """C4 cleaning rules (Raffel et al. 2020 §2.2): line-level
     terminal-punctuation / min-words / javascript rules + page-level
@@ -2397,6 +2440,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "doc_c4_filter": oracle.doc_c4_filter_sql(
             _C4_BRACE_MOD, _C4_LOREM_MOD
         ),
+        "doc_pii_redact": oracle.doc_pii_redact_sql(*_PII_MODS),
         "emb_topk": oracle.emb_topk_sql(5, 10),
         "emb_ivf_topk": oracle.emb_ivf_topk_sql(5, 10, 16, 4),
         "emb_near_dups": oracle.emb_near_dups_sql(500_000),
@@ -2436,6 +2480,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf": q_doc_tfidf,
         "doc_rarity_buckets": q_doc_rarity_buckets,
         "doc_c4_filter": q_doc_c4_filter,
+        "doc_pii_redact": q_doc_pii_redact,
     }
 
 

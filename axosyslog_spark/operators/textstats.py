@@ -379,3 +379,46 @@ def c4_filter(
         reason.alias("drop_reason"),
         F.md5(cleaned.cast("binary")).alias("cleaned_md5"),
     )
+
+
+# PII redaction patterns, applied IN ORDER on the progressively
+# redacted text (the order matters: emails carry dots+digits, SSNs
+# would otherwise half-match the phone shape). RE2/Java-regex common
+# subset only — no lookarounds/backrefs — so the DuckDB oracle runs
+# the identical patterns. The reference ships the same idea
+# specialized to credit cards (scl/rewrite cc-mask/cc-hash,
+# operators/scl.py); this is the generalized training-corpus pass.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_redact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Redact emails / SSNs / phone numbers / IPv4 addresses and count
+    the hits per category — the PII scrub every public training corpus
+    runs before release.
+
+    One shuffle-free projection: four chained regexp_replace calls and
+    four regexp_count probes, all inside whole-stage codegen; per-doc
+    cost is O(len · patterns). Counts are taken on the text as it
+    stood when that pattern ran (the same value its replace saw).
+    """
+    redacted = F.col(text_col)
+    counts: dict[str, Column] = {}
+    for name, pat, token in PII_PATTERNS:
+        counts[f"n_{name}s"] = F.regexp_count(redacted, F.lit(pat)).cast(
+            "bigint"
+        )
+        redacted = F.regexp_replace(redacted, pat, token)
+    return df.select(
+        F.col(id_col),
+        *[c.alias(n) for n, c in counts.items()],
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )

@@ -764,3 +764,57 @@ def doc_c4_filter_sql(brace_mod: int, lorem_mod: int) -> str:
            (drop_reason IS NULL) AS kept, drop_reason, cleaned_md5
     FROM verdict
     """
+
+
+def doc_pii_redact_sql(
+    email_mod: int, ip_mod: int, phone_mod: int, ssn_mod: int
+) -> str:
+    """PII redaction counts + redacted-text digest, mirroring
+    textstats.pii_redact over the gate query's deterministic PII
+    injections (RE2 and Java regex agree on this pattern subset; each
+    count is taken on the text as it stood when that replace ran)."""
+    pats = [
+        ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+         "<EMAIL>"),
+        ("ssns", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+        ("phones", "\\b\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>"),
+        ("ipv4s", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ]
+    ctes = [f"""
+    staged AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % {email_mod} = 0
+                     THEN ' reach user' || doc_id || '@example.com now'
+                     ELSE '' END
+             || CASE WHEN doc_id % {ip_mod} = 0
+                     THEN ' from 10.' || (doc_id % 256) || '.0.1'
+                     ELSE '' END
+             || CASE WHEN doc_id % {phone_mod} = 0
+                     THEN ' call 555-867-5309' ELSE '' END
+             || CASE WHEN doc_id % {ssn_mod} = 0
+                     THEN ' ssn 123-45-6789' ELSE '' END AS t0
+      FROM documents
+    )"""]
+    prev = "t0"
+    prev_cte = "staged"
+    carried: list[str] = []
+    for i, (name, pat, token) in enumerate(pats):
+        nxt = f"t{i + 1}"
+        carry = ", ".join(carried) + (", " if carried else "")
+        ctes.append(f"""
+    s{i + 1} AS (
+      SELECT doc_id, {carry}
+             len(regexp_extract_all({prev}, '{pat}')) AS n_{name},
+             regexp_replace({prev}, '{pat}', '{token}', 'g') AS {nxt}
+      FROM {prev_cte}
+    )""")
+        carried.append(f"n_{name}")
+        prev, prev_cte = nxt, f"s{i + 1}"
+    cols = ", ".join(f"CAST(n_{n} AS BIGINT) AS n_{n}" for n, _, _ in pats)
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+    SELECT doc_id, {cols}, md5({prev}) AS redacted_md5 FROM {prev_cte}
+    """
+    )

@@ -413,3 +413,27 @@ def test_c4_filter_rules(spark):
     import hashlib
     kept_text = pages[0][1]  # doc 1 keeps everything
     assert out[1].cleaned_md5 == hashlib.md5(kept_text.encode()).hexdigest()
+
+
+def test_pii_redact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail jane.doe+x@sub.example.co.uk and bob@host.org now"),
+            (2, "ssn 123-45-6789 is not a phone, 555-123-4567 is"),
+            (3, "host 192.168.0.1 and 10.0.0.255, dotted fone 555.123.4567"),
+            (4, "nothing to redact here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.pii_redact(df).collect()}
+    assert (out[1].n_emails, out[1].n_ssns, out[1].n_phones,
+            out[1].n_ipv4s) == (2, 0, 0, 0)
+    # SSN claimed by the SSN pattern, NOT double-counted as a phone
+    assert (out[2].n_ssns, out[2].n_phones) == (1, 1)
+    # dotted phone matched by the phone pass BEFORE the ipv4 pass runs
+    assert (out[3].n_ipv4s, out[3].n_phones) == (2, 1)
+    assert (out[4].n_emails, out[4].n_ssns, out[4].n_phones,
+            out[4].n_ipv4s) == (0, 0, 0, 0)
+    import hashlib
+    assert out[4].redacted_md5 == hashlib.md5(
+        b"nothing to redact here").hexdigest()
