@@ -784,15 +784,16 @@ def _apply_func(call: FuncCall, ctx: TemplateContext) -> Column:
         return F.url_decode(one())
     if name == "base64-encode":
         return F.base64(one().cast("binary"))
-    if name in ("sha256", "sha1", "md5", "hash"):
+    if name in ("sha256", "sha512", "sha1", "md5", "hash"):
         length = None
-        if raw_args and raw_args[0] == "--length":
+        if raw_args and raw_args[0] in ("--length", "-l"):
             length = args[1].as_int("--length")
             args = args[2:]
         payload = F.concat(*[a.col for a in args]) if args else F.lit("")
         h = {
             "sha256": lambda c: F.sha2(c.cast("binary"), 256),
             "hash": lambda c: F.sha2(c.cast("binary"), 256),
+            "sha512": lambda c: F.sha2(c.cast("binary"), 512),
             "sha1": lambda c: F.sha1(c.cast("binary")),
             "md5": lambda c: F.md5(c.cast("binary")),
         }[name](payload)

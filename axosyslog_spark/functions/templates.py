@@ -247,6 +247,7 @@ def tf_sha256(c: Column, length: int | None = None) -> Column:
     return F.substring(h, 1, length) if length else h
 
 
+def tf_sha512(c: Column) -> Column: return F.sha2(c.cast("binary"), 512)
 def tf_sha1(c: Column) -> Column: return F.sha1(c.cast("binary"))
 def tf_md5(c: Column) -> Column: return F.md5(c.cast("binary"))
 def tf_uuid() -> Column: return F.expr("uuid()")
@@ -619,6 +620,7 @@ TEMPLATE_FUNCS = {
     "url-encode": tf_url_encode, "url-decode": tf_url_decode,
     "base64-encode": tf_base64_encode,
     "sha256": tf_sha256, "hash": tf_sha256, "sha1": tf_sha1, "md5": tf_md5,
+    "sha512": tf_sha512,
     "uuid": tf_uuid,
     "format-json": format_json, "format-flat-json": format_flat_json,
     "format-welf": format_welf,

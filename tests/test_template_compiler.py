@@ -200,6 +200,15 @@ def test_render_crypto_funcs(frame):
         hashlib.md5(b"h1").hexdigest(),
         hashlib.md5(b"h2").hexdigest(),
     ]
+    # $(sha512) and the -l short form (cryptofuncs.c option table)
+    assert _render(frame, "$(sha512 ${HOST})") == [
+        hashlib.sha512(b"h1").hexdigest(),
+        hashlib.sha512(b"h2").hexdigest(),
+    ]
+    assert _render(frame, "$(sha512 -l 12 ${HOST})") == [
+        hashlib.sha512(b"h1").hexdigest()[:12],
+        hashlib.sha512(b"h2").hexdigest()[:12],
+    ]
 
 
 def test_render_arithmetic(frame):
