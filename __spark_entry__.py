@@ -1503,6 +1503,29 @@ _C4_BRACE_MOD = 31
 _C4_LOREM_MOD = 37
 
 
+_MIX_WEIGHTS = {"src0": 0.25, "src1": 0.5, "src2": 0.0, "src3": 1.0}
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_doc_source_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic source re-weighting (the Pile/DoReMi mixing
+    stage): keep each source at its target rate via an md5 hex-prefix
+    threshold — no RNG, rerun-stable, auditable per document."""
+    from axosyslog_spark.operators.sampling import source_mix
+
+    return source_mix(
+        _docs(spark, sf), _MIX_WEIGHTS, default_weight=0.75
+    )
+
+
+def q_doc_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Reproducible train/val/test split over the document id hash
+    (cumulative hex bounds; last bucket absorbs the remainder)."""
+    from axosyslog_spark.operators.sampling import hash_split
+
+    return hash_split(_docs(spark, sf), _SPLIT_FRACTIONS)
+
+
 _PII_MODS = (3, 5, 7, 11)  # email / ip / phone / ssn injection keys
 
 
@@ -2441,6 +2464,12 @@ def _all_oracle_sql() -> dict[str, str]:
             _C4_BRACE_MOD, _C4_LOREM_MOD
         ),
         "doc_pii_redact": oracle.doc_pii_redact_sql(*_PII_MODS),
+        "doc_source_mix": oracle.doc_source_mix_sql(
+            _MIX_WEIGHTS, 0.75, "mix"
+        ),
+        "doc_hash_split": oracle.doc_hash_split_sql(
+            _SPLIT_FRACTIONS, "split"
+        ),
         "emb_topk": oracle.emb_topk_sql(5, 10),
         "emb_ivf_topk": oracle.emb_ivf_topk_sql(5, 10, 16, 4),
         "emb_near_dups": oracle.emb_near_dups_sql(500_000),
@@ -2481,6 +2510,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rarity_buckets": q_doc_rarity_buckets,
         "doc_c4_filter": q_doc_c4_filter,
         "doc_pii_redact": q_doc_pii_redact,
+        "doc_source_mix": q_doc_source_mix,
+        "doc_hash_split": q_doc_hash_split,
     }
 
 

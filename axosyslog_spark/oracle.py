@@ -818,3 +818,53 @@ def doc_pii_redact_sql(
     SELECT doc_id, {cols}, md5({prev}) AS redacted_md5 FROM {prev_cte}
     """
     )
+
+
+def _hex_threshold_sql(fraction: float) -> str:
+    n = min(max(int(round(fraction * 16 ** 6)), 0), 16 ** 6)
+    return "g" if n >= 16 ** 6 else format(n, "06x")
+
+
+def doc_source_mix_sql(
+    weights: dict[str, float], default_weight: float, salt: str
+) -> str:
+    """Mirror of sampling.source_mix: string-ordered hex-prefix
+    threshold per source over md5(doc_id || '#salt')."""
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN '{_hex_threshold_sql(w)}'"
+        for s, w in sorted(weights.items())
+    )
+    return f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             substr(md5(CAST(doc_id AS VARCHAR) || '#{salt}'), 1, 6) AS u6,
+             CASE {cases}
+                  ELSE '{_hex_threshold_sql(default_weight)}' END AS bound
+      FROM documents
+    )
+    SELECT doc_id, source, u6 FROM h WHERE u6 < bound
+    """
+
+
+def doc_hash_split_sql(fractions: dict[str, float], salt: str) -> str:
+    """Mirror of sampling.hash_split: cumulative hex bounds, last
+    bucket absorbs the remainder."""
+    names = list(fractions)
+    cum = 0.0
+    whens = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        whens.append(f"WHEN u6 < '{_hex_threshold_sql(cum)}' THEN '{name}'")
+    case = (
+        "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+        if whens
+        else f"'{names[-1]}'"
+    )
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR) || '#{salt}'), 1, 6) AS u6
+      FROM documents
+    )
+    SELECT doc_id, u6, {case} AS split FROM h
+    """

@@ -437,3 +437,49 @@ def test_pii_redact(spark):
     import hashlib
     assert out[4].redacted_md5 == hashlib.md5(
         b"nothing to redact here").hexdigest()
+
+
+def test_source_mix_rates_and_determinism(spark):
+    from axosyslog_spark.operators.sampling import source_mix
+
+    rows = [(i, "t", f"s{i % 2}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = source_mix(df, {"s0": 0.25}, default_weight=0.9).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    # empirical rates within 5 points of the target on 1000 draws
+    assert abs(len(by_src["s0"]) / 1000 - 0.25) < 0.05
+    assert abs(len(by_src["s1"]) / 1000 - 0.90) < 0.05
+    # deterministic: a rerun keeps exactly the same documents
+    again = {r.doc_id for r in source_mix(
+        df, {"s0": 0.25}, default_weight=0.9).collect()}
+    assert again == by_src["s0"] | by_src["s1"]
+    # weight 0 keeps nothing, weight 1 keeps everything
+    assert not source_mix(df, {"s0": 0.0, "s1": 0.0}).collect()
+    assert len(source_mix(df, {}, default_weight=1.0).collect()) == 2000
+
+
+def test_hash_split_exhaustive_and_stable(spark):
+    from axosyslog_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame(
+        [(i, "t") for i in range(3000)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.split for r in hash_split(df).collect()}
+    assert len(out) == 3000  # every doc lands in exactly one bucket
+    frac = {
+        s: sum(1 for v in out.values() if v == s) / 3000
+        for s in ("train", "val", "test")
+    }
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["val"] - 0.1) < 0.03
+    assert abs(frac["test"] - 0.1) < 0.03
+    # assignment is a pure function of (id, salt): subset recomputation
+    # agrees with the full run (the resumability property)
+    sub = {r.doc_id: r.split for r in hash_split(
+        df.filter(F.col("doc_id") < 100)).collect()}
+    assert all(out[k] == v for k, v in sub.items())
+    # a different salt reshuffles
+    other = {r.doc_id: r.split for r in hash_split(df, salt="v2").collect()}
+    assert other != out
