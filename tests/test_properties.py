@@ -331,3 +331,104 @@ def test_str_repr_py_matches_column(spark, texts):
     got = {r["id"]: r["enc"] for r in rows}
     for i, t in enumerate(texts):
         assert got[i] == _str_repr_py(t), repr(t)
+
+
+# ---------------------------------------------------------------------------
+# pii_redact / c4_filter vs direct Python models (round-5 training ops)
+# ---------------------------------------------------------------------------
+
+_PII_WORDS = ["alpha", "beta", "x9", "call", "now", "{", "Lorem", "ipsum."]
+_PII_SNIPPETS = [
+    "bob@example.com", "a.b-c_d@h.co", "123-45-6789", "555-123-4567",
+    "555.123.4567", "10.0.0.1", "256.1.2.3", "1.2.3", "999-99-9999",
+    "+123 456 7890", "not@an", "x@y.z",
+]
+
+pii_doc = st.lists(
+    st.sampled_from(_PII_WORDS + _PII_SNIPPETS), min_size=0, max_size=12
+).map(" ".join)
+
+
+def _python_pii(text):
+    import hashlib
+
+    from axosyslog_spark.operators.textstats import PII_PATTERNS
+
+    counts = {}
+    for name, pat, token in PII_PATTERNS:
+        counts[f"n_{name}s"] = len(re.findall(pat, text))
+        text = re.sub(pat, token, text)
+    return counts, hashlib.md5(text.encode()).hexdigest()
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=st.lists(pii_doc, min_size=1, max_size=8))
+def test_pii_redact_matches_python_model(spark, docs):
+    from axosyslog_spark.operators.textstats import pii_redact
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in pii_redact(df).collect()}
+    for i, text in enumerate(docs):
+        counts, digest = _python_pii(text)
+        for k, v in counts.items():
+            assert got[i][k] == v, (k, text)
+        assert got[i].redacted_md5 == digest, text
+
+
+_C4_LINE_WORDS = [
+    "one two three four.", "ends with bang three!", 'quoted "',
+    "no terminal punct", "so.", "enable javascript please.",
+    "brace { inside. more words here.", "lorem ipsum dolor sit.",
+    "five. six. seven. eight. nine.", "", "   ",
+]
+
+c4_page = st.lists(
+    st.sampled_from(_C4_LINE_WORDS), min_size=0, max_size=8
+).map("\n".join)
+
+
+def _python_c4(text):
+    import hashlib
+
+    lines = text.split("\n")
+    kept = [
+        ln for ln in lines
+        if re.search(r'[.!?"]$', ln.strip())
+        and len(re.split(r"\s+", ln.strip())) >= 3
+        and "javascript" not in ln.lower()
+    ]
+    cleaned = "\n".join(kept)
+    n_sent = len(re.findall(r"[.!?]", cleaned))
+    if "{" in text:
+        reason = "brace"
+    elif "lorem ipsum" in text.lower():
+        reason = "lorem_ipsum"
+    elif n_sent < 5:
+        reason = "too_few_sentences"
+    else:
+        reason = None
+    return (
+        len(lines), len(kept), n_sent, reason,
+        hashlib.md5(cleaned.encode()).hexdigest(),
+    )
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pages=st.lists(c4_page, min_size=1, max_size=8))
+def test_c4_filter_matches_python_model(spark, pages):
+    from axosyslog_spark.operators.textstats import c4_filter
+
+    df = spark.createDataFrame(
+        list(enumerate(pages)), "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in c4_filter(df).collect()}
+    for i, text in enumerate(pages):
+        n_lines, n_kept, n_sent, reason, digest = _python_c4(text)
+        r = got[i]
+        assert (r.n_lines, r.n_kept_lines, r.n_sentences) == (
+            n_lines, n_kept, n_sent,
+        ), text
+        assert r.drop_reason == reason and r.kept == (reason is None), text
+        assert r.cleaned_md5 == digest, text
