@@ -784,7 +784,7 @@ def _apply_func(call: FuncCall, ctx: TemplateContext) -> Column:
         return F.url_decode(one())
     if name == "base64-encode":
         return F.base64(one().cast("binary"))
-    if name in ("sha256", "sha512", "sha1", "md5", "hash"):
+    if name in ("sha256", "sha512", "sha1", "md5", "md4", "hash"):
         length = None
         if raw_args and raw_args[0] in ("--length", "-l"):
             length = args[1].as_int("--length")
@@ -796,6 +796,7 @@ def _apply_func(call: FuncCall, ctx: TemplateContext) -> Column:
             "sha512": lambda c: F.sha2(c.cast("binary"), 512),
             "sha1": lambda c: F.sha1(c.cast("binary")),
             "md5": lambda c: F.md5(c.cast("binary")),
+            "md4": tf.tf_md4,
         }[name](payload)
         return F.substring(h, 1, length) if length else h
     if name == "uuid":

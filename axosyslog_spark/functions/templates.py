@@ -247,6 +247,21 @@ def tf_sha256(c: Column, length: int | None = None) -> Column:
     return F.substring(h, 1, length) if length else h
 
 
+def tf_md4(c: Column) -> Column:
+    """$(md4) — cryptofuncs.c. MD4 left the JVM and OpenSSL; this is
+    the RFC 1320 implementation (functions/md4.py) behind an
+    Arrow-batched pandas UDF. Parity path only — never hot."""
+    import pandas as pd  # noqa: PLC0415
+
+    from axosyslog_spark.functions.md4 import md4_hex  # noqa: PLC0415
+
+    _md4 = F.pandas_udf(
+        lambda s: s.fillna("").map(lambda v: md4_hex(v.encode())),
+        "string",
+    )
+    return _md4(c.cast("string"))
+
+
 def tf_sha512(c: Column) -> Column: return F.sha2(c.cast("binary"), 512)
 def tf_sha1(c: Column) -> Column: return F.sha1(c.cast("binary"))
 def tf_md5(c: Column) -> Column: return F.md5(c.cast("binary"))
@@ -620,7 +635,7 @@ TEMPLATE_FUNCS = {
     "url-encode": tf_url_encode, "url-decode": tf_url_decode,
     "base64-encode": tf_base64_encode,
     "sha256": tf_sha256, "hash": tf_sha256, "sha1": tf_sha1, "md5": tf_md5,
-    "sha512": tf_sha512,
+    "sha512": tf_sha512, "md4": tf_md4,
     "uuid": tf_uuid,
     "format-json": format_json, "format-flat-json": format_flat_json,
     "format-welf": format_welf,

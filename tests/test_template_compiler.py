@@ -490,3 +490,17 @@ def test_format_json_value_pairs_selection(spark):
     assert render("$(format-json test.* extra=${MESSAGE})") == (
         r'{"test":{"key2":"value2","key1":"value1"},"extra":"msg"}'
     )
+
+
+def test_render_md4(frame):
+    # RFC 1320 vectors via the template path (pure-Python MD4 —
+    # OpenSSL 3 dropped the legacy digest, see functions/md4.py)
+    from axosyslog_spark.functions.md4 import md4_hex
+
+    assert md4_hex(b"abc") == "a448017aaf21d8525fc10ae87aa6729d"
+    assert _render(frame, "$(md4 ${HOST})") == [
+        md4_hex(b"h1"), md4_hex(b"h2"),
+    ]
+    assert _render(frame, "$(md4 -l 8 ${HOST})") == [
+        md4_hex(b"h1")[:8], md4_hex(b"h2")[:8],
+    ]
