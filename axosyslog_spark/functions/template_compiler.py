@@ -982,6 +982,22 @@ def _apply_func(call: FuncCall, ctx: TemplateContext) -> Column:
                 )
             chars.append(chr(n))
         return F.lit("".join(chars))
+    if name == "slog":
+        # secure-logging.c $(slog): the forward-secure MAC chain is
+        # sequential by construction — it lives in operators/slog.py
+        # (seal/verify over applyInPandas), not in a per-row template
+        raise TemplateError(
+            "$(slog) is the sequential secure-logging chain; use "
+            "operators/slog.seal_messages() (see operators/slog.py)"
+        )
+    if name == "geoip2":
+        # geoip-plugin.c $(geoip2): a per-message mmdb lookup is a
+        # range JOIN in the column model, not an expression — use the
+        # enrich operator (broadcast range join over the mmdb ranges)
+        raise TemplateError(
+            "$(geoip2) is a lookup join; use operators/enrich.geoip2() "
+            "(see operators/enrich.py, operators/mmdb.py)"
+        )
     raise TemplateError(f"unknown template function $({name})")
 
 

@@ -504,3 +504,12 @@ def test_render_md4(frame):
     assert _render(frame, "$(md4 -l 8 ${HOST})") == [
         md4_hex(b"h1")[:8], md4_hex(b"h2")[:8],
     ]
+
+
+def test_operator_shaped_funcs_point_to_operators(frame):
+    # $(slog)/$(geoip2) exist in the reference as template functions
+    # but are operator-shaped here; the error must say where to go
+    with pytest.raises(TemplateError, match="slog.seal"):
+        _render(frame, "$(slog ${MSG})")
+    with pytest.raises(TemplateError, match="enrich.geoip2"):
+        _render(frame, "$(geoip2 ${HOST})")
