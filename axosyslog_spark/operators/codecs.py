@@ -158,3 +158,73 @@ def probe_jpeg(data: bytes) -> tuple[int, int, int]:
             break
         i += seg_len
     raise ValueError("no SOF marker found")
+
+
+# ---------------------------------------------------------------------------
+# PNG / GIF: fixed-offset header probes (public format specs; like the
+# JPEG SOF walk these read dimensions without any pixel decode)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def probe_png(data: bytes) -> tuple[int, int, int]:
+    """PNG bytes -> (width, height, bit_depth) from the IHDR chunk,
+    which the spec requires to be the FIRST chunk (offset 8: length +
+    'IHDR' + 13-byte payload)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    if len(data) < 8 + 8 + 13 or data[12:16] != b"IHDR":
+        raise ValueError("PNG missing leading IHDR chunk")
+    w = int.from_bytes(data[16:20], "big")
+    h = int.from_bytes(data[20:24], "big")
+    depth = data[24]
+    if not w or not h:
+        raise ValueError("PNG IHDR with zero dimension")
+    return w, h, depth
+
+
+def probe_gif(data: bytes) -> tuple[int, int, int]:
+    """GIF bytes -> (width, height, n_frames). Dimensions come from
+    the fixed logical-screen descriptor; the frame count is the number
+    of image-separator blocks (0x2C) found by walking the block
+    structure (sub-block chains are length-prefixed, no pixel
+    decode)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (bad signature)")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
+    w = int.from_bytes(data[6:8], "little")
+    h = int.from_bytes(data[8:10], "little")
+    flags = data[10]
+    i = 13
+    if flags & 0x80:  # global color table present
+        i += 3 * (2 << (flags & 0x07))
+
+    def _skip_subblocks(j: int) -> int:
+        while j < len(data) and data[j]:
+            j += 1 + data[j]
+        return j + 1  # past the 0x00 terminator
+
+    frames = 0
+    while i < len(data):
+        b = data[i]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            i = _skip_subblocks(i + 2)
+        elif b == 0x2C:  # image descriptor
+            frames += 1
+            if i + 10 > len(data):
+                raise ValueError("truncated GIF image descriptor")
+            lflags = data[i + 9]
+            i += 10
+            if lflags & 0x80:  # local color table
+                i += 3 * (2 << (lflags & 0x07))
+            i += 1  # LZW minimum code size
+            i = _skip_subblocks(i)
+        else:
+            raise ValueError(f"GIF block desync at offset {i}")
+    if not frames:
+        raise ValueError("GIF with no image blocks")
+    return w, h, frames

@@ -161,6 +161,18 @@ def decode_media(df: DataFrame) -> DataFrame:
                     w, h, _comps = codecs.probe_jpeg(payload)
                     frames, dur = 1, 0
                     feat = hashlib.md5(payload).hexdigest()
+                elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+                    # REAL PNG probe: IHDR is spec-required first chunk
+                    w, h, _depth = codecs.probe_png(payload)
+                    frames, dur = 1, 0
+                    feat = hashlib.md5(payload).hexdigest()
+                elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                    # REAL GIF probe: logical screen descriptor + a
+                    # block walk counting image separators (animated
+                    # GIFs report their true frame count)
+                    w, h, frames = codecs.probe_gif(payload)
+                    dur = 0
+                    feat = hashlib.md5(payload).hexdigest()
                 else:
                     # STUB for externally-coded formats (JPEG/MP4/...)
                     w, h, frames, dur = _fake_decode(payload)

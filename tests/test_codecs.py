@@ -122,3 +122,44 @@ def test_decode_media_probes_real_jpeg(spark):
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = {r["media_id"]: (r["width"], r["height"]) for r in decode_media(df).collect()}
     assert got == {1: (320, 240), 2: (12, 34)}
+
+
+def _tiny_png(w, h, depth=8):
+    import struct
+    ihdr = struct.pack(">II", w, h) + bytes([depth, 2, 0, 0, 0])
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + ihdr + b"\x00\x00\x00\x00")
+
+
+def _tiny_gif(w, h, frames=1, animated_ext=False):
+    import struct
+    out = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x00, 0, 0])
+    for _ in range(frames):
+        if animated_ext:  # graphic control extension before each frame
+            out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += b"\x02" + b"\x03\x01\x02\x03" + b"\x00"  # lzw min + subblock
+    return out + b"\x3b"
+
+
+def test_probe_png():
+    assert codecs.probe_png(_tiny_png(640, 480)) == (640, 480, 8)
+    assert codecs.probe_png(_tiny_png(1, 99999, depth=16)) == (1, 99999, 16)
+    import pytest
+    with pytest.raises(ValueError):
+        codecs.probe_png(b"BM not a png")
+    with pytest.raises(ValueError):
+        codecs.probe_png(_tiny_png(0, 5))
+
+
+def test_probe_gif():
+    assert codecs.probe_gif(_tiny_gif(320, 200)) == (320, 200, 1)
+    # animated: frame count via the block walk, extensions skipped
+    assert codecs.probe_gif(
+        _tiny_gif(16, 16, frames=3, animated_ext=True)
+    ) == (16, 16, 3)
+    import pytest
+    with pytest.raises(ValueError):
+        codecs.probe_gif(b"GIF89a" + b"\x00" * 3)  # truncated
+    with pytest.raises(ValueError):
+        codecs.probe_gif(b"JIF89a" + b"\x00" * 20)
