@@ -2487,9 +2487,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pipe_patterndb_xml, with tree==flat unit-proven), single-operator
     variants now folded into op_rewrite_suite, a second aggregate over
     the routed frame (pipe_sink_histogram — pipe_sink_counts covers
-    the per-sink fan-out), and the declared rows-only ANN/simhash
-    variants. tools/check_oracle.py and tests/test_entry_contract.py
-    still run every one of these against its oracle."""
+    the per-sink fan-out), the declared rows-only ANN/simhash
+    variants, and the operators added AFTER the gate filled its 50
+    slots (round-5 SCL adapters, emb_semantic_dedup, and the
+    continuation-session training ops doc_tfidf / doc_rarity_buckets /
+    doc_c4_filter / doc_pii_redact / doc_source_mix / doc_hash_split —
+    all full-oracle hash-checked). tools/check_oracle.py and
+    tests/test_entry_contract.py still run every one of these against
+    its oracle each session."""
     return {
         "pipe_transcripts": q_pipe_transcripts,
         "pipe_parse": q_pipe_parse,
