@@ -203,8 +203,10 @@ _CISCO_TS_FORMATS = (
     "yyyy-MM-dd'T'HH:mm:ss", "yyyy MMM d HH:mm:ss",
 )
 # %FACILITY-SEVERITY-MNEMONIC: (cisco-triplet-parser; the 4-part
-# %FACILITY-SUBFACILITY-SEVERITY-MNEMONIC variant keeps field 2)
-_CISCO_TRIPLET = r"%([A-Z0-9_]+)(?:-[A-Z0-9_]+)?-([0-7])-([A-Z0-9_]+):"
+# %FACILITY-SUBFACILITY-SEVERITY-MNEMONIC variant keeps
+# "FACILITY-SUBFACILITY" joined, per the block's
+# set("${facility}-$4") rewrite — plugin.conf cisco-triplet-parser)
+_CISCO_TRIPLET = r"%([A-Z0-9_]+(?:-[A-Z0-9_]+)?)-([0-7])-([A-Z0-9_]+) ?:"
 
 
 def cisco_parser(
@@ -245,6 +247,123 @@ def cisco_parser(
                 trip_ok,
                 F.ltrim(F.regexp_extract(body, _CISCO_TRIPLET + r"\s*(.*)$", 4)),
             ),
+        }
+    )
+
+
+_CISCO_HDR_ISO_HOST = _CISCO_TS_ISO[1:] + r"\w* (\S+)\s*$"  # drop '^' re-anchor below
+_CISCO_CPU = r"^(RP/[0-9]/[^:]+):(.*)|^(CLC [0-9]/[0-9]): +(.*)"
+
+
+def cisco_full_parser(
+    df: DataFrame, src_col: str = "text", prefix: str = "cisco_"
+) -> DataFrame:
+    """The COMPLETE scl/cisco wire grammar (plugin.conf cisco-parser):
+    ``<pri>(sequence: )?(origin: )?(timestamp? timezone?: )?%msg`` plus
+    the NGFW/FTD ISO form and the IOS-XR/XE cpu-module prefixes.
+
+    Flow mirrors the block: strip <pri>; split the line at the first
+    ``: %`` (MSG = '%' + remainder, preserved verbatim); strip the
+    "seqno: " / bare ": " (NXOS 9.3) prefix; then the header ladder —
+    ISO-ts + tz + HOST-at-end, cisco-ts + HOST-at-end, cpu_module
+    (``RP/n/...:`` ios-xr, ``CLC n/n:`` cbr8) + ts, ``HOST: ts``,
+    bare HOST, empty. The triplet keeps FACILITY-SUBFACILITY joined
+    (set("${facility}-$4")) and tolerates the ``MNEMONIC :`` spaced
+    form. A HOST the wire doesn't carry stays NULL (the reference
+    falls back to the receiver's hostname, which a batch engine does
+    not have). Goldens: tests/light functional_tests/parsers/
+    cisco-parser ported in tests/test_scl.py."""
+    src = F.col(src_col)
+    pri = F.regexp_extract(src, r"^<(\d+)>", 1).try_cast("int")
+    rest = F.regexp_replace(src, r"^<\d+>", "")
+    split_at = F.instr(rest, ": %")
+    ok = split_at > 0
+    header = F.regexp_replace(
+        F.substring(rest, F.lit(1), split_at - 1),
+        r"^(?:[0-9]+: |: )", "",
+    )
+    msg = F.concat(F.lit("%"), F.substr(rest, split_at + F.lit(3)))
+
+    # branch 1 (plugin.conf first if): timestamp at the header start,
+    # with an OPTIONAL trailing host (the inner if is else-less, so a
+    # missing host still takes this branch and HOST stays unset)
+    ts_at_head = F.coalesce(
+        *[
+            F.nullif(F.regexp_extract(header, p, 1), F.lit(""))
+            for p in (_CISCO_TS, _CISCO_TS_ISO, _CISCO_TS_NXOS)
+        ]
+    )
+    iso_host = F.regexp_extract(header, r"^" + _CISCO_HDR_ISO_HOST, 2)
+    ts_host = F.regexp_extract(
+        header, _CISCO_TS[:-1] + r") (\S+)\s*$", 2
+    )
+    cpu = F.nullif(
+        F.concat(
+            F.regexp_extract(header, _CISCO_CPU, 1),
+            F.regexp_extract(header, _CISCO_CPU, 3),
+        ),
+        F.lit(""),
+    )
+    cpu_rest = F.when(
+        cpu.isNotNull(),
+        F.concat(
+            F.regexp_extract(header, _CISCO_CPU, 2),
+            F.regexp_extract(header, _CISCO_CPU, 4),
+        ),
+    )
+    host_colon = F.regexp_extract(header, r"^([^:]+): (.*)", 1)
+    host_rest = F.regexp_extract(header, r"^([^:]+): (.*)", 2)
+    bare_host = F.regexp_extract(header, r"^([^:]+)$", 1)
+
+    host = (
+        F.when(
+            ts_at_head.isNotNull(),
+            F.nullif(F.coalesce(F.nullif(iso_host, F.lit("")), ts_host), F.lit("")),
+        )
+        .when(cpu.isNotNull(), F.lit(None).cast("string"))
+        .when(host_colon != "", host_colon)
+        .otherwise(F.nullif(bare_host, F.lit("")))
+    )
+    ts_src = (
+        F.when(ts_at_head.isNotNull(), header)
+        .when(cpu.isNotNull(), F.ltrim(cpu_rest))
+        .when(host_colon != "", host_rest)
+        .otherwise(F.lit(""))
+    )
+    ts_str = F.coalesce(
+        *[
+            F.nullif(F.regexp_extract(ts_src, p, 1), F.lit(""))
+            for p in (_CISCO_TS, _CISCO_TS_ISO, _CISCO_TS_NXOS)
+        ]
+    )
+    msec = F.coalesce(
+        F.regexp_extract(ts_str, r"\.(\d{3})$", 1).try_cast("int"), F.lit(0)
+    )
+    ts_norm = F.regexp_replace(
+        F.regexp_replace(ts_str, r"\.(\d{3})$", ""), r"\s+", " "
+    )
+    ts = F.coalesce(
+        *[F.try_to_timestamp(ts_norm, F.lit(f)) for f in _CISCO_TS_FORMATS]
+    )
+    trip_ok = ok & msg.rlike(_CISCO_TRIPLET)
+    return df.withColumns(
+        {
+            f"{prefix}pri": F.when(ok, pri),
+            f"{prefix}host": F.when(ok, host),
+            f"{prefix}cpu_module": F.when(ok, cpu),
+            f"{prefix}ts": F.when(ok, ts),
+            f"{prefix}msec": F.when(ok & ts.isNotNull(), msec),
+            f"{prefix}msg": F.when(ok, msg),
+            f"{prefix}facility": F.when(
+                trip_ok, F.regexp_extract(msg, _CISCO_TRIPLET, 1)
+            ),
+            f"{prefix}severity": F.when(
+                trip_ok, F.regexp_extract(msg, _CISCO_TRIPLET, 2)
+            ).try_cast("int"),
+            f"{prefix}mnemonic": F.when(
+                trip_ok, F.regexp_extract(msg, _CISCO_TRIPLET, 3)
+            ),
+            f"{prefix}ok": trip_ok,
         }
     )
 

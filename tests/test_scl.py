@@ -124,8 +124,10 @@ def test_cisco_parser(spark):
     assert out[0]["cisco_message"] == "Configured from console"
     assert out[0]["cisco_ts"] is not None and out[0]["cisco_ts"].month == 3
     assert out[1]["cisco_ts"] == dt.datetime(2023, 3, 1, 18, 46, 11)
-    # 4-part %FAC-SUB-SEV-MNEMONIC keeps facility + severity + mnemonic
-    assert out[2]["cisco_facility"] == "ASA" and out[2]["cisco_severity"] == 5
+    # 4-part %FAC-SUB-SEV-MNEMONIC: facility keeps the subfacility
+    # joined (plugin.conf set("${facility}-$4") rewrite)
+    assert out[2]["cisco_facility"] == "ASA-SESSION"
+    assert out[2]["cisco_severity"] == 5
     assert out[2]["cisco_mnemonic"] == "106100"
     assert not out[3]["cisco_ok"] and out[3]["cisco_ts"] is None
 
@@ -1100,3 +1102,61 @@ def test_app_transform(spark):
     df2 = spark.createDataFrame([(0, "fxapp")], "id int, app string")
     r = scl.app_transform(df2, [fx]).collect()[0]
     assert r["cls"] == "x" and r["after"] is True
+
+
+def test_cisco_full_parser_reference_goldens(spark):
+    """Every parameter row of the reference's functional suite
+    (tests/light functional_tests/parsers/cisco-parser/
+    test_cisco_parser.py) through the full wire grammar. HOST rows
+    the reference fills from the receiver's hostname stay NULL here
+    (batch has no receiver)."""
+    wires = [
+        (0, r"<189>29: foo: *Apr 29 13:58:40.411: %SYS-5-CONFIG_I: Configured from console by console"),
+        (1, r"<190>30: foo: *Apr 29 13:58:46.411: %SYS-6-LOGGINGHOST_STARTSTOP: Logging to host 192.168.1.239 stopped - CLI initiated"),
+        (2, r"<190>31: foo: *Apr 29 13:58:46.411: %SYS-6-LOGGINGHOST_STARTSTOP: Logging to host 192.168.1.239 started - CLI initiated"),
+        (3, r"<189>35: *Apr 29 14:00:16.059: %SYS-5-CONFIG_I: Configured from console by console"),
+        (4, r"<190>32: foo: *Apr 29 13:58:46.411: %SYSMGR-STANDBY-3-SHUTDOWN_START: The System Manager has started the shutdown procedure."),
+        (5, r"<180>782431: machine1: .Nov 18 21:03:22.631 GMT: %CDP-4-NATIVE_VLAN_MISMATCH: Native VLAN mismatch discovered on TenGigabitEthernet."),
+        (6, r"<166>2022-02-16T15:31:53Z na-zy-int-fp1140-p02 : %FTD-6-305012: Teardown dynamic TCP translation from FOO-WAN_IN:10.44.60.80/59877 to FOO-OUTSIDE:6.7.8.9/59877 duration 0:01:01"),
+        (7, r"<164>Aug 08 16:58:18 DEVICE123 : %FTD-4-106023: test cisco asa"),
+        (8, r"<190>123030: some-remote-host: %SYS-5-LOGGINGHOST_STARTSTOP: Logging to host 192.168.1.239 stopped - CLI initiated"),
+        (9, r"<187>138076: RP/0/RP0/CPU0:Dec 11 12:43:29.227 EST: snmpd[1002]: %SNMP-SNMP-3-AUTH_FAIL : Received snmp request on unknown community from 0.0.0.0"),
+        (10, r"<187>3408: CLC 6/0: Dec 11 13:31:14.214 EST: %PKI-3-CERTIFICATE_INVALID_EXPIRED: Certificate chain validation has failed.  The certificate (SN: XXXXXXXX) has expired.    Validity period ended on 2025-01-23T00:00:00Z"),
+    ]
+    df = spark.createDataFrame(wires, "id int, text string")
+    out = {r["id"]: r.asDict() for r in scl.cisco_full_parser(df).collect()}
+
+    exp = {
+        0: (189, "foo", "Apr 29 13:58:40", 411, "SYS", 5, "CONFIG_I"),
+        1: (190, "foo", "Apr 29 13:58:46", 411, "SYS", 6, "LOGGINGHOST_STARTSTOP"),
+        2: (190, "foo", "Apr 29 13:58:46", 411, "SYS", 6, "LOGGINGHOST_STARTSTOP"),
+        3: (189, None, "Apr 29 14:00:16", 59, "SYS", 5, "CONFIG_I"),
+        4: (190, "foo", "Apr 29 13:58:46", 411, "SYSMGR-STANDBY", 3, "SHUTDOWN_START"),
+        5: (180, "machine1", "Nov 18 21:03:22", 631, "CDP", 4, "NATIVE_VLAN_MISMATCH"),
+        6: (166, "na-zy-int-fp1140-p02", "Feb 16 15:31:53", 0, "FTD", 6, "305012"),
+        7: (164, "DEVICE123", "Aug 08 16:58:18", 0, "FTD", 4, "106023"),
+        8: (190, "some-remote-host", None, None, "SYS", 5, "LOGGINGHOST_STARTSTOP"),
+        9: (187, None, "Dec 11 12:43:29", 227, "SNMP-SNMP", 3, "AUTH_FAIL"),
+        10: (187, None, "Dec 11 13:31:14", 214, "PKI", 3, "CERTIFICATE_INVALID_EXPIRED"),
+    }
+    for i, (pri, host, dstr, msec, fac, sev, mnem) in exp.items():
+        r = out[i]
+        assert r["cisco_ok"], (i, r)
+        assert r["cisco_pri"] == pri, i
+        assert r["cisco_host"] == host, (i, r["cisco_host"])
+        got_date = (
+            r["cisco_ts"].strftime("%b %d %H:%M:%S") if r["cisco_ts"] else None
+        )
+        assert got_date == dstr, (i, got_date)
+        assert r["cisco_msec"] == msec, (i, r["cisco_msec"])
+        assert r["cisco_facility"] == fac, (i, r["cisco_facility"])
+        assert r["cisco_severity"] == sev, i
+        assert r["cisco_mnemonic"] == mnem, (i, r["cisco_mnemonic"])
+        # MSG is '%' + everything after the split, byte-preserved
+        assert r["cisco_msg"].startswith("%" + fac), i
+    assert out[9]["cisco_cpu_module"] == "RP/0/RP0/CPU0"
+    assert out[10]["cisco_cpu_module"] == "CLC 6/0"
+    assert out[9]["cisco_msg"] == (
+        "%SNMP-SNMP-3-AUTH_FAIL : Received snmp request on unknown "
+        "community from 0.0.0.0"
+    )
