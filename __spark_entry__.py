@@ -2402,22 +2402,22 @@ def _all_oracle_sql() -> dict[str, str]:
                  END AS text
           FROM events
         ), fsm AS (
-          -- FSM outcome derived from the generating rule:
+          -- FSM outcome derived from the generating rule (the shipped
+          -- smart-multi-line.fsm semantics):
           --   plain lines (3,4) always start; an exception line (0)
-          --   continues only straight after another exception line
-          --   (jexc state); a frame line (1,2) continues iff the
-          --   nearest preceding non-frame line was an exception
+          --   ALWAYS starts (java_after_exception accepts no new
+          --   exception header — the engine retries it from
+          --   start_state, opening a fresh trace); a frame line (1,2)
+          --   continues iff the nearest preceding non-frame line was
+          --   an exception
           SELECT conv_id, turn_idx, text, m,
-                 lag(m) OVER w AS prev_m,
                  last_value(CASE WHEN m IN (0, 3, 4) THEN m END IGNORE NULLS)
                    OVER (PARTITION BY conv_id ORDER BY turn_idx
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS anchor
           FROM t
-          WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
         ), seg AS (
           SELECT conv_id, turn_idx, text,
-                 CAST(sum(CASE WHEN m IN (3, 4) THEN 1
-                               WHEN m = 0 THEN CASE WHEN coalesce(prev_m, -1) = 0 THEN 0 ELSE 1 END
+                 CAST(sum(CASE WHEN m IN (0, 3, 4) THEN 1
                                ELSE CASE WHEN coalesce(anchor, -1) = 0 THEN 0 ELSE 1 END END)
                    OVER (PARTITION BY conv_id ORDER BY turn_idx
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segment_id

@@ -287,13 +287,34 @@ def format_flat_json(named_cols: dict[str, Column]) -> Column:
     return F.to_json(F.struct(*[named_cols[k].alias(k) for k in keys]))
 
 
+def _welf_escape(c: Column, quote: bool) -> Column:
+    """lib/utf8utils.c _append_escaped_utf8_character_ascii: backslash
+    doubles, the named control chars get their C escapes; inside a
+    quoted value '\"' is additionally escaped (AUTF8_UNSAFE_QUOTE)."""
+    e = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    for ch, rep in (
+        ("\b", "\\b"), ("\f", "\\f"), ("\n", "\\n"),
+        ("\r", "\\r"), ("\t", "\\t"),
+    ):
+        e = F.replace(e, F.lit(ch), F.lit(rep))
+    if quote:
+        e = F.replace(e, F.lit('"'), F.lit('\\"'))
+    return e
+
+
 def format_welf(named_cols: dict[str, Column]) -> Column:
-    """$(format-welf) — k=v space-joined, keys sorted
-    (modules/kvformat/format-welf.c)."""
-    parts = [
-        F.concat(F.lit(f"{k}="), named_cols[k].cast("string"))
-        for k in sorted(named_cols)
-    ]
+    """$(format-welf) — k=v space-joined; keys sorted with 'id' first
+    (tf_format_welf_strcmp); a value containing a space is wrapped in
+    double quotes with escaped internals, otherwise emitted bare with
+    control-char escapes (modules/kvformat/format-welf.c:55-74)."""
+    parts = []
+    for k in sorted(named_cols, key=lambda k: (k != "id", k)):
+        v = named_cols[k].cast("string")
+        rendered = F.when(
+            v.contains(" "),
+            F.concat(F.lit('"'), _welf_escape(v, True), F.lit('"')),
+        ).otherwise(_welf_escape(v, False))
+        parts.append(F.concat(F.lit(f"{k}="), rendered))
     return F.concat_ws(" ", *parts)
 
 

@@ -89,22 +89,68 @@ def regexp_prefix(
 # larger Apache-2.0 table derived from fluent-plugin-detect-exceptions
 # (smart-multi-line.fsm); users can load such a file via fsm_text.
 DEFAULT_FSM = """
-# JVM-style: "x.y.FooException: msg" / "\\tat pkg.Cls.run(Cls.java:1)"
-start_state,jexc\t/(?:Exception|Error|Throwable)[:\\s]/\tjexc
-jexc,jtrace\t/^[\\t ]+(?:eval )?at /\tjtrace
-jexc,jtrace\t/^[\\t ]*(?:Caused by|Suppressed):/\tjexc
-jtrace\t/^[\\t ]*\\.\\.\\. \\d+ more/\tjtrace
-# Python tracebacks
-start_state\t/^Traceback \\(most recent call last\\):$/\tpy_trace
-py_trace\t/^[\\t ]+/\tpy_trace
-py_trace\t/^[^\\s:]+(?::| :)/\tstart_state
-# Go panics
-start_state\t/^panic: /\tgo_panic
-go_panic\t/^\\[signal /\tgo_panic
-go_panic\t/^$/\tgo_goroutine
-go_goroutine\t/^goroutine \\d+/\tgo_frame
-go_frame\t/^\\S+\\(|^created by /\tgo_loc
-go_loc\t/^\\s/\tgo_frame
+# The reference's shipped rule table (lib/multi-line/smart-multi-line.fsm,
+# itself converted from Google's fluent-plugin-detect-exceptions,
+# Apache-2.0) — the behavior users get from multi-line-mode(smart).
+
+# java
+start_state,java_start_exception	/(?:Exception|Error|Throwable|V8 errors stack trace)[:\\r\\n]/\tjava_after_exception
+java_after_exception	/^[\\t ]*nested exception is:[\\t ]*/\tjava_start_exception
+java_after_exception	/^[\\r\\n]*$/\tjava_after_exception
+java_after_exception,java	/^[\\t ]+(?:eval )?at /\tjava
+java_after_exception,java	/^[\\t ]+--- End of inner exception stack trace ---$/\tjava
+java_after_exception,java	/^--- End of stack trace from previous location where exception was thrown ---$/\tjava
+java_after_exception,java	/^[\\t ]*(?:Caused by|Suppressed):/\tjava_after_exception
+java_after_exception,java	/^[\\t ]*... \\d+ (?:more|common frames omitted)/\tjava
+
+# python
+start_state	/^Traceback \\(most recent call last\\):$/\tpython
+python	/^[\\t ]*File /\tpython_code
+python_code	/[^\\t ]/\tpython
+python	/^(?:[^\\s.():]+\\.)*[^\\s.():]+:/\tstart_state
+
+# PHP
+start_state	/(?:PHP (?:Notice|Parse error|Fatal error|Warning):)|(?:exception '[^']+' with message ')/\tphp_stack_begin
+php_stack_begin	/^Stack trace:/\tphp_stack_frames
+php_stack_frames	/^#\\d/\tphp_stack_frames
+php_stack_frames	/^\\s+thrown in /\tstart_state
+
+# Go
+start_state	/\\bpanic: /\tgo_after_panic
+start_state	/http: panic serving/\tgo_goroutine
+go_after_panic,go_after_signal,go_frame_1	/^$/\tgo_goroutine
+go_after_panic	/^\\[signal /\tgo_after_signal
+go_goroutine	/^goroutine \\d+ \\[[^\\]]+\\]:$/\tgo_frame_1
+go_frame_1	/^(?:[^\\s.:]+\\.)*[^\\s.():]+\\(|^created by /\tgo_frame_2
+go_frame_2	/^\\s/\tgo_frame_1
+
+# Ruby
+start_state	/Error \\(.*\\):$/\truby_before_rails_trace
+ruby_before_rails_trace	/^  $/\truby
+ruby_before_rails_trace	/^[\\t ]+.*?\\.rb:\\d+:in `/\truby
+ruby	/^[\\t ]+.*?\\.rb:\\d+:in `/\truby
+
+# Dart
+start_state	/^Unhandled exception:$/\tdart_exc
+dart_exc	/^(Instance of)|(Exception)|(Bad state)|(IntegerDivisionByZeroException)|(Invalid argument)|(RangeError)|(Assertion failed)|(Cannot instantiate)|(Reading static variable)|(UnimplementedError)|(Unsupported operation)|(Concurrent modification)|(Out of Memory)|(Stack Overflow)/\tdart_stack
+dart_exc	/^'.+?':.+?$/\tdart_type_err_1
+dart_type_err_1	/^#\\d+\\s+.+?\\(.+?\\)$/\tdart_stack
+dart_type_err_1	/^.+?$/\tdart_type_err_2
+dart_type_err_2	/^.*?\\^.*?$/\tdart_type_err_3
+dart_type_err_3	/^$/\tdart_type_err_4
+dart_type_err_4	/^$/\tdart_stack
+dart_exc	/^FormatException/\tdart_format_err_1
+dart_format_err_1	/^#\\d+\\s+.+?\\(.+?\\)$/\tdart_stack
+dart_format_err_1	/^./\tdart_format_err_2
+dart_format_err_2	/^.*?\\^/\tdart_format_err_3
+dart_format_err_3	/^$/\tdart_stack
+dart_exc	/^NoSuchMethodError:/\tdart_method_err_1
+dart_method_err_1	/^Receiver:/\tdart_method_err_2
+dart_method_err_2	/^Tried calling:/\tdart_method_err_3
+dart_method_err_3	/^Found:/\tdart_stack
+dart_method_err_3	/^#\\d+\\s+.+?\\(.+?\\)$/\tdart_stack
+dart_stack	/^#\\d+\\s+.+?\\(.+?\\)$/\tdart_stack
+dart_stack	/^<asynchronous suspension>$/\tdart_stack
 """
 
 START_STATE = "start_state"

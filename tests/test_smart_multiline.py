@@ -94,3 +94,39 @@ def test_smart_assemble_spark(spark):
     )
     assert out[("c2", 0)]["n_lines"] == 4
     assert out[("c2", 4)]["assembled"] == "next plain line"
+
+
+def test_reference_group_lines_functional_golden(spark):
+    """The reference's group-lines functional test end-to-end
+    (tests/light functional_tests/parsers/group-lines-parser): a
+    Python traceback fed line-by-line through multi-line-mode(smart)
+    assembles into ONE message, and $(format-welf MESSAGE) renders it
+    with the reference's quoting (spaces -> quoted value, '\\n' and
+    '\"' escaped)."""
+    from axosyslog_spark.functions import templates as tf
+    from axosyslog_spark.operators.multiline import smart
+    from pyspark.sql import functions as F
+
+    traceback = (
+        'Traceback (most recent call last):\n'
+        'File "./lib/merge-grammar.py", line 62, in <module>\n'
+        '  for line in fileinput.input(openhook=fileinput.hook_encoded("utf-8")):\n'
+        'File "/usr/lib/python3.8/fileinput.py", line 248, in __next__\n'
+        '  line = self._readline()\n'
+        'File "/usr/lib/python3.8/fileinput.py", line 368, in _readline\n'
+        '  return self._readline()\n'
+        'ValueError: This is the exception text at the end'
+    )
+    rows = [(0, i, ln) for i, ln in enumerate(traceback.split("\n"))]
+    rows.append((0, 99, "whatvever: the exception text at the end"))
+    df = spark.createDataFrame(rows, "conv_id long, turn_idx long, text string")
+    out = sorted(
+        smart(df)
+        .select("turn_idx", tf.format_welf({"MESSAGE": F.col("assembled")}).alias("w"))
+        .collect(),
+        key=lambda r: r["turn_idx"],
+    )
+    assert len(out) == 2
+    golden = 'MESSAGE="' + traceback.replace('"', '\\"').replace("\n", "\\n") + '"'
+    assert out[0]["w"] == golden
+    assert out[1]["w"] == 'MESSAGE="whatvever: the exception text at the end"'
