@@ -1526,6 +1526,15 @@ def q_doc_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     return hash_split(_docs(spark, sf), _SPLIT_FRACTIONS)
 
 
+def q_doc_substr_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2021): longest shared token
+    run per document pair via the positional k-gram diagonal trick —
+    the distributed stand-in for the paper's suffix array."""
+    from axosyslog_spark.operators.dedup import substring_spans
+
+    return substring_spans(_docs(spark, sf), k=5, min_tokens=8)
+
+
 _PII_MODS = (3, 5, 7, 11)  # email / ip / phone / ssn injection keys
 
 
@@ -2470,6 +2479,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "doc_hash_split": oracle.doc_hash_split_sql(
             _SPLIT_FRACTIONS, "split"
         ),
+        "doc_substr_spans": oracle.doc_substr_spans_sql(5, 8),
         "emb_topk": oracle.emb_topk_sql(5, 10),
         "emb_ivf_topk": oracle.emb_ivf_topk_sql(5, 10, 16, 4),
         "emb_near_dups": oracle.emb_near_dups_sql(500_000),
@@ -2517,6 +2527,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_redact": q_doc_pii_redact,
         "doc_source_mix": q_doc_source_mix,
         "doc_hash_split": q_doc_hash_split,
+        "doc_substr_spans": q_doc_substr_spans,
     }
 
 

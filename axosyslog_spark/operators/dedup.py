@@ -20,7 +20,7 @@ the identical signatures, which is how the oracle gate verifies it).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from axosyslog_spark.operators.textstats import normalize_text, tokens
@@ -487,4 +487,75 @@ def dup_clusters(
         F.col("id").alias(id_col),
         "cluster",
         (F.col("id") == F.col("cluster")).alias("canonical"),
+    )
+
+
+def substring_spans(
+    df: DataFrame,
+    k: int = 5,
+    min_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better"): for every document pair that
+    shares an exact run of >= `min_tokens` tokens, report the longest
+    shared span and the number of shared k-gram fingerprints.
+
+    Suffix arrays don't distribute; the equivalent column algebra is
+    the k-gram DIAGONAL trick: positional k-grams equi-join across
+    documents, and a shared token run of length L shows up as L-k+1
+    consecutive join hits on one diagonal (j - i constant). A
+    gaps-and-islands pass (island = i - row_number over the diagonal)
+    measures each run exactly — longest_span = max_run + k - 1.
+
+    Scale shape: explode positional grams (linear), ONE equi-join on
+    the gram digest (near-dup pairs only — no cross join; a stop-gram
+    cap like minhash banding applies if a gram is pathologically
+    common), then per-pair window + agg. No driver-side loops.
+    """
+    from axosyslog_spark.operators.textstats import normalize_text, tokens
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        tokens(normalize_text(F.col(text_col))).alias("__toks"),
+    )
+    n = F.size("__toks") - (k - 1)
+    grams = toks.select(
+        "id",
+        F.posexplode(
+            F.when(
+                n >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                    lambda i: F.md5(
+                        F.array_join(
+                            F.slice("__toks", i, k), " "
+                        ).cast("binary")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "g"),
+    )
+    a = grams.alias("a")
+    b = grams.alias("b")
+    hits = a.join(b, "g").filter(F.col("a.id") < F.col("b.id")).select(
+        F.col("a.id").alias("id1"),
+        F.col("b.id").alias("id2"),
+        F.col("a.pos").alias("i"),
+        (F.col("b.pos") - F.col("a.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("id1", "id2", "diag").orderBy("i")
+    runs = (
+        hits.withColumn("__island", F.col("i") - F.row_number().over(w))
+        .groupBy("id1", "id2", "diag", "__island")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    return (
+        runs.groupBy("id1", "id2")
+        .agg(
+            (F.max("run") + (k - 1)).alias("longest_span_tokens"),
+            F.sum("run").alias("shared_grams"),
+        )
+        .filter(F.col("longest_span_tokens") >= min_tokens)
     )

@@ -868,3 +868,43 @@ def doc_hash_split_sql(fractions: dict[str, float], salt: str) -> str:
     )
     SELECT doc_id, u6, {case} AS split FROM h
     """
+
+
+def doc_substr_spans_sql(k: int, min_tokens: int) -> str:
+    """Mirror of dedup.substring_spans: positional k-gram digests,
+    cross-document equi-join, gaps-and-islands per (pair, diagonal)."""
+    return f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+    toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm),
+    posd AS (
+      SELECT doc_id, t,
+             unnest(range(1, greatest(len(t) - {k - 1}, 0) + 1)) AS i
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, i,
+             md5(array_to_string(t[i:i + {k - 1}], ' ')) AS g
+      FROM posd
+    ),
+    hits AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, a.i AS i,
+             b.i - a.i AS diag
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT id1, id2, diag, i,
+             i - row_number() OVER (
+               PARTITION BY id1, id2, diag ORDER BY i
+             ) AS island
+      FROM hits
+    ),
+    agg AS (
+      SELECT id1, id2, diag, island, count(*) AS run
+      FROM runs GROUP BY 1, 2, 3, 4
+    )
+    SELECT id1, id2,
+           CAST(max(run) + {k - 1} AS BIGINT) AS longest_span_tokens,
+           CAST(sum(run) AS BIGINT) AS shared_grams
+    FROM agg GROUP BY 1, 2
+    HAVING max(run) + {k - 1} >= {min_tokens}
+    """

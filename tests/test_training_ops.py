@@ -483,3 +483,27 @@ def test_hash_split_exhaustive_and_stable(spark):
     # a different salt reshuffles
     other = {r.doc_id: r.split for r in hash_split(df, salt="v2").collect()}
     assert other != out
+
+
+def test_substring_spans_diagonal_runs(spark):
+    from axosyslog_spark.operators.dedup import substring_spans
+
+    docs = [
+        (0, "a b c d e f g h i j k l m n"),
+        (1, "x y a b c d e f g h i j z q"),      # shares a..j = 10 tokens
+        (2, "completely different words here now yes"),
+        (3, "a b c d e q q q a b c d e f g h"),  # longest shared w/ 0: a..h
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r.id1, r.id2): (r.longest_span_tokens, r.shared_grams)
+           for r in substring_spans(df, k=5, min_tokens=8).collect()}
+    # doc 0 vs 1: exact run "a..j" -> span 10, 6 shared 5-grams on one diag
+    assert out[(0, 1)] == (10, 6)
+    # doc 0 vs 3: "a b c d e f g h" (8 tokens) is the longest run
+    assert out[(0, 3)][0] == 8
+    # below min_tokens and disjoint docs never pair
+    assert not any(2 in p for p in out)
+    # raising the threshold drops the 8-token pairs
+    strict = {(r.id1, r.id2) for r in
+              substring_spans(df, k=5, min_tokens=9).collect()}
+    assert strict == {(0, 1)}
