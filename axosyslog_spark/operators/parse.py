@@ -182,7 +182,11 @@ def parse_json_fields(df: DataFrame, src_col: str = "text") -> DataFrame:
 
 # BSD syslog: <PRI>MMM dd HH:mm:ss HOST TAG[PID]: MSG
 RFC3164_RE = (
-    r"^<([0-9]{1,3})>([A-Z][a-z]{2} [ 0-9][0-9] [0-9]{2}:[0-9]{2}:[0-9]{2}) "
+    # the <PRI> is OPTIONAL on the BSD branch (syslog-format.c accepts
+    # pri-less lines from legacy daemons — e.g. the sudo row in the
+    # reference's topic-syslog functional suite — defaulting pri=13)
+    r"^(?:<([0-9]{1,3})>)?"
+    r"([A-Z][a-z]{2} [ 0-9][0-9] [0-9]{2}:[0-9]{2}:[0-9]{2}) "
     r"([^ ]+) ([^\[ :]+)(?:\[([0-9]+)\])?: (.*)$"
 )
 
@@ -223,9 +227,11 @@ def parse_rfc3164(
         ).cast("string")
     else:
         year_col = F.lit(str(year))
-    pri = F.when(m & (g(1).cast("int") <= 191), g(1).cast("int")).otherwise(
-        F.lit(DEFAULT_PRI)
-    )
+    # try_cast: the pri group is empty on pri-less BSD lines (ANSI
+    # cast would throw); absent or out-of-range -> DEFAULT_PRI (13)
+    pri = F.when(
+        m & (g(1).try_cast("int") <= 191), g(1).try_cast("int")
+    ).otherwise(F.lit(DEFAULT_PRI))
     return df.withColumns(
         {
             "bsd_ok": m,

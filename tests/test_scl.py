@@ -1160,3 +1160,56 @@ def test_cisco_full_parser_reference_goldens(spark):
         "%SNMP-SNMP-3-AUTH_FAIL : Received snmp request on unknown "
         "community from 0.0.0.0"
     )
+
+
+def test_reference_topic_syslog_app_detection_goldens(spark):
+    """The reference's app-parser(topic(syslog)) functional rows
+    (tests/light functional_tests/parsers/app-parser/test_topic_syslog):
+    five wire messages, each expected to auto-detect its application —
+    iptables content inside an snmptrapd varbind (program kernel +
+    IN=/OUT= substrings), junos by its RFC5424 SDATA reason, sudo by
+    program over the BSD branch, and the @cim:/@cee: JSON markers."""
+    from axosyslog_spark.operators.parse import parse_sdata
+
+    wires = [
+        (0, "<0>1 2012-03-05T15:10:34+02:00 localhost kernel 1234 - - "
+            "transport_info='UDP: [10.30.35.100]:60513->[10.30.0.35]:162', "
+            "SNMPv2-SMI::enterprises.9.9.41.1.2.3.1.5.0='[ 2771.344837] "
+            "PF: filter/input DROP IN=eth0 OUT= MAC=08:00:27:d5:33:1e "
+            "SRC=10.30.0.35 DST=10.30.35.100 LEN=60 PROTO=TCP SPT=52988 "
+            "DPT=5355 SYN URGP=0 '", "iptables"),
+        (1, '<14>1 2019-04-12T14:29:06.576Z - RT_FLOW - '
+            'RT_FLOW_SESSION_CLOSE [junos@2636.1.1.1.2.129 reason="TCP FIN" '
+            'source-address="10.3.255.203" destination-port="80"] '
+            'session closed TCP FIN', "junos"),
+        (2, "Apr 18 12:33:50 nobody sudo[25173]:   nobody : TTY=pts/13 ; "
+            "PWD=/home/nobody ; USER=root ; COMMAND=/bin/ls", "sudo"),
+        (3, '<0>1 2012-03-05T15:10:34+02:00 localhost kernel 1234 - - '
+            '@cim: {"name1":"value1", "name2":"value2"}', "cim"),
+        (4, '<0>1 2012-03-05T15:10:34+02:00 localhost kernel 1234 - - '
+            '@cee: {"name1":"value1", "name2":"value2"}', "cee"),
+    ]
+    df = parse_sdata(
+        spark.createDataFrame(wires, "id int, text string, expected string"),
+        "text",
+    )
+    body = F.col("body")
+    syslog_apps = [
+        ("junos", scl.junos_app_filter(F.col("sdata")), lambda d: d),
+        (
+            "sudo",
+            F.col("appname") == "sudo",
+            lambda d: scl.sudo_parser(d, src_col="body"),
+        ),
+        (
+            "iptables",
+            scl.iptables_app_filter(F.col("facility"), F.col("appname"), body),
+            lambda d: scl.iptables_parser(d, src_col="body"),
+        ),
+        ("cim", body.startswith("@cim:"), lambda d: d),
+        ("cee", body.startswith("@cee:"), lambda d: scl.cee_parser(d, src_col="body")),
+    ]
+    out = scl.default_network_drivers(df, syslog_apps=syslog_apps)
+    got = {r["id"]: r["app"] for r in out.collect()}
+    for i, _, expected in wires:
+        assert got[i] == expected, (i, got[i], expected)
