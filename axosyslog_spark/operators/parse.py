@@ -406,3 +406,118 @@ def tags_parser(df: DataFrame, src_col: str, out_col: str = "tags") -> DataFrame
 def parse_stage(df: DataFrame) -> DataFrame:
     """The full parse stage used by the flagship pipeline."""
     return parse_json_fields(parse_kv(parse_header(df)))
+
+
+def _capturing_groups(pattern: str) -> list[str | None]:
+    """Names of the capturing groups of `pattern` in ordinal order
+    (None = unnamed). Mirrors how PCRE numbers groups: every unescaped
+    '(' that is not a (?:/(?=/(?!... construct captures; (?<name>...)
+    captures under a name."""
+    import re as _re
+
+    names: list[str | None] = []
+    i, n = 0, len(pattern)
+    in_class = False
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+            i += 1
+            continue
+        if ch == "(":
+            m = _re.match(r"\(\?P?<([A-Za-z_][A-Za-z0-9_]*)>", pattern[i:])
+            if m:
+                names.append(m.group(1))
+            elif pattern[i : i + 2] != "(?":
+                names.append(None)
+            # (?: (?= (?! (?i) ... do not capture
+        i += 1
+    return names
+
+
+def regexp_parser(
+    df: DataFrame,
+    patterns: list[str] | tuple[str, ...],
+    src_col: str = "text",
+    prefix: str = "",
+    flags: tuple[str, ...] = (),
+    drop_unmatched: bool = True,
+) -> DataFrame:
+    """regexp-parser() (modules/regexp-parser/): ordered patterns,
+    FIRST matching pattern applies; its named groups store under
+    ``prefix`` + name. flags: 'ignore-case' prepends (?i); 'dupnames'
+    allows the same name in several alternatives of one pattern (the
+    leftmost participating instance wins — PCRE J semantics; without
+    the flag a duplicate name is a config compile error, like the
+    reference). Unmatched rows DROP (parser failure in a log path)
+    unless drop_unmatched=False.
+
+    Goldens: tests/light functional_tests/parsers/regexp-parser ported
+    in tests/test_parse.py. Column algebra only: one rlike + one
+    regexp_extract per (pattern, group)."""
+    import re as _re
+
+    src = F.col(src_col)
+    compiled: list[tuple[str, list[tuple[str, int]]]] = []
+    for pat in patterns:
+        names = _capturing_groups(pat)
+        named = [(nm, ix + 1) for ix, nm in enumerate(names) if nm]
+        dup = len({nm for nm, _ in named}) < len(named)
+        if dup:
+            if "dupnames" not in flags:
+                raise ValueError(
+                    f"regexp-parser: duplicate group name in {pat!r} "
+                    "requires flags(dupnames)"
+                )
+            # Java regex rejects duplicate names outright — rename to
+            # unique ordinals; the coalesce below restores the
+            # leftmost-participating-wins semantics (group ORDINALS in
+            # `named` are position-based, so they survive the rename)
+            counter: dict[str, int] = {}
+
+            def _rename(m):
+                nm = m.group(1)
+                counter[nm] = counter.get(nm, 0) + 1
+                return f"(?<{nm}X{counter[nm]}>"
+
+            pat = _re.sub(
+                r"\(\?P?<([A-Za-z_][A-Za-z0-9_]*)>", _rename, pat
+            )
+        java_pat = ("(?i)" if "ignore-case" in flags else "") + pat
+        # config-time compile error parity; Python spells named groups
+        # (?P<name> where Java/PCRE accept (?<name> — normalize for the
+        # validation only (lookbehinds (?<= (?<! are left alone)
+        _re.compile(_re.sub(r"\(\?<([A-Za-z_])", r"(?P<\1", java_pat))
+        compiled.append((java_pat, named))
+
+    match_cols = [src.rlike(p) for p, _ in compiled]
+    matched_any = match_cols[0]
+    for m in match_cols[1:]:
+        matched_any = matched_any | m
+
+    all_names = sorted({nm for _, named in compiled for nm, _ in named})
+    new_cols: dict[str, Column] = {}
+    for nm in all_names:
+        val = F.lit(None).cast("string")
+        # reverse order so the FIRST matching pattern wins the chain
+        for (p, named), is_m in zip(compiled[::-1], match_cols[::-1]):
+            ixs = [ix for n2, ix in named if n2 == nm]
+            if not ixs:
+                continue
+            ext = F.coalesce(
+                *[F.nullif(F.regexp_extract(src, p, ix), F.lit("")) for ix in ixs]
+            ) if len(ixs) > 1 else F.nullif(
+                F.regexp_extract(src, p, ixs[0]), F.lit("")
+            )
+            val = F.when(is_m, ext).otherwise(val)
+        new_cols[prefix + nm] = val
+    out = df.withColumns(new_cols) if new_cols else df
+    return out.filter(matched_any) if drop_unmatched else out

@@ -111,3 +111,48 @@ def test_sdata_parser_unquoted_values_roundtrip(spark):
         'sid="5214bde6" user="root"]'
     )
     assert rows[1]["sdata"] == {}
+
+
+def test_regexp_parser_reference_goldens(spark):
+    """The regexp-parser functional table (tests/light
+    functional_tests/parsers/regexp-parser/test_regexp_parser.py):
+    literal/regex match, prefix storage, dupnames alternation,
+    ignore-case, multiple patterns first-match, unmatch drop, compile
+    error, and the no-named-groups passthrough."""
+    import pytest as _pytest
+
+    from axosyslog_spark.operators.parse import regexp_parser
+
+    def run(text, patterns, prefix="", flags=()):
+        df = spark.createDataFrame([(text,)], "text string")
+        rows = regexp_parser(
+            df, patterns, src_col="text", prefix=prefix, flags=flags
+        ).collect()
+        return rows[0].asDict() if rows else None
+
+    assert run("foo", ["(?<key>foo)"])["key"] == "foo"
+    assert run("foo", ["(?<key>fo*)"])["key"] == "foo"
+    r = run("foo", ["(?<key>foo)"], prefix=".reg.")
+    assert r[".reg.key"] == "foo" and "key" not in r
+    # dupnames alternation: leftmost participating instance wins
+    assert run(
+        "foo", ["(?<key>foo)|(?<key>bar)"], prefix=".reg.",
+        flags=("dupnames",),
+    )[".reg.key"] == "foo"
+    assert run(
+        "bar", ["(?<key>foo)|(?<key>bar)"], flags=("dupnames",)
+    )["key"] == "bar"
+    with _pytest.raises(ValueError):
+        run("foo", ["(?<key>foo)|(?<key>bar)"])  # dup name needs flag
+    # case sensitivity: unmatch drops the row; ignore-case matches
+    assert run("abc", ["(?<key>Abc)"]) is None
+    assert run("abc", ["(?<key>Abc)"], flags=("ignore-case",))["key"] == "abc"
+    # multiple patterns: FIRST matching pattern applies
+    assert run("foobar", ["(?<key>foo)", "(?<key>bar)"], prefix=".reg.")[
+        ".reg.key"
+    ] == "foo"
+    # compile error is a config-time (plan-time) error
+    with _pytest.raises(Exception):
+        run("foo", ["(?<key>foo"])
+    # a pattern with no named groups just gates the message through
+    assert run("foo", ["fo*"])["text"] == "foo"
