@@ -69,3 +69,58 @@ def test_date_parser_timezone(spark):
     df = _df(spark, ["2024-06-01T12:00:00"])
     out = date_parser(df, "text", timezone="Europe/Budapest").collect()[0]
     assert out.parsed_ts == dt.datetime(2024, 6, 1, 10, 0, 0)  # CEST = +2
+
+
+def test_csv_parser_reference_goldens(spark):
+    """The csv-parser functional table (tests/light
+    functional_tests/parsers/csv-parser/test_csv_parser.py): quote
+    sets, quote-pairs, every escape dialect, null-value, character and
+    string delimiters, and both drop-invalid rows."""
+    unset = ">>unset<<"
+
+    def run(text, **kw):
+        cols = kw.pop("columns", (CsvColumn("foo"), CsvColumn("bar")))
+        spec = CsvSpec(columns=cols, prefix="prefix.", **kw)
+        df = _df(spark, [text])
+        r = csv_parse(df, spec).collect()[0]
+        d = r.asDict()
+        return (
+            d.get("prefix.foo") if d.get("prefix.foo") is not None else unset,
+            d.get("prefix.bar") if d.get("prefix.bar") is not None else unset,
+            d["csv_ok"],
+        )
+
+    assert run("foo,bar") == ("foo", "bar", True)
+    assert run('foo,"bar"') == ("foo", "bar", True)
+    # quotes("~^"): symmetric quote SET
+    assert run("~foo~,^bar^", quote=None, quotes="~^") == ("foo", "bar", True)
+    # quote-pairs("><~~"): open '>' closes '<', open '~' closes '~'
+    assert run("~foo~,>bar<", quote=None, quote_pairs="><~~") == (
+        "foo", "bar", True,
+    )
+    assert run("foo,bar", quote=None, dialect="escape-none") == (
+        "foo", "bar", True,
+    )
+    # escape-double-char: doubled quotes collapse
+    assert run('foo,"b""a""r"', quote=None, quotes='"',
+               dialect="escape-double-char") == ("foo", 'b"a"r', True)
+    # escape-backslash: \" unquotes, unknown \a drops its backslash
+    assert run(r'foo,"b\"a\"r\a"', quote=None, quotes='"',
+               dialect="escape-backslash") == ("foo", 'b"a"ra', True)
+    # escape-backslash-with-sequences: \a is BEL
+    assert run(r'foo,"b\"a\"r\a"', quote=None, quotes='"',
+               dialect="escape-backslash-with-sequences") == (
+        "foo", 'b"a"r\a', True,
+    )
+    assert run("foo,NULL", null_value="NULL") == ("foo", unset, True)
+    assert run("foo^bar", delimiter="^") == ("foo", "bar", True)
+    # delimiters(strings(...)): multi-char alternatives
+    assert run("foo^^^bar", quote=None,
+               delimiter_strings=("^^^", "~~~")) == ("foo", "bar", True)
+    assert run("foo~~~bar", quote=None,
+               delimiter_strings=("^^^", "~~~")) == ("foo", "bar", True)
+    # drop-invalid: too many columns discards
+    assert run("foo,bar,baz", quote=None)[2] is False
+    # drop-invalid: type-hint mismatch discards
+    assert run("foo,bar", quote=None,
+               columns=(CsvColumn("foo", "int"), CsvColumn("bar")))[2] is False
