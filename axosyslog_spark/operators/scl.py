@@ -463,6 +463,16 @@ _PANOS_FIELDS: dict[str, tuple[str, ...]] = {
     ),
 }
 
+# panos.conf CONFIG else-branch: the "custom log" layout inserts
+# before/after change-detail columns; the non-custom parse is
+# drop-invalid(yes), so layout selection is by exact column count
+_PANOS_CONFIG_CUSTOM = (
+    "host", "vsys", "cmd", "admin", "client", "result", "path",
+    "before_change_detail", "after_change_detail",
+    "seqno", "actionflags", "dg_hier_level_1", "dg_hier_level_2",
+    "dg_hier_level_3", "dg_hier_level_4", "vsys_name", "device_name",
+)
+
 
 def panos_parser(
     df: DataFrame, src_col: str = "text", prefix: str = "panos_"
@@ -478,12 +488,22 @@ def panos_parser(
     hdr = {n: F.try_element_at(parts, F.lit(i + 1)) for i, n in enumerate(_PANOS_HEADER)}
     typ = hdr["type"]
     pad = F.concat(parts, F.array_repeat(F.lit(""), 80))
-    fields = F.lit(None).cast("map<string,string>")
-    for t, names in _PANOS_FIELDS.items():
-        m = F.map_from_arrays(
+    def _layout(names: tuple[str, ...]) -> Column:
+        return F.map_from_arrays(
             F.array(*[F.lit(n) for n in names]),
             F.slice(pad, len(_PANOS_HEADER) + 1, len(names)),
         )
+
+    fields = F.lit(None).cast("map<string,string>")
+    for t, names in _PANOS_FIELDS.items():
+        m = _layout(names)
+        if t == "CONFIG":
+            # non-custom layout only when the column count fits it
+            # exactly (its parse is drop-invalid); otherwise the
+            # custom layout with before/after change details
+            m = F.when(
+                F.size(parts) == len(_PANOS_HEADER) + len(names), m
+            ).otherwise(_layout(_PANOS_CONFIG_CUSTOM))
         fields = F.when(typ == t, m).otherwise(fields)
     dev = F.element_at(fields, "device_name")
     ok = fields.isNotNull() & dev.isNotNull() & (dev != "")

@@ -1213,3 +1213,40 @@ def test_reference_topic_syslog_app_detection_goldens(spark):
     got = {r["id"]: r["app"] for r in out.collect()}
     for i, _, expected in wires:
         assert got[i] == expected, (i, got[i], expected)
+
+
+def test_panos_parser_reference_goldens(spark):
+    """The panos functional rows (tests/light
+    functional_tests/parsers/panos): SYSTEM branch (with tolerated
+    extra trailing columns) and CONFIG branch (standard and
+    custom-log with before/after change columns) over full wire
+    lines."""
+
+    wires = [
+        (0, "<12>Apr 14 16:48:54 paloalto.test.net 1,2020/04/14 16:48:54,unknown,SYSTEM,auth,0,2020/04/14 16:48:54,,auth-fail,,0,0,general,medium,failed authentication for user 'admin'. Reason: Invalid username/password. From: 10.0.10.55.,1718,0x0,0,0,0,0,,paloalto",
+         ("SYSTEM", "auth-fail", "paloalto")),
+        (1, "<12>Apr 14 16:48:54 paloalto.test.net 1,2020/04/14 16:48:54,unknown,SYSTEM,auth,0,2020/04/14 16:48:54,,auth-fail,,0,0,general,medium,failed authentication for user 'admin'. Reason: Invalid username/password. From: 10.0.10.55.,1718,0x0,0,0,0,0,,paloalto,foo,bar",
+         ("SYSTEM", "auth-fail", "paloalto")),
+        (2, "<14>Apr 14 16:54:18 paloalto.test.net 1,2020/04/14 16:54:18,unknown,CONFIG,0,0,2020/04/14 16:54:18,10.0.10.55,,set,admin,Web,Succeeded,deviceconfig system,127,0x0,0,0,0,0,,paloalto",
+         ("CONFIG", None, "paloalto")),
+        (3, "<14>Apr 14 16:54:18 paloalto.test.net 1,2020/04/14 16:54:18,unknown,CONFIG,0,0,2020/04/14 16:54:18,10.0.10.55,,set,admin,Web,Succeeded,deviceconfig system,before,after,127,0x0,0,0,0,0,,paloalto",
+         ("CONFIG", None, "paloalto")),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in wires], "id int, text string"
+    )
+    out = {r["id"]: r.asDict()
+           for r in scl.panos_parser(df, src_col="text").collect()}
+    for i, _, (typ, eventid, dev) in wires:
+        r = out[i]
+        assert r["panos_ok"], i
+        assert r["panos_type"] == typ, i
+        if eventid is not None:
+            assert r["panos_fields"].get("eventid") == eventid, (
+                i, r["panos_fields"],
+            )
+        else:  # CONFIG branch: path column instead of eventid
+            assert r["panos_fields"].get("path") == "deviceconfig system", (
+                i, r["panos_fields"],
+            )
+        assert r["panos_fields"].get("device_name") == dev, i
