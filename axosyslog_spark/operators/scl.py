@@ -708,8 +708,13 @@ def checkpoint_parser(
             ),
         }
     )
+    # the kv-parser runs over ${MESSAGE} — the csv split's greedy MSG
+    # tail — NOT the whole line (plugin.conf order: csv-parser first,
+    # kv-parser template("$MSG")). Scanning the raw line leaked junk
+    # pairs from the header's ':' characters (e.g. a ".checkpoint.17"
+    # key cut out of the timestamp).
     sysl = kv_parse(
-        out, src_col, out_col="__cp_sys", value_separator=":",
+        out, f"`{prefix}msg`", out_col="__cp_sys", value_separator=":",
         pair_separator=";", prefix=prefix,
     )
     splk = kv_parse(

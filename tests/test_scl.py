@@ -340,12 +340,11 @@ def test_checkpoint_parser_syslog_formats(spark):
     assert a["pid"] == "12345" and a["msgid"] is None  # null('-')
     assert a[".checkpoint.ts"].year == 2019
     assert a[".checkpoint.msg"].startswith("[action:")
-    # faithful quirk: the kv-parser runs over the RAW line (the
-    # application is checkpoint[syslog-raw]), so the header stamp's
-    # "…T14:45:00Z" colons start a junk pair whose value absorbs up
-    # to the first ';' — swallowing the first bracket key (action),
-    # exactly as the reference block behaves on this input
-    assert ".checkpoint.action" not in a[".checkpoint.kv"]
+    # the csv-parser's column named MSG REBINDS $MSG to the greedy
+    # tail, so the kv-parser scans only the bracketed section — the
+    # first bracket key parses cleanly (an earlier round misread this
+    # as a raw-line scan; the functional goldens corrected it)
+    assert a[".checkpoint.kv"][".checkpoint.action"] == "Accept"
     assert a[".checkpoint.kv"][".checkpoint.conn_direction"] == "Incoming"
     assert a[".checkpoint.kv"][".checkpoint.ifname"] == "eth0"
     b = out[1]
@@ -1250,3 +1249,44 @@ def test_panos_parser_reference_goldens(spark):
                 i, r["panos_fields"],
             )
         assert r["panos_fields"].get("device_name") == dev, i
+
+
+def test_checkpoint_parser_reference_goldens(spark):
+    """Every row of the reference's checkpoint functional suite
+    (tests/light functional_tests/parsers/checkpoint): the 8-column
+    space-stamp form, the 7-column ISO form (naked, and with Z), and
+    the bracketed key:"value"; section — which must be scanned from
+    the MESSAGE tail only (scanning the raw line used to leak a junk
+    pair cut out of the timestamp's colons)."""
+    import datetime as _dt
+
+    wires = [
+        (0, r'<134>1 2018-03-21 17:25:25 MDS-72 CheckPoint 13752 - [action:"Update"; flags:"150784"; origin:"192.168.32.91"; time:"1521645925"; src_machine_name:"yonatanad";]',
+         ("MDS-72", _dt.datetime(2018, 3, 21, 17, 25, 25))),
+        (1, r'<134>1 2018-03-21T17:25:25 MDS-72 CheckPoint 13752 - [action:"Update"; auth_method:"Machine Authentication (Active Directory)";]',
+         ("MDS-72", _dt.datetime(2018, 3, 21, 17, 25, 25))),
+        (2, r'<134>1 2019-11-27T02:58:25Z ABDP-CPLOG01 CheckPoint 22103 - [action:"Accept"; ifname:"bond1.734"; rule_name:"3G IP Pool Outgoing";]',
+         ("ABDP-CPLOG01", _dt.datetime(2019, 11, 27, 2, 58, 25))),
+        (3, r'<134>1 2020-01-02T14:04:50Z fwmgmt CheckPoint 16559 - [action:"Accept"; layer_name:"Network"; service_id:"domain-udp";]',
+         ("fwmgmt", _dt.datetime(2020, 1, 2, 14, 4, 50))),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in wires], "id int, text string"
+    )
+    out = {r["id"]: r.asDict() for r in scl.checkpoint_parser(df).collect()}
+    for i, _, (host, ts) in wires:
+        r = out[i]
+        assert r[".checkpoint.ok"], i
+        assert r["program"] == "CheckPoint" and r["host"] == host, i
+        assert r[".checkpoint.ts"] == ts, (i, r[".checkpoint.ts"])
+        kv = r[".checkpoint.kv"]
+        assert all(k.startswith(".checkpoint.") for k in kv)
+        # no junk keys cut out of the header (the regression this
+        # golden caught): every key is a word, never a date fragment
+        assert not any(any(ch.isdigit() for ch in k.split(".")[-1][:2])
+                       for k in kv), kv
+    assert out[0][".checkpoint.kv"][".checkpoint.src_machine_name"] == "yonatanad"
+    assert out[1][".checkpoint.kv"][".checkpoint.auth_method"] == (
+        "Machine Authentication (Active Directory)"
+    )
+    assert out[2][".checkpoint.kv"][".checkpoint.rule_name"] == "3G IP Pool Outgoing"
