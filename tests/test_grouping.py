@@ -107,3 +107,37 @@ def test_grouping_having(spark):
     df = _turns(spark, rows).withColumn("role", F.col("text"))
     out = grouping.grouped_ordered_agg(df, having=F.col("n_turns") >= 2).collect()
     assert [r.conv_id for r in out] == ["c1"]
+
+
+def test_rate_limit_reference_acceptance_table(spark):
+    """The rate-limit filter acceptance table (tests/light
+    functional_tests/filters/rate-limit): 100 messages in one second,
+    keyed on PROGRAM — every (programs, rate) combination must match
+    the reference's matched/not_matched stats."""
+    import datetime as _dt
+
+    from axosyslog_spark.operators.grouping import rate_limit_bucket
+
+    base = _dt.datetime(2024, 1, 1, 0, 0, 0)
+    cases = [
+        (100, 1, 100, 100, 0),
+        (100, 1, 1, 1, 99),
+        (100, 5, 1, 5, 95),
+        (100, 5, 5, 25, 75),
+    ]
+    for n, n_programs, rate, exp_match, exp_nomatch in cases:
+        rows = [
+            (
+                f"prog{(i % n_programs) + 1}",
+                i,
+                base + _dt.timedelta(microseconds=i * 10_000),  # one sec
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "program string, idx long, ts timestamp")
+        kept = rate_limit_bucket(
+            df, key_cols=["program"], rate=rate, ts_col="ts",
+            order_col="idx",
+        ).count()
+        assert kept == exp_match, (n_programs, rate, kept)
+        assert n - kept == exp_nomatch
