@@ -89,7 +89,21 @@ def csv_parse(df: DataFrame, spec: CsvSpec, src_col: str = "text") -> DataFrame:
         sep = "|".join(_escape(s) for s in spec.delimiter_strings)
     else:
         sep = _escape(spec.delimiter)
+    if spec.dialect == "escape-unquoted-delimiter":
+        # csv-scanner.c CSV_SCANNER_ESCAPE_UNQUOTED_DELIMITER: a
+        # backslash protects ONLY the delimiter in unquoted fields
+        # ('\|' is a literal '|', '\z' stays '\z'). Split at
+        # unescaped delimiters, unescape inside each field. (An
+        # escaped backslash directly before a delimiter would need an
+        # even-backslash-count guard Java's bounded lookbehind cannot
+        # express — documented drift for that corner.)
+        sep = r"(?<!\\)(?:" + sep + ")"
     parts = F.split(src, sep, limit)
+    if spec.dialect == "escape-unquoted-delimiter":
+        unesc = F.lit("\\" + spec.delimiter)
+        parts = F.transform(
+            parts, lambda p: F.replace(p, unesc, F.lit(spec.delimiter))
+        )
     # the scanner discards BOTH short and long rows (greedy's limit
     # already caps size at n, so == is the one check for both modes)
     ok = F.size(parts) == n if spec.drop_invalid else F.lit(True)
@@ -124,8 +138,25 @@ def _decode_escapes(inner: Column, close: str, dialect: str) -> Column:
     if dialect == "escape-double-char":
         return F.replace(inner, F.lit(close * 2), F.lit(close))
     if dialect == "escape-backslash-with-sequences":
-        # csv-scanner.c: the C sequences decode, anything else drops
-        # its backslash
+        # csv-scanner.c: \xNN hex bytes decode first (an invalid hex
+        # pair just drops its backslash via the generic rule below),
+        # then the named C sequences, then anything else drops its
+        # backslash
+        hex_head = r"\\x[0-9A-Fa-f]{2}"
+        segs = F.split(inner, r"(?<!\\)(?=" + hex_head + ")")
+        inner = F.array_join(
+            F.transform(
+                segs,
+                lambda p: F.when(
+                    p.rlike("^" + hex_head),
+                    F.concat(
+                        F.decode(F.unhex(F.substring(p, 3, 2)), "UTF-8"),
+                        F.substr(p, F.lit(5)),
+                    ),
+                ).otherwise(p),
+            ),
+            "",
+        )
         for ch, rep in (
             ("a", "\a"), ("b", "\b"), ("f", "\f"), ("n", "\n"),
             ("r", "\r"), ("t", "\t"), ("v", "\v"),

@@ -124,3 +124,42 @@ def test_csv_parser_reference_goldens(spark):
     # drop-invalid: type-hint mismatch discards
     assert run("foo,bar", quote=None,
                columns=(CsvColumn("foo", "int"), CsvColumn("bar")))[2] is False
+
+
+def test_csv_scanner_c_suite_escapes(spark):
+    """Ported from lib/scanner/csv-scanner/tests/test_csv_scanner.c:
+    the backslash-with-sequences named + \\xNN hex escapes (invalid
+    hex drops its backslash), and the escape-unquoted-delimiter
+    dialect ('\\|' protects the delimiter, '\\z' stays verbatim)."""
+
+    def run(text, **kw):
+        cols = kw.pop("columns", (CsvColumn("foo"), CsvColumn("bar")))
+        spec = CsvSpec(columns=cols, **kw)
+        r = csv_parse(_df(spark, [text]), spec).collect()[0].asDict()
+        return [r.get(c.name) for c in cols]
+
+    # escape_backslash_sequences: "\"\a\t\v\r\n\""
+    assert run(
+        'foo,"\\"\\a\\t\\v\\r\\n\\""', quote=None, quotes='"',
+        dialect="escape-backslash-with-sequences",
+    ) == ["foo", '"\a\t\v\r\n"']
+    # escape_backslash_x_sequences: "A\x00@"
+    assert run(
+        'foo,"\\x41\\x00\\x40"', quote=None, quotes='"',
+        dialect="escape-backslash-with-sequences",
+    ) == ["foo", "A\x00@"]
+    # escape_backslash_invalid_x_sequence: backslash drops, 'x4Q' stays
+    assert run(
+        'foo,"\\x4Q"', quote=None, quotes='"',
+        dialect="escape-backslash-with-sequences",
+    ) == ["foo", "x4Q"]
+    # escaped_unquoted_delimiter: 3 columns over '|'
+    assert run(
+        "first|foo\\|bar\\|ba\\z|last", quote=None, delimiter="|",
+        dialect="escape-unquoted-delimiter",
+        columns=(CsvColumn("a"), CsvColumn("b"), CsvColumn("c")),
+    ) == ["first", "foo|bar|ba\\z", "last"]
+    # escaped_unquoted_default_comma_delimiter
+    assert run(
+        "foo\\,bar,last", quote=None, dialect="escape-unquoted-delimiter",
+    ) == ["foo,bar", "last"]
