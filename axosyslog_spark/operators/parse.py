@@ -185,10 +185,24 @@ RFC3164_RE = (
     # the <PRI> is OPTIONAL on the BSD branch (syslog-format.c accepts
     # pri-less lines from legacy daemons — e.g. the sudo row in the
     # reference's topic-syslog functional suite — defaulting pri=13)
-    r"^(?:<([0-9]{1,3})>)?"
+    # optional space after the pri (the reference skips it), PID is
+    # any bracketed token (test_syslog_format.c uses literal "pid")
+    r"^(?:<([0-9]{1,3})> ?)?"
     r"([A-Z][a-z]{2} [ 0-9][0-9] [0-9]{2}:[0-9]{2}:[0-9]{2}) "
-    r"([^ ]+) ([^\[ :]+)(?:\[([0-9]+)\])?: (.*)$"
+    r"([^ ]+) ([^\[ :]+)(?:\[([^\] :]+)\])?: (.*)$"
 )
+
+# pri-led line with NO timestamp: "<PRI> PROGRAM[PID]: MSG"
+# (syslog-format.c missing-timestamp branch; HOST stays unset)
+RFC3164_NO_TS_RE = r"^<([0-9]{1,3})> ?([^\[ :]+)(?:\[([^\] :]+)\])?: (.*)$"
+# header up to (and including) HOST, capturing program-onward — used
+# by LP_CHECK_PROGRAM to put an invalid program back into the MSG
+RFC3164_REST_RE = (
+    r"^(?:<([0-9]{1,3})> ?)?"
+    r"([A-Z][a-z]{2} [ 0-9][0-9] [0-9]{2}:[0-9]{2}:[0-9]{2}) "
+    r"([^ ]+) (.*)$"
+)
+RFC3164_NO_TS_REST_RE = r"^<([0-9]{1,3})> ?(.*)$"
 
 
 def parse_rfc3164(
@@ -196,6 +210,7 @@ def parse_rfc3164(
     text_col: str = "text",
     year: int | None = 2024,
     recvd_col: str = "ts",
+    check_program: bool = False,
 ) -> DataFrame:
     """RFC3164 (BSD) header parse (modules/syslogformat/syslog-format.c
     legacy branch). The format carries no year — pass ``year`` to pin
@@ -229,9 +244,51 @@ def parse_rfc3164(
         year_col = F.lit(str(year))
     # try_cast: the pri group is empty on pri-less BSD lines (ANSI
     # cast would throw); absent or out-of-range -> DEFAULT_PRI (13)
+    # lenient branches (test_syslog_format.c): a pri-led line without
+    # a timestamp still parses PROGRAM[PID]: MSG; a '<'-led line whose
+    # pri never closes keeps the WHOLE input as MSG with the
+    # invalid-pri quality tag (the BSD handler never rejects)
+    m2 = ~m & text.rlike(RFC3164_NO_TS_RE)
+    bad_pri = ~m & ~m2 & text.rlike(r"^<[0-9]")
+
+    def g2(i: int):
+        return F.regexp_extract(text, RFC3164_NO_TS_RE, i)
+
+    pri_str = F.when(m, g(1)).when(m2, g2(1))
     pri = F.when(
-        m & (g(1).try_cast("int") <= 191), g(1).try_cast("int")
+        (pri_str.try_cast("int") <= 191), pri_str.try_cast("int")
     ).otherwise(F.lit(DEFAULT_PRI))
+    prog = F.when(m, g(4)).when(m2, g2(2))
+    pid = F.when(m, F.nullif(g(5), F.lit(""))).when(
+        m2, F.nullif(g2(3), F.lit(""))
+    )
+    body = F.when(m, g(6)).when(m2, g2(4)).otherwise(text)
+    tags = (
+        F.when(m2, F.array(
+            F.lit("syslog.missing_timestamp"),
+            F.lit("syslog.rfc3164_missing_header"),
+        ))
+        .when(bad_pri, F.array(F.lit("syslog.invalid_pri")))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    if check_program:
+        # LP_CHECK_PROGRAM (_validate_program_char): alnum or ".-_()/"
+        # only, and at least one alpha — an invalid program stays in
+        # the MSG with the rfc3164_invalid_program tag
+        valid = prog.rlike(r"^[A-Za-z0-9.\-_()/]+$") & prog.rlike("[A-Za-z]")
+        invalid = (m | m2) & ~F.coalesce(valid, F.lit(True))
+        hdr_rest = F.coalesce(
+            F.nullif(F.regexp_extract(text, RFC3164_REST_RE, 4), F.lit("")),
+            F.nullif(F.regexp_extract(text, RFC3164_NO_TS_REST_RE, 2), F.lit("")),
+            text,
+        )
+        body = F.when(invalid, hdr_rest).otherwise(body)
+        prog = F.when(invalid, F.lit(None)).otherwise(prog)
+        pid = F.when(invalid, F.lit(None)).otherwise(pid)
+        tags = F.when(
+            invalid,
+            F.concat(tags, F.array(F.lit("syslog.rfc3164_invalid_program"))),
+        ).otherwise(tags)
     return df.withColumns(
         {
             "bsd_ok": m,
@@ -246,9 +303,10 @@ def parse_rfc3164(
                 ),
             ),
             "host": F.when(m, g(3)),
-            "appname": F.when(m, g(4)),
-            "procid": F.when(m, F.nullif(g(5), F.lit(""))),
-            "body": F.when(m, g(6)).otherwise(text),
+            "appname": prog,
+            "procid": pid,
+            "body": body,
+            "bsd_tags": tags,
         }
     )
 

@@ -156,3 +156,47 @@ def test_regexp_parser_reference_goldens(spark):
         run("foo", ["(?<key>foo"])
     # a pattern with no named groups just gates the message through
     assert run("foo", ["fo*"])["text"] == "foo"
+
+
+def test_rfc3164_lenient_branches_c_suite(spark):
+    """Ported from modules/syslogformat/tests/test_syslog_format.c:
+    the BSD handler never rejects — invalid pri keeps the whole input
+    as MSG (+invalid_pri tag), a missing timestamp still parses
+    PROGRAM[PID]: MSG (+missing_timestamp tags), and LP_CHECK_PROGRAM
+    pushes an invalid program back into the MSG."""
+    from axosyslog_spark.operators.parse import parse_rfc3164
+
+    rows = [
+        (0, "<189 Feb  3 12:34:56 host program[pid]: message"),
+        (1, "<189> program[pid]: message"),
+        (2, "<189> Feb  3 12:34:56 host program_0123456789-abcdefghijklmnopqrstuvwxyz(ABCDEFGHIJKLMNOPQRSTUVWXYZ).valid/chars[pid]: message"),
+        (3, "<189> Feb  3 12:34:56 host 323235243.2354[pid]: message"),
+        (4, "<189> Feb  3 12:34:56 host program![pid]: message"),
+        (5, "<189> Feb  3 12:34:56 host 127.0.0.1[pid]: message"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r["id"]: r.asDict()
+           for r in parse_rfc3164(df, check_program=True).collect()}
+
+    r = out[0]  # invalid pri: whole input is the MSG
+    assert r["body"] == rows[0][1]
+    assert r["bsd_tags"] == ["syslog.invalid_pri"]
+    r = out[1]  # missing timestamp: program parses, host unset
+    assert r["appname"] == "program" and r["procid"] == "pid"
+    assert r["body"] == "message" and r["host"] is None
+    assert r["pri"] == 189
+    assert set(r["bsd_tags"]) == {
+        "syslog.missing_timestamp", "syslog.rfc3164_missing_header",
+    }
+    r = out[2]  # every allowed special, has alpha -> valid
+    assert r["appname"].startswith("program_0123456789-")
+    assert r["procid"] == "pid" and r["body"] == "message"
+    assert r["bsd_tags"] == []
+    for i, msg in ((3, "323235243.2354[pid]: message"),
+                   (4, "program![pid]: message"),
+                   (5, "127.0.0.1[pid]: message")):
+        r = out[i]
+        assert r["appname"] is None and r["procid"] is None, i
+        assert r["body"] == msg, (i, r["body"])
+        assert r["bsd_tags"] == ["syslog.rfc3164_invalid_program"], i
+        assert r["host"] == "host", i
