@@ -423,10 +423,23 @@ def sdata_parser(
     src = F.col(src_col)
     blocks = F.regexp_extract_all(src, F.lit(r"\[([^\]]+)\]"), 1)
     param_re = r'([\w.@-]+)=(?:"[^"]*"|[^\s\]]+)'
+    def _block_entries(b, params):
+        # an SD-ID with no params is legal and stored with an empty
+        # value (test_syslog_format.c
+        # test_sdata_id_without_param_is_accepted...)
+        bare = F.struct(
+            F.concat(F.lit(prefix), b).alias("key"),
+            F.lit("").alias("value"),
+        )
+        return F.when(
+            (F.size(params) == 0) & b.rlike(r"^[\w.@-]+$"),
+            F.array(bare),
+        ).otherwise(params)
+
     entries = F.flatten(
         F.transform(
             blocks,
-            lambda b: F.transform(
+            lambda b: _block_entries(b, F.transform(
                 F.regexp_extract_all(b, F.lit(param_re), 0),
                 lambda p: F.struct(
                     F.concat(
@@ -443,7 +456,7 @@ def sdata_parser(
                         "$1",
                     ).alias("value"),
                 ),
-            ),
+            )),
         )
     )
     return df.withColumn(

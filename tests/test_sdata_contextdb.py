@@ -96,3 +96,38 @@ def test_sdata_roundtrip(spark):
         ).collect()
     }
     assert out == {0: lines[0], 1: lines[1], 2: "-"}
+
+
+def test_sdata_parser_c_suite_cases(spark):
+    """Ported from test_syslog_format.c's _extract_sdata cases: '-'
+    and invalid bracket shapes give an empty map, a bare SD-ID stores
+    an empty value, unquoted param values (the VMware shape) parse and
+    round-trip quoted through format_sdata."""
+    from pyspark.sql import functions as F
+
+    from axosyslog_spark.operators.parse import format_sdata, sdata_parser
+
+    cases = [
+        (0, "-"), (1, "["), (2, "[]"), (3, "]"), (4, "[foobar"),
+        (5, "[foobar]"),
+        (6, '[foo bar="baz"]'),
+        (7, "[foo bar=baz]"),
+        (8, "[Originator@6876 sub=Vimsvc.ha-eventmgr opID=esxui-13c6-6b16 sid=5214bde6 user=root]"),
+    ]
+    df = sdata_parser(
+        spark.createDataFrame(cases, "id int, text string"), "text"
+    )
+    out = {r["id"]: r["sdata"] for r in df.collect()}
+    for i in (0, 1, 2, 3, 4):
+        assert out[i] in (None, {}), (i, out[i])
+    assert out[5] == {".SDATA.foobar": ""}
+    assert out[6] == {".SDATA.foo.bar": "baz"}
+    assert out[7] == {".SDATA.foo.bar": "baz"}
+    assert out[8][".SDATA.Originator@6876.sub"] == "Vimsvc.ha-eventmgr"
+    assert out[8][".SDATA.Originator@6876.user"] == "root"
+    # the $SDATA macro re-renders unquoted input QUOTED
+    rendered = {
+        r["id"]: r["sd"]
+        for r in df.withColumn("sd", format_sdata(F.col("sdata"))).collect()
+    }
+    assert rendered[7] == '[foo bar="baz"]'
