@@ -38,6 +38,64 @@ from axosyslog_spark.functions import templates as tf
 from axosyslog_spark.operators.filters import typed_cmp
 
 
+def _value_pairs_args(raw_args, ctx) -> list:
+    """Shared value-pairs argument parser for $(format-json) /
+    $(format-flat-json) / $(format-welf): explicit k=v pairs plus the
+    selection/transform option set (--scope/--key/--exclude accept
+    globs AND comma-separated lists, repeatable; transforms.c rekey
+    chain applied at compile time)."""
+    import fnmatch
+
+    from axosyslog_spark.operators.rewrite import (
+        VALUE_PAIRS_SCOPES,
+        apply_key_transforms,
+    )
+
+    pairs: list[tuple[str, Column]] = []
+    sel: list[str] = []
+    excl: list[str] = []
+    transforms: list[tuple] = []
+    i = 0
+    while i < len(raw_args):
+        arg = raw_args[i]
+        if arg == "--add-prefix":
+            transforms.append(("add-prefix", raw_args[i + 1])); i += 2
+        elif arg == "--replace-prefix":
+            old, _, new = raw_args[i + 1].partition("=")
+            transforms.append(("replace-prefix", old, new)); i += 2
+        elif arg == "--shift":
+            transforms.append(("shift", int(raw_args[i + 1]))); i += 2
+        elif arg == "--shift-levels":
+            transforms.append(("shift-levels", int(raw_args[i + 1])))
+            i += 2
+        elif arg == "--upper":
+            transforms.append(("upper",)); i += 1
+        elif arg == "--lower":
+            transforms.append(("lower",)); i += 1
+        elif arg in ("--scope", "-s"):
+            sel += VALUE_PAIRS_SCOPES[raw_args[i + 1]]; i += 2
+        elif arg in ("--key", "-k"):
+            sel += raw_args[i + 1].split(","); i += 2
+        elif arg in ("--exclude", "-x"):
+            excl += raw_args[i + 1].split(","); i += 2
+        elif arg == "--omit-empty-values":
+            i += 1  # NULLs already drop via ignoreNullFields
+        elif "=" in arg and not arg.startswith("--"):
+            k, _, v = arg.partition("=")
+            pairs.append((k, compile_template(v, ctx)))
+            i += 1
+        else:  # bare glob selection
+            sel.append(arg); i += 1
+    for n in sorted(ctx.columns):
+        if any(fnmatch.fnmatch(n.lower(), g.lower()) for g in sel) and \
+           not any(fnmatch.fnmatch(n.lower(), g.lower()) for g in excl):
+            pairs.append(
+                (apply_key_transforms(n, transforms), ctx.columns[n])
+            )
+    return pairs
+
+
+
 class TemplateError(ValueError):
     pass
 
@@ -866,11 +924,10 @@ def _apply_func(call: FuncCall, ctx: TemplateContext) -> Column:
             val = ""
         return F.lit(val)
     if name == "format-welf":
-        pairs = []
-        for a in raw_args:
-            k, _, v = a.partition("=")
-            pairs.append((k, compile_template(v, ctx)))
-        return tf.format_welf(dict(pairs))
+        # k=v pairs AND/OR the value-pairs selection (--key/--exclude
+        # with globs and comma lists — test_format_welf.c
+        # key_and_exclude table)
+        return tf.format_welf(dict(_value_pairs_args(raw_args, ctx)))
     if name in ("format-json", "format-flat-json"):
         # modules/json/format-json.c: explicit k=v pairs AND/OR a
         # value-pairs selection (globs / --scope / --key / --exclude)
@@ -880,54 +937,7 @@ def _apply_func(call: FuncCall, ctx: TemplateContext) -> Column:
         # pair order is reverse-lexicographic at each level
         # (tf_flat_value_pairs_sort's strcmp(s2, s1) — the functional
         # value-pairs goldens show the same order for the nested form)
-        import fnmatch
-
-        from axosyslog_spark.operators.rewrite import (
-            VALUE_PAIRS_SCOPES,
-            apply_key_transforms,
-        )
-
-        pairs: list[tuple[str, Column]] = []
-        sel: list[str] = []
-        excl: list[str] = []
-        transforms: list[tuple] = []
-        i = 0
-        while i < len(raw_args):
-            arg = raw_args[i]
-            if arg == "--add-prefix":
-                transforms.append(("add-prefix", raw_args[i + 1])); i += 2
-            elif arg == "--replace-prefix":
-                old, _, new = raw_args[i + 1].partition("=")
-                transforms.append(("replace-prefix", old, new)); i += 2
-            elif arg == "--shift":
-                transforms.append(("shift", int(raw_args[i + 1]))); i += 2
-            elif arg == "--shift-levels":
-                transforms.append(("shift-levels", int(raw_args[i + 1])))
-                i += 2
-            elif arg == "--upper":
-                transforms.append(("upper",)); i += 1
-            elif arg == "--lower":
-                transforms.append(("lower",)); i += 1
-            elif arg in ("--scope", "-s"):
-                sel += VALUE_PAIRS_SCOPES[raw_args[i + 1]]; i += 2
-            elif arg in ("--key", "-k"):
-                sel.append(raw_args[i + 1]); i += 2
-            elif arg in ("--exclude", "-x"):
-                excl.append(raw_args[i + 1]); i += 2
-            elif arg == "--omit-empty-values":
-                i += 1  # NULLs already drop via ignoreNullFields
-            elif "=" in arg and not arg.startswith("--"):
-                k, _, v = arg.partition("=")
-                pairs.append((k, compile_template(v, ctx)))
-                i += 1
-            else:  # bare glob selection
-                sel.append(arg); i += 1
-        for n in sorted(ctx.columns):
-            if any(fnmatch.fnmatch(n.lower(), g.lower()) for g in sel) and \
-               not any(fnmatch.fnmatch(n.lower(), g.lower()) for g in excl):
-                pairs.append(
-                    (apply_key_transforms(n, transforms), ctx.columns[n])
-                )
+        pairs = _value_pairs_args(raw_args, ctx)
         if name == "format-flat-json":
             return tf.format_flat_json(dict(pairs))
         # nested render: dotted keys become objects

@@ -513,3 +513,33 @@ def test_operator_shaped_funcs_point_to_operators(frame):
         _render(frame, "$(slog ${MSG})")
     with pytest.raises(TemplateError, match="enrich.geoip2"):
         _render(frame, "$(geoip2 ${HOST})")
+
+
+def test_format_welf_key_exclude_table(frame):
+    """The key_and_exclude table from test_format_welf.c plus the
+    quoted-space case — welf gains the full value-pairs selection."""
+    ctx = _ctx({
+        "prefix.key1": F.lit("value1"),
+        "prefix.key2": F.lit("value2"),
+        "prefix.exclude1": F.lit("exclude1"),
+        "prefix.exclude2": F.lit("exclude2"),
+        "with_space": F.lit("with space"),
+    })
+    cases = [
+        ("$(format-welf --key prefix.key*)",
+         "prefix.key1=value1 prefix.key2=value2"),
+        ("$(format-welf --key prefix.key1,prefix.key2)",
+         "prefix.key1=value1 prefix.key2=value2"),
+        ("$(format-welf --key prefix.* --exclude prefix.exclude*)",
+         "prefix.key1=value1 prefix.key2=value2"),
+        ("$(format-welf --key prefix.* --exclude prefix.exclude1,prefix.exclude2)",
+         "prefix.key1=value1 prefix.key2=value2"),
+        ("$(format-welf --key prefix.* --exclude prefix.exclude1 --exclude prefix.exclude2)",
+         "prefix.key1=value1 prefix.key2=value2"),
+        ("$(format-welf --key prefix.* --exclude prefix.exclude* --exclude prefix.key2)",
+         "prefix.key1=value1"),
+        ("$(format-welf --key with_space)", 'with_space="with space"'),
+    ]
+    for template, expected in cases:
+        got = _render(frame, template, ctx)
+        assert got == [expected] * 2, (template, got)
