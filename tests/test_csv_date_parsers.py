@@ -163,3 +163,46 @@ def test_csv_scanner_c_suite_escapes(spark):
     assert run(
         "foo\\,bar,last", quote=None, dialect="escape-unquoted-delimiter",
     ) == ["foo,bar", "last"]
+
+
+def test_date_parser_c_suite_cases(spark):
+    """Ported from modules/timestamp/tests/test_date.c (the
+    engine-expressible subset): Apache CLF with numeric offset, the
+    explicit-timezone option, %s unixtime, the multi-format
+    fractional ladder (comma- and dot-millis, ISO offset), and the
+    anchored-parse failure on trailing text."""
+    import datetime as _dt
+
+    from axosyslog_spark.operators.dateparse import (
+        UNIX_FMT,
+        date_parser,
+        parse_date,
+    )
+    from pyspark.sql import functions as F
+
+    def one(text, **kw):
+        df = spark.createDataFrame([(text,)], "t string")
+        return df.select(parse_date(F.col("t"), **kw).alias("ts")).first()["ts"]
+
+    # Apache-like with offset: 14:40:07+05:00 == 09:40:07 UTC
+    got = one("21/Jan/2015:14:40:07 +0500")
+    assert got == _dt.datetime(2015, 1, 21, 9, 40, 7)
+    # explicit timezone option re-interprets a zoneless stamp
+    got = one(
+        "2015-01-27 11:48:46",
+        timezone="America/Phoenix",  # no DST: UTC-7 year-round
+    )
+    assert got == _dt.datetime(2015, 1, 27, 18, 48, 46)
+    got = one("2015-01-27 11:48:46", timezone="+05:00")
+    assert got == _dt.datetime(2015, 1, 27, 6, 48, 46)
+    # %s unixtime
+    got = one("1446128356", formats=(UNIX_FMT,))
+    assert got == _dt.datetime(2015, 10, 29, 14, 19, 16)
+    # multi-format ladder with fractional seconds
+    assert one("2017-02-02 00:29:16").microsecond == 0
+    assert one("2017-02-02 00:29:16,706").microsecond == 706000
+    got = one("2019-05-04T21:55:46.989+02:00")
+    assert got.microsecond == 989000
+    assert got == _dt.datetime(2019, 5, 4, 19, 55, 46, 989000)
+    # anchored: trailing text is a parse failure, like the reference
+    assert one("2015-01-26T16:14:49+0300 Disappointing log file") is None
