@@ -2501,7 +2501,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     variants, and the operators added AFTER the gate filled its 50
     slots (round-5 SCL adapters, emb_semantic_dedup, and the
     continuation-session training ops doc_tfidf / doc_rarity_buckets /
-    doc_c4_filter / doc_pii_redact / doc_source_mix / doc_hash_split —
+    doc_c4_filter / doc_pii_redact / doc_source_mix / doc_hash_split /
+    doc_substr_spans —
     all full-oracle hash-checked). tools/check_oracle.py and
     tests/test_entry_contract.py still run every one of these against
     its oracle each session."""
