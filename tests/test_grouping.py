@@ -141,3 +141,53 @@ def test_rate_limit_reference_acceptance_table(spark):
         ).count()
         assert kept == exp_match, (n_programs, rate, kept)
         assert n - kept == exp_nomatch
+
+
+def test_grouping_by_c_suite_inject_modes(spark):
+    """Ported from modules/correlation/tests/test_grouping_by.c: a
+    trigger on context-length == 3 emits ONE aggregate whose value is
+    the comma-joined $(context-values $PROGRAM) list; pass-through
+    keeps the originals beside it, aggregate-only drops them, and a
+    prefix() renames the aggregate column."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from axosyslog_spark.operators.grouping import correlate
+
+    rows = [
+        ("key", i, p, _dt.datetime(2024, 1, 1, 0, 0, i))
+        for i, p in enumerate(["first", "second", "third"])
+    ]
+    df = spark.createDataFrame(rows, "key string, idx long, program string, ts timestamp")
+
+    out = correlate(
+        df, key="key", sort_key="idx", value="program",
+        trigger=F.col("n_turns") == 3,
+        synthetic_template={"aggr": F.col("agg_values")},
+        inject_mode="pass-through",
+    ).collect()
+    # 3 originals + 1 aggregate; the aggregate carries the ordered list
+    assert len(out) == 4
+    synth = [r for r in out if r["synthetic"]]
+    assert len(synth) == 1
+    assert synth[0]["aggr"] == "first,second,third"
+    assert sorted(r["program"] for r in out if not r["synthetic"]) == [
+        "first", "second", "third",
+    ]
+
+    only = correlate(
+        df, key="key", sort_key="idx", value="program",
+        trigger=F.col("n_turns") == 3,
+        synthetic_template={"prefix.aggr": F.col("agg_values")},
+        inject_mode="aggregate-only",
+    ).collect()
+    assert len(only) == 1
+    assert only[0]["prefix.aggr"] == "first,second,third"
+
+    # an unsatisfied trigger emits NO aggregate
+    none = correlate(
+        df, key="key", sort_key="idx", value="program",
+        trigger=F.col("n_turns") == 4, inject_mode="aggregate-only",
+    ).collect()
+    assert none == []
