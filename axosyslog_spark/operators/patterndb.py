@@ -136,14 +136,45 @@ def _strip_framing_bytes(text: Column) -> Column:
 # back-compat name (round-1/2 API used \x01 as the group joiner)
 _GROUP_SEP = _BLOCK_SEP
 
+# IPv4 with per-octet 0..255 validation (r_parser_ip: each octet is
+# value-checked; the parsers_e2e truth table rejects 256.256.256.256)
+_IPV4_OCTET = r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9]{1,2})"
+# the (?![0-9]) guard mirrors the scanner: it consumes the whole digit
+# run of the last octet — a match never stops mid-number
+_IPV4_FRAGMENT = rf"(?:{_IPV4_OCTET}\.){{3}}{_IPV4_OCTET}(?![0-9])"
+# IPv6 with at most ONE '::' compression (the standard alternation —
+# r_parser_pcre_ip6 is inet_pton-strict and the e2e table rejects a
+# double '::')
+_IPV6_FRAGMENT = (
+    r"(?:"
+    r"(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+    r"|(?:[0-9A-Fa-f]{1,4}:){1,7}:"
+    r"|(?:[0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}"
+    r"|(?:[0-9A-Fa-f]{1,4}:){1,5}(?::[0-9A-Fa-f]{1,4}){1,2}"
+    r"|(?:[0-9A-Fa-f]{1,4}:){1,4}(?::[0-9A-Fa-f]{1,4}){1,3}"
+    r"|(?:[0-9A-Fa-f]{1,4}:){1,3}(?::[0-9A-Fa-f]{1,4}){1,4}"
+    r"|(?:[0-9A-Fa-f]{1,4}:){1,2}(?::[0-9A-Fa-f]{1,4}){1,5}"
+    r"|[0-9A-Fa-f]{1,4}:(?::[0-9A-Fa-f]{1,4}){1,6}"
+    r"|:(?::[0-9A-Fa-f]{1,4}){1,7}"
+    r"|::"
+    r")"
+    # r_parser_ip6 consumes the ENTIRE colon-hex run and then
+    # validates (inet_pton) — a match must not stop inside the run,
+    # so a malformed tail (e.g. a second '::') fails the class
+    # instead of prefix-matching (parsers_e2e truth table)
+    r"(?![0-9A-Fa-f:])"
+)
+
 # class -> (regex fragment WITHOUT capture group, spark cast type or None)
 _CLASS_FRAGMENTS: dict[str, tuple[str, str | None]] = {
     "STRING": (r"[^\s]+", None),
     "NUMBER": (r"-?[0-9]+", "bigint"),
     "FLOAT": (r"-?[0-9]+(?:\.[0-9]+)?", "double"),
-    "IPv4": (r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}", None),
-    "IPv6": (r"[0-9A-Fa-f:]+:[0-9A-Fa-f:]+", None),
-    "IPvANY": (r"(?:(?:[0-9]{1,3}\.){3}[0-9]{1,3}|[0-9A-Fa-f:]+:[0-9A-Fa-f:]+)", None),
+    # @DOUBLE@ is the radix parsers' legacy alias of @FLOAT@
+    "DOUBLE": (r"-?[0-9]+(?:\.[0-9]+)?", "double"),
+    "IPv4": (_IPV4_FRAGMENT, None),
+    "IPv6": (_IPV6_FRAGMENT, None),
+    "IPvANY": (rf"(?:{_IPV4_FRAGMENT}|{_IPV6_FRAGMENT})", None),
     # _r_parser_lladdr(parts=6): 1..6 colon-separated hex pairs
     "MACADDR": (r"(?:[0-9A-Fa-f]{2}:){0,5}[0-9A-Fa-f]{2}", None),
     "HOSTNAME": (r"[0-9A-Za-z][0-9A-Za-z._-]*", None),
