@@ -21,27 +21,54 @@ from pyspark.sql import functions as F  # noqa: F401  (callers compose)
 from pyspark.sql.types import MapType, StringType
 
 
-def _flatten_xml(text: str, prefix: str = "xml") -> dict[str, str]:
+def _flatten_xml(
+    text: str,
+    prefix: str = "xml",
+    create_lists: bool = True,
+    strip_whitespaces: bool = False,
+) -> dict[str, str]:
+    """modules/xml/xml.c semantics (test_xml_parser.c ported):
+    an element's value is the concatenation of its text segments
+    INCLUDING the tails between/after children (mixed content
+    'part1<x/>part2' -> 'part1part2'); repeated sibling elements
+    become an LM_VT_LIST — comma-joined with str-repr quoting — under
+    create-lists(yes) (the default) and concatenate verbatim under
+    create-lists(no); whitespace survives unless
+    strip-whitespaces(yes)."""
     import xml.etree.ElementTree as ET
+
+    from axosyslog_spark.functions.template_compiler import _str_repr_py
 
     try:
         root = ET.fromstring(text)
     except ET.ParseError:
         return {}
-    out: dict[str, str] = {}
+    vals: dict[str, list[str]] = {}
+    attrs: dict[str, str] = {}
+
+    def seg(s: str | None) -> str:
+        s = s or ""
+        return s.strip() if strip_whitespaces else s
 
     def walk(el, path: str) -> None:
         key = f"{path}.{el.tag}"
         for aname, aval in el.attrib.items():
-            out[f"{key}._{aname}"] = aval
-        txt = (el.text or "").strip()
-        if txt:
-            # repeated elements concatenate (xml.c list handling)
-            out[key] = out.get(key, "") + txt if key in out else txt
+            attrs[f"{key}._{aname}"] = aval
+        txt = seg(el.text)
         for child in el:
             walk(child, key)
+            txt += seg(child.tail)
+        if txt:
+            vals.setdefault(key, []).append(txt)
 
     walk(root, prefix)
+    out: dict[str, str] = {}
+    for key, vlist in vals.items():
+        if create_lists:
+            out[key] = ",".join(_str_repr_py(v) for v in vlist)
+        else:
+            out[key] = "".join(vlist)
+    out.update(attrs)
     return out
 
 

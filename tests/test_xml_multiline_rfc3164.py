@@ -160,3 +160,62 @@ def test_rfc3164_year_inference_boundaries(spark):
         "2025-01-01 00:00:02",
         "2024-06-15 12:00:00",
     ]
+
+
+def test_xml_parser_c_suite_table(spark):
+    """test_xml_parser.c valid_inputs + list_quoting_array_elements:
+    mixed-content tails concatenate, attributes nest with '_', and
+    repeated siblings become a str-repr-quoted comma list under
+    create-lists(yes) (default) or concatenate under
+    create-lists(no)."""
+    from axosyslog_spark.operators.xmlparse import _flatten_xml
+
+    valid = [
+        ("<tag1>value1</tag1>", ".xml.tag1", "value1"),
+        ("<tag1 attr='attr_value'>value1</tag1>", ".xml.tag1._attr", "attr_value"),
+        ("<tag1><tag2>value2</tag2></tag1>", ".xml.tag1.tag2", "value2"),
+        ("<tag1>part1<tag2>value2</tag2>part2</tag1>", ".xml.tag1", "part1part2"),
+        ("<tag1><tag11></tag11><tag12><tag121>value</tag121></tag12></tag1>",
+         ".xml.tag1.tag12.tag121", "value"),
+        ("<tag1><tag11></tag11><tag12><tag121 attr1='1' attr2='2'>value</tag121></tag12></tag1>",
+         ".xml.tag1.tag12.tag121._attr1", "1"),
+        ("<tag1><tag1>t11.1</tag1><tag1>t11.2</tag1></tag1>",
+         ".xml.tag1.tag1", "t11.1,t11.2"),
+    ]
+    for xml, key, exp in valid:
+        assert _flatten_xml(xml, prefix=".xml").get(key) == exp, (xml, key)
+
+    lists = [
+        ("<tag1><simple_namevalue> value,2 </simple_namevalue></tag1>", False,
+         ".xml.tag1.simple_namevalue", " value,2 "),
+        ("<tag1><simple_namevalue> value,2 </simple_namevalue></tag1>", True,
+         ".xml.tag1.simple_namevalue", '" value,2 "'),
+        ("<events><data>1</data><data> 2 </data></events>", True,
+         ".xml.events.data", '1," 2 "'),
+        ("<events><data>1</data><data> 2 </data><data>3,</data><data>4</data></events>",
+         True, ".xml.events.data", '1," 2 ","3,",4'),
+        ("<noquotes><data>one</data><data>two</data><data>three</data></noquotes>",
+         True, ".xml.noquotes.data", "one,two,three"),
+        ("<array><data>,first element</data><data>second element</data><data>Third element</data></array>",
+         True, ".xml.array.data",
+         '",first element","second element","Third element"'),
+        ("<array><data>\"Quoted elements escaped with single-quote\"</data><data>unquoted with double-quotes</data></array>",
+         True, ".xml.array.data",
+         "'\"Quoted elements escaped with single-quote\"',\"unquoted with double-quotes\""),
+        ("<array><data>'Single quoted becomes quoted'</data><data>simple</data></array>",
+         True, ".xml.array.data", "\"'Single quoted becomes quoted'\",simple"),
+        ("<events><data>first</data><data>second</data></events>", False,
+         ".xml.events.data", "firstsecond"),
+        ("<events><data>first</data><data>second, long entry</data></events>",
+         False, ".xml.events.data", "firstsecond, long entry"),
+    ]
+    for xml, cl, key, exp in lists:
+        got = _flatten_xml(xml, prefix=".xml", create_lists=cl).get(key)
+        assert got == exp, (xml, cl, got, exp)
+
+    # strip-whitespaces(yes): segments strip before concatenation
+    got = _flatten_xml(
+        "<tag1>part1 <tag2>value2</tag2> part2</tag1>",
+        prefix=".xml", strip_whitespaces=True,
+    )
+    assert got[".xml.tag1"] == "part1part2"
