@@ -144,6 +144,44 @@ def enrich_with_context_db(
     return out.withColumn(out_col, nv).drop("__sel", "__nv")
 
 
+def glob_selector(
+    value: "F.Column", globs: list[str]
+) -> "F.Column":
+    """add-contextual-data glob selector (glob-selector.c +
+    test_glob_selector.c): resolve the expanded template to the FIRST
+    db selector GLOB that matches it (declaration order), NULL when
+    none does. The db's selector list is bounded (it was loaded from
+    the context CSV), so the chain is a plan-time when-cascade inside
+    one codegen span."""
+    from axosyslog_spark.operators.filters import glob_match
+
+    sel = F.lit(None).cast("string")
+    for g in reversed(globs):
+        sel = F.when(glob_match(value, g), F.lit(g)).otherwise(sel)
+    return sel
+
+
+def enrich_with_context_db_glob(
+    df: DataFrame,
+    db: DataFrame,
+    template_col: str,
+    prefix: str = "",
+    out_col: str = "ctx",
+) -> DataFrame:
+    """add-contextual-data(glob(...)): the db's selectors are glob
+    patterns; each row resolves to the first matching one, then the
+    usual broadcast join injects that record. Selector list collected
+    ONCE at plan time (the reference loads the same CSV into memory)."""
+    globs = [r["selector"] for r in db.select("selector").collect()]
+    resolved = df.withColumn(
+        "__glob_sel", glob_selector(F.col(template_col), globs)
+    )
+    out = enrich_with_context_db(
+        resolved, db, "__glob_sel", prefix=prefix, out_col=out_col
+    )
+    return out.drop("__glob_sel")
+
+
 def enrich_tools(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Flagship enrichment: tool registry join with default record."""
     spec = LookupSpec(

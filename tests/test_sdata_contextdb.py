@@ -131,3 +131,41 @@ def test_sdata_parser_c_suite_cases(spark):
         for r in df.withColumn("sd", format_sdata(F.col("sdata"))).collect()
     }
     assert rendered[7] == '[foo bar="baz"]'
+
+
+def test_glob_selector_c_suite(spark, tmp_path):
+    """test_glob_selector.c: first db glob (declaration order) that
+    matches the expanded template wins; no match -> the row keeps an
+    empty context (NULL selector)."""
+    from pyspark.sql import functions as F
+
+    from axosyslog_spark.operators.enrich import (
+        enrich_with_context_db_glob,
+        glob_selector,
+        load_context_db,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "localhost"), (1, "lacsomething"), (2, "good"),
+         (3, "goodstuff"), (4, "nomatch-here")],
+        "id int, host string",
+    )
+    sel = glob_selector(F.col("host"), ["local*", "loc*", "lac*"])
+    got = {r["id"]: r["s"] for r in df.select("id", sel.alias("s")).collect()}
+    assert got[0] == "local*"      # first match wins, not loc*
+    assert got[1] == "lac*"
+    assert got[4] is None
+
+    sel2 = glob_selector(F.col("host"), ["unmatch1", "unmatch2", "good*"])
+    got2 = {r["id"]: r["s"] for r in df.select("id", sel2.alias("s")).collect()}
+    assert got2[2] == "good*" and got2[3] == "good*"
+
+    # end-to-end through the CSV db: matching rows get the record
+    csv = tmp_path / "db.csv"
+    csv.write_text('local*,site,eu\nlac*,site,us\n')
+    db = load_context_db(spark, str(csv))
+    out = {r["id"]: r["ctx"] for r in enrich_with_context_db_glob(
+        df, db, "host").collect()}
+    assert out[0] == {"site": "eu"}
+    assert out[1] == {"site": "us"}
+    assert out[4] == {}
