@@ -161,6 +161,37 @@ def glob_selector(
     return sel
 
 
+def filter_selector(
+    filters: list[tuple[str, "F.Column"]]
+) -> "F.Column":
+    """add-contextual-data filter selector (filter-selector.c): the db
+    selectors NAME filters from a config file; a row resolves to the
+    first filter (declaration order) whose condition holds, NULL when
+    none does. ``filters`` = ordered (name, condition Column) pairs —
+    the Column is whatever the config front-end compiled for that
+    filter (plans/config.py)."""
+    sel = F.lit(None).cast("string")
+    for name, cond in reversed(filters):
+        sel = F.when(cond, F.lit(name)).otherwise(sel)
+    return sel
+
+
+def enrich_with_context_db_filters(
+    df: DataFrame,
+    db: DataFrame,
+    filters: list[tuple[str, "F.Column"]],
+    prefix: str = "",
+    out_col: str = "ctx",
+) -> DataFrame:
+    """add-contextual-data(filters(...)): resolve by the named-filter
+    cascade, then the usual broadcast record injection."""
+    resolved = df.withColumn("__filter_sel", filter_selector(filters))
+    out = enrich_with_context_db(
+        resolved, db, "__filter_sel", prefix=prefix, out_col=out_col
+    )
+    return out.drop("__filter_sel")
+
+
 def enrich_with_context_db_glob(
     df: DataFrame,
     db: DataFrame,

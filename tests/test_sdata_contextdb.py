@@ -169,3 +169,32 @@ def test_glob_selector_c_suite(spark, tmp_path):
     assert out[0] == {"site": "eu"}
     assert out[1] == {"site": "us"}
     assert out[4] == {}
+
+
+def test_filter_selector_first_match(spark, tmp_path):
+    """test_filter_selector.c shape: db selectors name filters; the
+    first filter (declaration order) whose condition holds wins."""
+    from pyspark.sql import functions as F
+
+    from axosyslog_spark.operators.enrich import (
+        enrich_with_context_db_filters,
+        load_context_db,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "err", "web1"), (1, "ok", "db9"), (2, "ok", "web2")],
+        "id int, status string, host string",
+    )
+    filters = [
+        ("f_err", F.col("status") == "err"),
+        ("f_web", F.col("host").startswith("web")),  # row 0 matches BOTH
+        ("f_db", F.col("host").startswith("db")),
+    ]
+    csv = tmp_path / "db.csv"
+    csv.write_text("f_err,team,oncall\nf_web,team,frontend\nf_db,team,storage\n")
+    db = load_context_db(spark, str(csv))
+    out = {r["id"]: r["ctx"] for r in enrich_with_context_db_filters(
+        df, db, filters).collect()}
+    assert out[0] == {"team": "oncall"}     # first match, not f_web
+    assert out[1] == {"team": "storage"}
+    assert out[2] == {"team": "frontend"}
