@@ -723,20 +723,47 @@ def _apply_func(call: FuncCall, ctx: TemplateContext) -> Column:
     if name == "echo":
         return F.concat_ws(" ", *[a.col for a in args]) if args else F.lit("")
     if name == "length":
-        return F.length(one()).cast("string")
+        # multi-arg: one length per arg, space-joined; no args -> ""
+        if not args:
+            return F.lit("")
+        return F.concat_ws(
+            " ", *[F.length(a.col).cast("string") for a in args]
+        )
     if name == "substr":
         if len(args) < 2:
             raise TemplateError("$(substr msg offset [length])")
         n = args[2].as_int("substr length") if len(args) > 2 else None
         return tf.tf_substr(args[0].col, args[1].as_int("substr offset"), n)
     if name == "strip":
-        return F.concat_ws(" ", *[F.trim(a.col) for a in args])
+        # str-funcs.c tf_strip: each arg strips independently and
+        # EMPTY results drop from the space-joined output
+        return F.concat_ws(
+            " ", *[F.nullif(F.trim(a.col), F.lit("")) for a in args]
+        )
     if name == "lowercase":
         return F.lower(one())
     if name == "uppercase":
         return F.upper(one())
     if name == "sanitize":
-        return F.concat_ws("/", *[tf.tf_sanitize(a.col) for a in args])
+        # options (str-funcs.c tf_sanitize_prepare): -r/--replacement
+        # CHAR, -i/--invalid-chars SET, -C/--no-ctrl-chars
+        s_args = list(args)
+        s_raw = list(raw_args)
+        repl, invalid, ctrl = "_", "/", True
+        while s_raw and s_raw[0].startswith("-"):
+            opt = s_raw.pop(0); s_args.pop(0)
+            if opt in ("-r", "--replacement"):
+                repl = s_raw.pop(0); s_args.pop(0)
+            elif opt in ("-i", "--invalid-chars"):
+                invalid = s_raw.pop(0); s_args.pop(0)
+            elif opt in ("-C", "--no-ctrl-chars"):
+                ctrl = False
+            else:
+                raise TemplateError(f"$(sanitize): unknown option {opt}")
+        return F.concat_ws(
+            "/",
+            *[tf.tf_sanitize(a.col, repl, invalid, ctrl) for a in s_args],
+        )
     if name == "padding":
         if len(args) < 2:
             raise TemplateError("$(padding msg width [pad])")
@@ -841,7 +868,12 @@ def _apply_func(call: FuncCall, ctx: TemplateContext) -> Column:
     if name == "url-decode":
         return F.url_decode(one())
     if name == "base64-encode":
-        return F.base64(one().cast("binary"))
+        # multi-arg: arguments CONCATENATE before encoding (the C
+        # suite: $(base64-encode abcd abcd) == encode("abcdabcd"))
+        if not args:
+            return F.lit("")
+        payload = F.concat(*[a.col for a in args])
+        return F.base64(payload.cast("binary"))
     if name in ("sha256", "sha512", "sha1", "md5", "md4", "hash"):
         length = None
         if raw_args and raw_args[0] in ("--length", "-l"):

@@ -61,9 +61,19 @@ def tf_lowercase(c: Column) -> Column: return F.lower(c)                  # $(lo
 def tf_uppercase(c: Column) -> Column: return F.upper(c)                  # $(uppercase)
 
 
-def tf_sanitize(c: Column, replacement: str = "_") -> Column:
-    """$(sanitize) — replace unsafe filename chars (/ and control)."""
-    return F.regexp_replace(c, r"[/\x00-\x1f]", replacement)
+def tf_sanitize(
+    c: Column,
+    replacement: str = "_",
+    invalid_chars: str = "/",
+    ctrl_chars: bool = True,
+) -> Column:
+    """$(sanitize) — str-funcs.c tf_sanitize: replace the invalid-char
+    set (-i, default '/') and, unless -C, control chars, each with the
+    -r replacement (default '_')."""
+    import re as _re
+
+    cls = "[" + _re.escape(invalid_chars) + ("\x00-\x1f]" if ctrl_chars else "]")
+    return F.regexp_replace(c, cls, replacement)
 
 
 def tf_replace_delimiter(c: Column, from_chars: str, to: str) -> Column:

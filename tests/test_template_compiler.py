@@ -543,3 +543,39 @@ def test_format_welf_key_exclude_table(frame):
     for template, expected in cases:
         got = _render(frame, template, ctx)
         assert got == [expected] * 2, (template, got)
+
+
+def test_basicfuncs_c_suite_str_funcs(frame):
+    """test_basicfuncs.c test_str_funcs goldens: multi-arg $(length)
+    and $(base64-encode) (joined/concatenated), per-arg $(strip) with
+    empty results DROPPED, and the $(sanitize) -r/-i/-C options."""
+    ctx = _ctx({
+        "PID": F.lit("23323"),
+        "APP.STRIP1": F.lit("     value"),
+        "APP.STRIP2": F.lit("value     "),
+        "APP.STRIP3": F.lit("     value     "),
+        "APP.STRIP4": F.lit("value"),
+        "APP.STRIP5": F.lit(""),
+    })
+
+    def r(t):
+        return _render(frame, t, ctx)[0]
+
+    assert r("$(length ${APP.STRIP4} $PID)") == "5 5"
+    assert r("$(length)") == ""
+    assert r("$(strip ${APP.STRIP1})") == "value"
+    assert r("$(strip ${APP.STRIP5})") == ""
+    assert r("$(strip ${APP.STRIP5} ${APP.STRIP1} ${APP.STRIP5})") == "value"
+    assert r(
+        "$(strip ${APP.STRIP1} ${APP.STRIP2} ${APP.STRIP3} "
+        "${APP.STRIP4} ${APP.STRIP5})"
+    ) == "value value value value"
+    assert r("$(sanitize alma/bela)") == "alma_bela"
+    assert r("$(sanitize -r @ alma/bela)") == "alma@bela"
+    assert r("$(sanitize -i @ alma@bela)") == "alma_bela"
+    assert r("$(sanitize -i '@/l ' alma@/bela)") == "a_ma__be_a"
+    assert r("$(sanitize alma\x1b_bela)") == "alma__bela"
+    assert r("$(sanitize -C alma\x1b_bela)") == "alma\x1b_bela"
+    assert r("[$(base64-encode abcd)]") == "[YWJjZA==]"
+    assert r("[$(base64-encode abcd abcd abcd abcd)]") == "[YWJjZGFiY2RhYmNkYWJjZA==]"
+    assert r("[$(base64-encode 'X X')]") == "[WCBY]"
