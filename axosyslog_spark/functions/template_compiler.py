@@ -437,21 +437,34 @@ def _fmt_num(d: Column) -> Column:
 
 
 def _arith(op: str, args: list[Arg]) -> Column:
-    """$(+ a b) family — gint64 arithmetic (numeric-funcs.c), 'NaN' on
-    parse failure, integer division like the reference."""
-    a, b = _int64(args[0].col), _int64(args[1].col)
+    """$(+ a b) family — numeric-funcs.c: gint64 arithmetic when BOTH
+    operands parse as integers, double arithmetic (incl. '.25' and
+    '5e-1' forms) when they only parse as doubles; 'NaN' on parse
+    failure AND on division/modulo by zero; integer division
+    truncates; double results render without a trailing .0."""
+    sa, sb = args[0].col.cast("string"), args[1].col.cast("string")
+    ia, ib = sa.try_cast("bigint"), sb.try_cast("bigint")
+    da, db = sa.try_cast("double"), sb.try_cast("double")
+    int_mode = ia.isNotNull() & ib.isNotNull()
+
     if op == "+":
-        r = a + b
+        ri, rd = ia + ib, da + db
     elif op == "-":
-        r = a - b
+        ri, rd = ia - ib, da - db
     elif op == "*":
-        r = a * b
+        ri, rd = ia * ib, da * db
     elif op == "/":
         # gint64 division truncates toward zero (numeric-funcs.c)
-        r = F.when(b != 0, F.try_divide(a, b).cast("bigint"))
-    else:  # %
-        r = F.when(b != 0, a % b)
-    return F.when(a.isNull() | b.isNull(), F.lit("NaN")).otherwise(r.cast("string"))
+        ri = F.when(ib != 0, F.try_divide(ia, ib).cast("bigint"))
+        rd = F.when(db != 0.0, F.try_divide(da, db))
+    else:  # % — fmod() in double mode
+        ri = F.when(ib != 0, ia % ib)
+        rd = F.when(db != 0.0, da % db)
+    return (
+        F.when(int_mode, F.when(ri.isNull(), F.lit("NaN")).otherwise(ri.cast("string")))
+        .when(da.isNotNull() & db.isNotNull(), _fmt_num(rd))
+        .otherwise(F.lit("NaN"))
+    )
 
 
 _CMP_OPS = ("<=", ">=", "==", "!=", "<", ">", "eq", "ne", "lt", "le", "gt", "ge")
@@ -827,7 +840,19 @@ def _apply_func(call: FuncCall, ctx: TemplateContext) -> Column:
         return _fmt_num(out)
     if name == "round":
         digits = args[1].as_int("round digits") if len(args) > 1 else 0
-        return _fmt_num(F.round(_num(args[0].col), digits))
+        if digits < 0 or digits > 20:
+            # numeric-funcs.c bounds the precision to 0..20 -> NaN
+            return F.lit("NaN")
+        if digits == 0:
+            return _fmt_num(F.round(_num(args[0].col), 0))
+        # fixed-precision render: exactly `digits` decimals, zero-padded
+        # ("$(round 2 20)" prints 2.000... with 20 zeros)
+        return F.when(
+            _num(args[0].col).isNull(), F.lit("NaN")
+        ).otherwise(
+            F.round(_num(args[0].col), digits)
+            .cast(f"decimal(38,{digits})").cast("string")
+        )
     if name == "ceil":
         return _fmt_num(F.ceil(_num(args[0].col)).cast("double"))
     if name == "floor":

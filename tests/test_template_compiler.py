@@ -579,3 +579,46 @@ def test_basicfuncs_c_suite_str_funcs(frame):
     assert r("[$(base64-encode abcd)]") == "[YWJjZA==]"
     assert r("[$(base64-encode abcd abcd abcd abcd)]") == "[YWJjZGFiY2RhYmNkYWJjZA==]"
     assert r("[$(base64-encode 'X X')]") == "[WCBY]"
+
+
+def test_basicfuncs_c_suite_numeric_funcs(frame):
+    """test_basicfuncs.c test_numeric_funcs: int vs double mode
+    selection, NaN on parse failure AND div/mod by zero, truncating
+    integer division, double rendering without trailing .0, round
+    precision bounds (0..20, zero-padded fixed render)."""
+    ctx = _ctx({"FACILITY_NUM19": F.lit("19")})
+
+    def r(t):
+        return _render(frame, t, ctx)[0]
+
+    assert r("$(+ $FACILITY_NUM19 1)") == "20"
+    assert r("$(+ -1 -1)") == "-2"
+    assert r("$(- $FACILITY_NUM19 20)") == "-1"
+    assert r("$(/ $FACILITY_NUM19 0)") == "NaN"
+    assert r("$(% $FACILITY_NUM19 0)") == "NaN"
+    assert r("$(+ foo bar)") == "NaN"
+    assert r("$(+ 5000000000 5000000000)") == "10000000000"
+    assert r("$(% 10000000000 5000000001)") == "4999999999"
+    assert r("$(+ 1.5 .25)") == "1.75"
+    assert r("$(- -1.5 .25)") == "-1.75"
+    assert r("$(/ 3 2)") == "1"
+    assert r("$(/ 3.0 2)") == "1.5"
+    assert r("$(/ 3 2.0)") == "1.5"
+    assert r("$(* 1.5 2.0)") == "3"
+    assert r("$(+ 5e-1 0)") == "0.5"
+    assert r("$(round 2.0)") == "2"
+    assert r("$(round 2.123456 3)") == "2.123"
+    assert r("$(round 2.123456 4)") == "2.1235"
+    assert r("$(round 0.5)") == "1"
+    assert r("$(round 2 -1)") == "NaN"
+    assert r("$(round 2 21)") == "NaN"
+    assert r("$(round 2 0)") == "2"
+    assert r("$(round 2 20)") == "2." + "0" * 20
+    assert r("$(floor 0.7)") == "0"
+    assert r("$(ceil 0.2)") == "1"
+    # fname funcs ride along (test_fname_funcs)
+    assert r("$(basename foo)") == "foo"
+    assert r("$(basename /foo/bar/baz)") == "baz"
+    assert r("$(dirname foo)") == "."
+    assert r("$(dirname /foo/bar/)") == "/foo/bar"
+    assert r("$(dirname /foo/bar/baz)") == "/foo/bar"
