@@ -96,6 +96,57 @@ def _value_pairs_args(raw_args, ctx) -> list:
 
 
 
+
+# ---------------------------------------------------------------------------
+# syslog-ng comma lists (LM_VT_LIST): parse/render column helpers.
+# Elements may be str-repr quoted ("a\tb", 'has"quote') — scanner.c's
+# list form. Structural empties between commas vanish (an EMPTY
+# element is only representable as '""').
+# ---------------------------------------------------------------------------
+
+_LIST_ELEM_RE = "\"(?:[^\"\\\\]|\\\\.)*\"|'[^']*'|[^,]+"
+
+
+def _list_parse(c: Column) -> Column:
+    """string -> array<string> of DECODED elements."""
+    parts = F.regexp_extract_all(c.cast("string"), F.lit(_LIST_ELEM_RE), 0)
+
+    def dec(e: Column) -> Column:
+        inner = F.substring(e, 2, F.length(e) - 2)
+        return (
+            F.when(e.rlike('^".*"$'), F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(inner, r"\\t", "\t"), r"\\n", "\n"
+                ),
+                r"\\(.)", "$1",
+            ))
+            .when(e.rlike("^'.*'$"), inner)
+            .otherwise(e)
+        )
+
+    return F.transform(parts, dec)
+
+
+def _list_of_args(args) -> Column:
+    """Each argument parses as a list; lists concatenate (the C funcs
+    accept any number of list-valued args)."""
+    if not args:
+        return F.array().cast("array<string>")
+    arrs = [_list_parse(a.col) for a in args]
+    out = arrs[0]
+    for a in arrs[1:]:
+        out = F.concat(out, a)
+    return out
+
+
+def _list_render(arr: Column) -> Column:
+    return tf.list_repr(arr)
+
+
+def _py_slice_bounds(spec: str):
+    a, _, b = spec.partition(":")
+    return (int(a) if a else None), (int(b) if b else None)
+
 class TemplateError(ValueError):
     pass
 
@@ -858,30 +909,108 @@ def _apply_func(call: FuncCall, ctx: TemplateContext) -> Column:
     if name == "floor":
         return _fmt_num(F.floor(_num(args[0].col)).cast("double"))
     if name == "list-concat":
-        return F.concat_ws(",", *[F.nullif(a.col, F.lit("")) for a in args])
+        return _list_render(_list_of_args(args))
     if name == "list-head":
-        return F.element_at(F.split(one(), ","), 1)
+        return F.coalesce(
+            F.try_element_at(_list_of_args(args), F.lit(1)), F.lit("")
+        )
     if name == "list-nth":
-        if len(args) != 2:
-            raise TemplateError("$(list-nth n list)")
-        return F.element_at(F.split(args[1].col, ","), args[0].as_int("list-nth") + 1)
+        if len(args) < 2:
+            raise TemplateError("$(list-nth n list...)")
+        n = args[0].as_int("list-nth")
+        arr = _list_of_args(args[1:])
+        # 0-based; negative counts from the end; out of range -> ""
+        pos = F.lit(n + 1) if n >= 0 else F.size(arr) + F.lit(n + 1)
+        return F.coalesce(
+            F.when(pos >= 1, F.try_element_at(arr, pos)), F.lit("")
+        )
     if name == "list-tail":
-        return F.array_join(F.slice(F.split(one(), ","), 2, 1_000_000), ",")
+        arr = _list_of_args(args)
+        return _list_render(F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))))
     if name == "list-count":
-        c = one()
-        return F.when(c == "", F.lit("0")).otherwise(
-            F.size(F.split(c, ",")).cast("string")
+        return F.size(_list_of_args(args)).cast("string")
+    if name == "list-append":
+        base = _list_parse(args[0].col) if args else F.array().cast("array<string>")
+        for a in args[1:]:
+            base = F.array_append(base, a.col)
+        return _list_render(base)
+    if name == "list-slice":
+        if len(args) < 2:
+            raise TemplateError("$(list-slice a:b list...)")
+        start, end = _py_slice_bounds(raw_args[0])
+        arr = _list_of_args(args[1:])
+        n = F.size(arr)
+
+        def bound(v, dflt):
+            if v is None:
+                return dflt
+            b = F.lit(v) if v >= 0 else n + F.lit(v)
+            return F.greatest(F.least(b, n), F.lit(0))
+
+        s = bound(start, F.lit(0))
+        e = bound(end, n)
+        return _list_render(
+            F.slice(arr, s + 1, F.greatest(e - s, F.lit(0)))
         )
+    if name == "list-search":
+        mode, start_index = "literal", 0
+        rest_raw: list[str] = []
+        rest_args = []
+        i = 0
+        while i < len(raw_args):
+            if raw_args[i] == "--mode":
+                mode = raw_args[i + 1]; i += 2
+            elif raw_args[i] == "--start-index":
+                start_index = int(raw_args[i + 1]); i += 2
+            else:
+                rest_raw.append(raw_args[i])
+                rest_args.append(args[i])
+                i += 1
+        if not rest_args:
+            raise TemplateError("$(list-search needle list...)")
+        needle_col, needle_raw = rest_args[0].col, rest_raw[0]
+        arr = _list_of_args(rest_args[1:])
+
+        def pred(v: Column) -> Column:
+            if mode == "literal":
+                return v == needle_col
+            if mode == "prefix":
+                return v.startswith(needle_col)
+            if mode == "substring":
+                return v.contains(needle_col)
+            if mode == "glob":
+                from axosyslog_spark.operators.filters import glob_match
+
+                return glob_match(v, needle_raw)
+            if mode == "pcre":
+                return v.rlike(needle_raw)
+            raise TemplateError(f"$(list-search): unknown mode {mode}")
+
+        indexed = F.zip_with(
+            arr,
+            F.sequence(F.lit(0), F.greatest(F.size(arr) - 1, F.lit(0))),
+            lambda v, ix: F.struct(v.alias("v"), ix.alias("i")),
+        )
+        hits = F.filter(
+            indexed, lambda s: (s["i"] >= start_index) & pred(s["v"])
+        )
+        first = F.try_element_at(hits, F.lit(1))["i"]
+        return F.when(
+            (F.size(arr) > 0) & first.isNotNull(), first.cast("string")
+        ).otherwise(F.lit(""))
     if name == "implode":
-        if len(args) != 2:
-            raise TemplateError("$(implode sep list)")
-        return F.array_join(F.split(args[1].col, ","), args[0].lit or "")
+        if len(args) < 2:
+            raise TemplateError("$(implode sep list...)")
+        return F.array_join(_list_of_args(args[1:]), args[0].lit or "")
     if name == "explode":
-        if len(args) != 2:
-            raise TemplateError("$(explode sep str)")
-        return F.array_join(
-            F.split(args[1].col, re.escape(args[0].lit or " ")), ","
-        )
+        if len(args) < 2:
+            raise TemplateError("$(explode sep str...)")
+        sep = re.escape(args[0].lit or " ")
+        arrs = [F.split(a.col, sep) for a in args[1:]]
+        out = arrs[0]
+        for a in arrs[1:]:
+            out = F.concat(out, a)
+        return _list_render(F.filter(out, lambda x: x != ""))
     if name == "basename":
         return tf.tf_basename(one())
     if name == "dirname":

@@ -622,3 +622,84 @@ def test_basicfuncs_c_suite_numeric_funcs(frame):
     assert r("$(dirname foo)") == "."
     assert r("$(dirname /foo/bar/)") == "/foo/bar"
     assert r("$(dirname /foo/bar/baz)") == "/foo/bar"
+
+
+def test_basicfuncs_c_suite_list_funcs(frame):
+    """test_basicfuncs.c test_list_funcs: the LM_VT_LIST comma-list
+    semantics — str-repr quoted elements, multi-arg list concat,
+    structural empties vanishing, re-encoding on output, negative
+    indices, python-style slice bounds, and every list-search mode."""
+    ctx = _ctx({"PID": F.lit("23323")})
+
+    def r(t):
+        return _render(frame, t, ctx)[0]
+
+    host_frame = "bzorp"  # stand-ins bound below
+    ctx2 = _ctx({"PID": F.lit("23323")})
+
+    assert r("$(list-concat)") == ""
+    assert r("$(list-concat foo bar baz)") == "foo,bar,baz"
+    assert r("$(list-concat foo bar baz '')") == "foo,bar,baz"
+    assert r("$(list-concat foo bzorp,syslog-ng,23323 bar)") == (
+        "foo,bzorp,syslog-ng,23323,bar"
+    )
+    assert r("$(list-append)") == ""
+    assert r("$(list-append '' foo)") == "foo"
+    assert r("$(list-append '' foo bar baz)") == "foo,bar,baz"
+    assert r("$(list-append foo,bar,baz 'x')") == "foo,bar,baz,x"
+    assert r("$(list-append foo,bar,baz '')") == 'foo,bar,baz,""'
+    assert r("$(list-append foo,bar,baz 'xxx,')") == 'foo,bar,baz,"xxx,"'
+    assert r("$(list-head)") == ""
+    assert r("$(list-head '')") == ""
+    assert r("$(list-head foo,)") == "foo"
+    assert r("$(list-head ,bar,baz)") == "bar"
+    assert r("$(list-head foo bar baz)") == "foo"
+    assert r("$(list-head '' bar baz)") == "bar"
+    assert r("$(list-head '\"\\tfoo,\",bar,baz')") == "\tfoo,"
+    assert r("$(list-nth 0 '\"foo,\",\"bar\",\"baz\"')") == "foo,"
+    assert r("$(list-nth 2 '\"foo,\",\"bar\",\"baz\"')") == "baz"
+    assert r("$(list-nth 3 '\"foo,\",\"bar\",\"baz\"')") == ""
+    assert r("$(list-nth -1 '\"foo,\",\"bar\",\"baz\"')") == "baz"
+    assert r("$(list-nth -3 '\"foo,\",\"bar\",\"baz\"')") == "foo,"
+    assert r("$(list-nth -4 '\"foo,\",\"bar\",\"baz\"')") == ""
+    assert r("$(list-tail)") == ""
+    assert r("$(list-tail foo)") == ""
+    assert r("$(list-tail foo,)") == ""
+    assert r("$(list-tail ,bar)") == ""
+    assert r("$(list-tail foo,bar,baz)") == "bar,baz"
+    assert r("$(list-tail foo bar baz)") == "bar,baz"
+    assert r("$(list-tail foo,bar,xxx, baz bad)") == "bar,xxx,baz,bad"
+    assert r("$(list-slice 0:0 foo,bar,xxx,baz,bad)") == ""
+    assert r("$(list-slice 0:2 foo,bar,xxx,baz,bad)") == "foo,bar"
+    assert r("$(list-slice 1:2 foo,bar,xxx,baz,bad)") == "bar"
+    assert r("$(list-slice : foo,bar,xxx,baz,bad)") == "foo,bar,xxx,baz,bad"
+    assert r("$(list-slice 3: foo,bar,xxx,baz,bad)") == "baz,bad"
+    assert r("$(list-slice :3 foo,bar,xxx,baz,bad)") == "foo,bar,xxx"
+    assert r("$(list-slice -2: foo,bar,xxx,baz,bad)") == "baz,bad"
+    assert r("$(list-slice -100: foo,bar,xxx,baz,bad)") == "foo,bar,xxx,baz,bad"
+    assert r("$(list-slice :-1 foo,bar,xxx,baz,bad)") == "foo,bar,xxx,baz"
+    assert r("$(list-slice :-5 foo,bar,xxx,baz,bad)") == ""
+    assert r("$(list-slice :-6 foo,bar,xxx,baz,bad)") == ""
+    assert r("$(list-count foo,bar,xxx, baz bad)") == "5"
+    assert r("$(explode ' ' foo bar xxx baz bad)") == "foo,bar,xxx,baz,bad"
+    assert r("$(explode ';' foo;bar;xxx;baz;bad)") == "foo,bar,xxx,baz,bad"
+    assert r("$(implode ' ' foo,bar,xxx,baz,bad)") == "foo bar xxx baz bad"
+    assert r("$(implode ' ' $(list-slice :3 foo,bar,xxx,baz,bad))") == "foo bar xxx"
+    assert r("$(list-search almafa '')") == ""
+    assert r("$(list-search 'foo,' '\"foo,\",\"bar\",\"baz\",\"bar\"')") == "0"
+    assert r("$(list-search --start-index 0 --mode literal bar '\"foo,\",\"bar\",\"baz\",\"bar\"')") == "1"
+    assert r("$(list-search --start-index 2 bar '\"foo,\",\"bar\",\"baz\",\"bar\"')") == "3"
+    assert r("$(list-search --start-index 5 baz '\"foo,\",\"bar\",\"baz\",\"bar\"' '\"foo,\",\"bar\",\"baz\",\"bar\"')") == "6"
+    assert r("$(list-search almafa --mode literal '\"foo,\",\"bar\",\"baz\",\"bar\"')") == ""
+    assert r("$(list-search --start-index 0 --mode prefix fo '\"foo,\",\"bar\",\"baz\"')") == "0"
+    assert r("$(list-search --mode prefix ba '\"foo,\",\"bar\",\"baz\"')") == "1"
+    assert r("$(list-search --start-index 2 --mode prefix ba '\"foo,\",\"bar\",\"baz\"')") == "2"
+    assert r("$(list-search --start-index 0 --mode substring oo '\"foo,\",\"bar\",\"baz\"')") == "0"
+    assert r("$(list-search --mode substring ar '\"foo,\",\"bar\",\"baz\"')") == "1"
+    assert r("$(list-search --mode substring almafa '\"foo,\",\"bar\",\"baz\"')") == ""
+    assert r("$(list-search --start-index 0 --mode glob f*, '\"foo,\",\"bar\",\"baz\"')") == "0"
+    assert r("$(list-search --mode glob --start-index 1 *az '\"foo,\",\"bar\",\"baz\"')") == "2"
+    assert r("$(list-search --mode glob ar '\"foo,\",\"bar\",\"baz\"')") == ""
+    assert r("$(list-search --mode pcre ^bar$ '\"foo,\",\"bar\",\"baz\"')") == "1"
+    assert r("$(list-search --mode pcre ba. '\"foo,\",\"bar\",\"baz\"')") == "1"
+    assert r("$(list-search --mode pcre a...fa '\"foo,\",\"bar\",\"baz\"')") == ""
