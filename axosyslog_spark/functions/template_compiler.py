@@ -521,14 +521,61 @@ def _arith(op: str, args: list[Arg]) -> Column:
 _CMP_OPS = ("<=", ">=", "==", "!=", "<", ">", "eq", "ne", "lt", "le", "gt", "ge")
 
 
+def _split_top_level(s: str, word: str) -> list[str] | None:
+    """Split on a boolean keyword at TOP level (outside quotes and
+    parens); None when the keyword never appears there."""
+    parts: list[str] = []
+    depth = 0
+    q: str | None = None
+    i = 0
+    last = 0
+    needle = f" {word} "
+    while i < len(s):
+        c = s[i]
+        if q:
+            if c == q:
+                q = None
+        elif c in "\"'":
+            q = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and q is None and s.startswith(needle, i):
+            parts.append(s[last:i])
+            i += len(needle)
+            last = i
+            continue
+        i += 1
+    if not parts:
+        return None
+    parts.append(s[last:])
+    return parts
+
+
 def parse_condition(cond: str, ctx: TemplateContext) -> Column:
-    """Minimal $(if) condition: one comparison, operands are templates
-    (usually quoted). Type-aware ops use the string/bytewise rule the
-    reference applies to two string-typed values (filter-cmp.c rule 1);
+    """$(if) condition: comparisons composed with top-level and/or/not
+    (filter-expr grammar subset), operands are templates (usually
+    quoted). Type-aware ops use the string/bytewise rule the reference
+    applies to two string-typed values (filter-cmp.c rule 1);
     eq/ne/lt/... are the classic string operators."""
     s = cond.strip()
     if s.startswith("(") and s.endswith(")"):
         s = s[1:-1].strip()
+    ors = _split_top_level(s, "or")
+    if ors:
+        out = parse_condition(ors[0], ctx)
+        for part in ors[1:]:
+            out = out | parse_condition(part, ctx)
+        return out
+    ands = _split_top_level(s, "and")
+    if ands:
+        out = parse_condition(ands[0], ctx)
+        for part in ands[1:]:
+            out = out & parse_condition(part, ctx)
+        return out
+    if s.startswith("not "):
+        return ~parse_condition(s[4:], ctx)
     for op in _CMP_OPS:
         # operators are space-delimited in the filter grammar
         m = re.search(rf"\s({re.escape(op)})\s", s)

@@ -703,3 +703,31 @@ def test_basicfuncs_c_suite_list_funcs(frame):
     assert r("$(list-search --mode pcre ^bar$ '\"foo,\",\"bar\",\"baz\"')") == "1"
     assert r("$(list-search --mode pcre ba. '\"foo,\",\"bar\",\"baz\"')") == "1"
     assert r("$(list-search --mode pcre a...fa '\"foo,\",\"bar\",\"baz\"')") == ""
+
+
+def test_basicfuncs_c_suite_cond_funcs(frame):
+    """test_basicfuncs.c test_cond_funcs ($(if) comparison table with
+    top-level and/or composition, $(or) first-non-empty)."""
+    ctx = _ctx({"FACILITY_STR": F.lit("local3"), "FACILITY_NUM19": F.lit("19")})
+
+    def r(t):
+        return _render(frame, t, ctx)[0]
+
+    assert r('$(if \'"$FACILITY_STR" lt "local3"\' alma korte)') == "korte"
+    assert r('$(if \'"$FACILITY_STR" le "local3"\' alma korte)') == "alma"
+    assert r('$(if \'"$FACILITY_STR" eq "local3"\' alma korte)') == "alma"
+    assert r('$(if \'"$FACILITY_STR" ne "local3"\' alma korte)') == "korte"
+    assert r('$(if \'"$FACILITY_NUM19" < "19"\' alma korte)') == "korte"
+    assert r('$(if \'"$FACILITY_NUM19" <= "19"\' alma korte)') == "alma"
+    assert r('$(if \'"$FACILITY_NUM19" == "19"\' alma korte)') == "alma"
+    assert r('$(if \'"$FACILITY_NUM19" != "19"\' alma korte)') == "korte"
+    assert r(
+        '$(if \'"$FACILITY_NUM19" >= "19" and "kicsi" eq "nagy"\' alma korte)'
+    ) == "korte"
+    assert r(
+        '$(if \'"$FACILITY_NUM19" >= "19" or "kicsi" eq "nagy"\' alma korte)'
+    ) == "alma"
+    assert r('$(or 1 "" 2)') == "1"
+    assert r('$(or "" 2)') == "2"
+    assert r('$(or "" "")') == ""
+    assert r("$(or)") == ""
