@@ -955,6 +955,31 @@ def _apply_func(call: FuncCall, ctx: TemplateContext) -> Column:
         return _fmt_num(F.ceil(_num(args[0].col)).cast("double"))
     if name == "floor":
         return _fmt_num(F.floor(_num(args[0].col)).cast("double"))
+    if name in ("map", "filter"):
+        # tf-map.c / tf-filter.c: evaluate a template (map) or a
+        # filter condition (filter) per list element, with '$_' bound
+        # to the element. The element binding composes through nested
+        # templates ($(map $(+ 1 $_) $(map ...)) works because each
+        # call compiles its own '_' frame).
+        if len(args) < 2:
+            raise TemplateError(f"$({name} expr list...)")
+        import dataclasses
+
+        inner = raw_args[0]
+        arr = _list_of_args(args[1:])
+
+        def _with_elem(e: Column) -> TemplateContext:
+            return dataclasses.replace(
+                ctx, columns={**ctx.columns, "_": e}
+            )
+
+        if name == "map":
+            return _list_render(
+                F.transform(arr, lambda e: compile_template(inner, _with_elem(e)))
+            )
+        return _list_render(
+            F.filter(arr, lambda e: parse_condition(inner, _with_elem(e)))
+        )
     if name == "list-concat":
         return _list_render(_list_of_args(args))
     if name == "list-head":

@@ -731,3 +731,30 @@ def test_basicfuncs_c_suite_cond_funcs(frame):
     assert r('$(or "" 2)') == "2"
     assert r('$(or "" "")') == ""
     assert r("$(or)") == ""
+
+
+def test_basicfuncs_c_suite_map_filter(frame):
+    """test_basicfuncs.c test_map/test_filter: per-element template
+    eval with '$_' bound, composing through nested templates; filter
+    takes a full condition. ($(iterate) keeps per-invocation state
+    across messages — N/A in a batch column model; the aggregate
+    tf_iterate form covers the fold use.)"""
+    ctx = _ctx({})
+
+    def r(t):
+        return _render(frame, t, ctx)[0]
+
+    assert r('$(map "$(+ 1 $_)" 0,1,2)') == "1,2,3"
+    assert r('$(map "$(+ 1 $_)" $(+ 1 1))') == "3"
+    assert r("$(map \"$(+ 1 $_)\" '')") == ""
+    assert r("$(map $(+ 1 $_) $(map $(+ 1 $_) 0,1,2))") == "2,3,4"
+    assert r("$(map \"$(if ('$_' eq '1') 'same' 'different')\" 0,1,2)") == (
+        "different,same,different"
+    )
+    assert r("$(map \"$(if ('$_' le '1') 'smaller' 'larger')\" 0,1,2)") == (
+        "smaller,smaller,larger"
+    )
+    assert r("$(filter ('1' == '1') 0,1,2)") == "0,1,2"
+    assert r("$(filter ('$_' le '1') 0,1,2)") == "0,1"
+    assert r("$(filter ('$(% $_ 2)' eq '0') 0,1,2,3)") == "0,2"
+    assert r("$(filter ('1' eq '0') '')") == ""
