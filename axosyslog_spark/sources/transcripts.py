@@ -68,7 +68,18 @@ def _build_from_events(ev: DataFrame) -> DataFrame:
     The only shuffle is the per-conversation row_number window; at
     production scale this is served by the source table's (conv_id)
     clustering, and turn ordering downstream never re-sorts globally.
+
+    The window runs FIRST, over the raw event columns only, and every
+    derived column (text is ~100 bytes, conv_id/role/tool ~30 more) is
+    projected AFTER the exchange — the shuffle and its sort move ~50
+    bytes/row of primitives instead of ~180 bytes/row of derived
+    strings (guide §2.3, project before the exchange; round 6).
     """
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ev = ev.select(
+        "event_id", "user_id", "event_type", "value", "props", "ts",
+        (F.row_number().over(w) - 1).cast("int").alias("__turn_idx"),
+    )
     eid = F.col("event_id")
     uid = F.col("user_id")
     sev = (eid % 8).cast("int")
@@ -129,10 +140,9 @@ def _build_from_events(ev: DataFrame) -> DataFrame:
         ),
     ).otherwise(F.lit(""))
 
-    w = Window.partitionBy("user_id").orderBy("event_id")
     return ev.select(
         F.concat(F.lit("conv-"), F.lpad(uid.cast("string"), 8, "0")).alias("conv_id"),
-        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("__turn_idx").alias("turn_idx"),
         role.alias("role"),
         text.alias("text"),
         tool.alias("tool"),
