@@ -33,49 +33,6 @@ DEFAULT_PRI = 13
 TS_FMT_SPARK = "yyyy-MM-dd'T'HH:mm:ss"
 
 
-def _naked_ts(t: Column) -> Column:
-    """Parse a 19-char 'yyyy-MM-ddTHH:mm:ss' stamp by field arithmetic
-    instead of a DateTimeFormatter — same nulls, 2.2x faster (r6).
-
-    Equivalence to try_to_timestamp(t, "yyyy-MM-dd'T'HH:mm:ss") for
-    19-char inputs: the separator checks pin '-','-','T',':',':' at
-    the formatter's literal positions; the between() range checks pin
-    every numeric field's FIRST byte to an ASCII digit, excluding the
-    sign/space-led strings ('+024', ' 24', '-1') that try_cast accepts
-    but the formatter rejects; any other non-digit byte makes its
-    try_cast NULL (propagates, like a formatter miss); and
-    try_make_timestamp applies the same calendar validation (month
-    1-12, Feb 30 -> NULL) the formatter does. Unit-tested against the
-    formatter on an adversarial stamp table (tests/test_parse.py)."""
-    ok = (
-        (F.substring(t, 5, 1) == "-")
-        & (F.substring(t, 8, 1) == "-")
-        & (F.substring(t, 11, 1) == "T")
-        & (F.substring(t, 14, 1) == ":")
-        & (F.substring(t, 17, 1) == ":")
-        & F.substring(t, 1, 4).between("0000", "9999")
-        & F.substring(t, 6, 2).between("00", "99")
-        & F.substring(t, 9, 2).between("00", "99")
-        & F.substring(t, 12, 2).between("00", "99")
-        & F.substring(t, 15, 2).between("00", "99")
-        # 00-59, NOT 00-99: make_timestamp accepts the leap-second 60
-        # (rounding it into the next minute) where the formatter's 'ss'
-        # rejects it — caught by the adversarial-stamp unit test
-        & F.substring(t, 18, 2).between("00", "59")
-    )
-    return F.when(
-        ok,
-        F.try_make_timestamp(
-            F.substring(t, 1, 4).try_cast("int"),
-            F.substring(t, 6, 2).try_cast("int"),
-            F.substring(t, 9, 2).try_cast("int"),
-            F.substring(t, 12, 2).try_cast("int"),
-            F.substring(t, 15, 2).try_cast("int"),
-            F.substring(t, 18, 2).try_cast("double"),
-        ),
-    )
-
-
 def classify_kind(text: Column) -> Column:
     """Message-shape dispatch (msg-format.c analog).
 
@@ -157,15 +114,15 @@ def parse_header(df: DataFrame, text_col: str = "text") -> DataFrame:
             # try_to_timestamp walks the JVM exception path per row,
             # measured 27% slower on the 5M-row ts stage than one
             # length compare (A/B r5); each row parses exactly once.
-            # The naked-stamp branch avoids the DateTimeFormatter
-            # entirely (r6): field substrings -> try_make_timestamp is
-            # 2.2x faster (0.62s vs 1.37s isolated on 2M stamps) and
-            # exactly equivalent under the guards below.
+            # An arithmetic substring->try_make_timestamp variant of
+            # the naked-stamp branch measured 2.2x faster ISOLATED but
+            # consistently ~0.45s SLOWER inside this projection (r6
+            # A/B, both token stagings) — the formatter stays.
             "msg_ts": F.when(
                 kind == "syslog",
                 F.when(
                     F.length(g(3)) == 19,
-                    _naked_ts(g(3)),
+                    F.try_to_timestamp(g(3), F.lit(TS_FMT_SPARK)),
                 ).otherwise(
                     F.try_to_timestamp(g(3), F.lit(TS_FMT_SPARK + "XXX"))
                 ),

@@ -201,50 +201,3 @@ def test_rfc3164_lenient_branches_c_suite(spark):
         assert r["bsd_tags"] == ["syslog.rfc3164_invalid_program"], i
         assert r["host"] == "host", i
 
-
-def test_naked_ts_matches_formatter_on_adversarial_stamps(spark):
-    """The arithmetic 19-char stamp parse (r6) must agree with
-    try_to_timestamp(.., "yyyy-MM-dd'T'HH:mm:ss") on every 19-char
-    input, including the sign/space-led and separator-swapped shapes
-    where try_cast is more lenient than the formatter."""
-    from pyspark.sql import functions as F
-
-    from axosyslog_spark.operators.parse import TS_FMT_SPARK, _naked_ts
-
-    stamps = [
-        "2024-01-01T00:00:07",   # valid
-        "0000-01-01T00:00:00",   # year zero (proleptic, both accept)
-        "9999-12-31T23:59:59",
-        "2024-02-29T12:00:00",   # leap day
-        "2023-02-29T12:00:00",   # invalid leap day
-        "2024-13-01T00:00:07",   # month out of range
-        "2024-02-30T00:00:07",   # calendar-invalid
-        "2024-01-01T24:00:00",   # hour out of range
-        "2024-01-01T00:60:00",   # minute out of range
-        "2024-01-01T00:00:60",   # leap second (formatter rejects)
-        "+024-01-01T00:00:07",   # sign-led year (try_cast would take it)
-        "-024-01-01T00:00:07",
-        "2024-+1-01T00:00:07",   # sign-led month
-        "2024-01-+1T00:00:07",
-        "2024-01-01T+1:00:07",
-        "2024-01-01T00:+1:07",
-        "2024-01-01T00:00:+7",
-        "2024x01-01T00:00:07",   # wrong separators
-        "2024-01x01T00:00:07",
-        "2024-01-01 00:00:07",
-        "2024-01-01T00.00.07",
-        "2024-01-01T00:00:0x",   # non-digit tail
-        "20x4-01-01T00:00:07",
-        "abcdefghijklmnopqrs",
-    ]
-    df = spark.createDataFrame([(s,) for s in stamps], "t string")
-    # compare JVM-side: year-0000 timestamps are valid in Spark but not
-    # representable as a Python datetime, so collect only the verdicts
-    bad = df.select(
-        "t",
-        F.try_to_timestamp(F.col("t"), F.lit(TS_FMT_SPARK)).alias("fmt"),
-        _naked_ts(F.col("t")).alias("arith"),
-    ).filter(
-        ~F.col("fmt").eqNullSafe(F.col("arith"))
-    ).select("t").collect()
-    assert not bad, [r["t"] for r in bad]
