@@ -34,50 +34,60 @@ modules/correlation/tests/test_radix.c. Within a tier, the rule with
 the longest literal prefix wins (the radix longest-match preference),
 declaration order breaking ties.
 
-Spark-first execution — exactly ONE regex execution per row,
-independent of ruleset size (the asymptotic analog of the reference's
-radix trie walk, radix.c:666-860): ALL patterns of BOTH tiers merge
-into ONE ordered alternation regex — the N complete-match alternatives
-(each anchored with \\z) first, then the same N bodies unanchored for
-the partial tier, so Java's left-to-right alternation try IS the
-complete-preferred-then-partial two-pass of radix.c
-_find_node_with_state, collapsed into a single execution (round 6; the
-two-tier version ran a second regexp_replace for every row that did
-not complete-match). The input is prepended with a \\x02 marker and
-each alternative carries a sentinel capture group around that marker
-(Java resets captures when it backtracks out of a failed alternative,
-so exactly the winner's sentinel participates). The single
-regexp_replace renders the framed result
+Spark-first execution (the asymptotic analog of the reference's
+radix trie walk, radix.c:666-860): patterns compile into ordered
+alternation regexes executed by regexp_replace into a framed result
+string. The input is prepended with a \\x02 marker and each
+alternative carries a sentinel capture group around that marker (Java
+resets captures when it backtracks out of a failed alternative, so
+exactly the winner's sentinel participates). The regexp_replace
+renders the framed result
 
-    \\x03 <header> <block_0> ... <block_{2N-1}> [remainder]
+    \\x03 <header> <block_0> ... <block_{k-1}> [remainder]
     header  = $s_0 \\x01 $s_1 \\x01 ...   (winner's sentinel = \\x02)
     block_i = $f(i,1) \\x04 $f(i,2) \\x04 ... \\x01
 
 from which everything decodes WITHOUT further regex work or O(rules)
 per-row scanning:
 
-- the header's rendered size is fixed (2N separators + the one marker
-  byte), so the winning ordinal is ``instr(result, \\x02) - 2`` — one
-  byte scan — and because the complete alternatives come first it is
-  ALREADY the round-1 index encoding (ordinal i for a complete match,
-  N+i for a partial one);
+- the header's rendered size is fixed (k separators + the one marker
+  byte), so the winning ordinal is a single ``instr(result, \\x02)``
+  byte scan;
 - a LOSING block renders only its unconditional separator literals,
   len(fields_i)+1 bytes, a compile-time constant — so the winner's
   block starts at a byte offset that is a pure function of its
   ordinal, looked up from a constant array, and its fields come out
   with substr + substring_index + one small split.
 
-Alternation order IS precedence order (complete tier first, then
-longest-literal-prefix, declaration tiebreak), and failed alternatives
-abort on their first literal byte — the engine's left-to-right try is
-the prefix dispatch. A row that fails every alternative attempts the
-same 2N branches the old two-pass attempted, in one execution instead
-of two. The only residual ruleset-size-proportional cost is the
-replacement template (a few bytes per rule+field) that Java re-parses
-per matching row — measured at ~0.5 µs/row going from 4 to 50 rules,
-versus ~2 regex executions per row per extra rule for a naive
-per-rule chain. Everything stays inside whole-stage codegen with O(1)
-plan expressions; no Python runs per row.
+The two radix tiers (complete-preferred, then partial — radix.c
+_find_node_with_state) execute differently on the two dispatch paths,
+each the measured winner for its shape (round 6,
+tools/profile_pdb_variants.py):
+
+- DISPATCH-TREE leaves (≥2 distinct literal prefixes) merge both
+  tiers into ONE alternation per leaf — the leaf's complete-match
+  alternatives (each anchored \\z) first, then the same bodies
+  unanchored — so Java's left-to-right alternation try IS the
+  complete-preferred two-pass collapsed into a single execution, and
+  the winner ordinal decodes directly to the i / N+i index encoding.
+  A leaf's member count is small, so its 2k-block replacement
+  template stays cheap.
+- The FLAT path (fewer than 2 distinct prefixes — no tree to bound
+  the frame) keeps the literal two-pass: the complete-tier regex runs
+  on every row and the partial-tier regex lazily on the rows that
+  missed (~20% on the bench mix). Merging the tiers here DOUBLES the
+  replacement template to O(2N) bytes that Java re-parses per
+  MATCHING row, which measured 1.6x SLOWER at 50 rules (18.8 s vs
+  11.7 s per 5M rows) than the second gated execution it avoids.
+
+Alternation order IS precedence order (complete tier first where
+merged, then longest-literal-prefix, declaration tiebreak), and
+failed alternatives abort on their first literal byte — the engine's
+left-to-right try is the prefix dispatch. The only residual
+ruleset-size-proportional cost is the replacement template (a few
+bytes per rule+field) that Java re-parses per matching row.
+Everything stays inside whole-stage codegen with O(1) plan
+expressions; no Python runs per row.
 
 The complete-tier alternatives anchor with \\z (end of input, like
 RE2's `$` and radix.c's full-consumption requirement) so a trailing
@@ -455,19 +465,30 @@ class PatternDB:
         self._build_combined()
 
     def _build_combined(self):
-        """Merge all patterns of BOTH tiers into ONE alternation regex
-        plus the shared replacement (see module docstring):
+        """FLAT-path artifacts: one alternation regex PER TIER over a
+        shared single-tier replacement frame (see module docstring):
 
-            \\x03 <header> <block_0> ... <block_{2N-1}> [remainder]
-            header  = $s_0 \\x01 $s_1 \\x01 ... $s_{2N-1} \\x01
+            \\x03 <header> <block_0> ... <block_{N-1}> [remainder]
+            header  = $s_0 \\x01 $s_1 \\x01 ... $s_{N-1} \\x01
             block_i = $f(i,1) \\x04 $f(i,2) \\x04 ... \\x01
 
-        Alternatives 0..N-1 are the complete tier (anchored \\z),
-        N..2N-1 the partial tier (same bodies unanchored) — so the
-        winning ordinal IS the round-1 index encoding. Alternative i
-        contributes its sentinel group first, then its field groups,
-        so all group numbers are known at compile time. Only the
-        winner's groups render; a LOSING block is just its
+        Tier structure on the flat path is DELIBERATELY two-pass
+        (complete tier on every row, partial tier lazily where the
+        complete tier missed) rather than the merged 2N-alternative
+        single execution the dispatch-tree leaves use. Round-6
+        measurement (tools/profile_pdb_variants.py, 5M rows, one
+        process, output diff 0): the merged frame's replacement
+        template doubles to O(2N) bytes and Java re-parses it per
+        MATCHING row, which loses to the ~20%-of-rows second regex
+        execution it saves — flat idx+groups 4.49→4.35 s at 4 rules
+        and 18.8→11.7 s at 50 rules in two-pass form. Inside a
+        dispatch-tree leaf the members count is small (template cost
+        bounded), so there the merged single execution measured
+        FASTER (apply 7.18→6.88 s / 10.48→9.66 s) and stays.
+
+        Alternative i contributes its sentinel group first, then its
+        field groups, so all group numbers are known at compile time.
+        Only the winner's groups render; a LOSING block is just its
         unconditional separator literals — len(fields_i)+1 bytes, a
         compile-time constant — so the winner's block starts at a
         byte offset computable from its ordinal alone
@@ -479,13 +500,11 @@ class PatternDB:
         self._block_offs: list[int] = []
         n = len(self.patterns)
         # 1-based substr position of block 0: after "\x03" (1) and the
-        # header, whose rendered size is fixed at 2N separators + the
-        # single winning marker byte = 2n + 1
-        off = 2 * n + 3
+        # header, whose rendered size is fixed at N separators + the
+        # single winning marker byte = n + 1
+        off = n + 3
         g = 0  # running capture-group counter
-        for c, anchored in [(c, True) for c in self.patterns] + [
-            (c, False) for c in self.patterns
-        ]:
+        for c in self.patterns:
             g += 1  # sentinel group
             header.append(f"${g}{_BLOCK_SEP}")
             blocks.append(
@@ -493,13 +512,13 @@ class PatternDB:
                 + _BLOCK_SEP
             )
             g += len(c.fields)
-            alts.append(
-                f"(?:({_MARK}){c.body}\\z)" if anchored else f"(?:({_MARK}){c.body})"
-            )
+            alts.append(f"(?:({_MARK}){c.body})")
             self._block_offs.append(off)
             # a losing block renders only its literal separators
             off += len(c.fields) + 1
-        self._merged_re = f"^(?:{'|'.join(alts)})" if alts else None
+        body = "|".join(alts)
+        self._complete_re = f"^(?:{body})\\z" if alts else None
+        self._partial_re = f"^(?:{body})" if alts else None
         self._repl = _HIT + "".join(header) + "".join(blocks)
         self._build_dispatch()
 
@@ -664,27 +683,45 @@ class PatternDB:
     # --- single-execution classify + extract machinery ---
 
     def _merged_result(self, text: Column) -> Column:
-        """ONE regex execution: the merged two-tier alternation
-        rendered into the framed result string (or the marked input
-        unchanged — which starts with \\x02, not \\x03 — when no
-        alternative matched)."""
+        """TREE path: ONE regex execution per row — the routed leaf's
+        merged two-tier alternation rendered into the framed result
+        string (or the marked input unchanged — which starts with
+        \\x02, not \\x03 — when no alternative matched)."""
         marked = F.concat(F.lit(_MARK), text)
-        if self._leaves:
-            return self._tree_result(text, marked)
-        return F.regexp_replace(marked, self._merged_re, self._repl)
+        return self._tree_result(text, marked)
 
-    def _idx_from_result(self, res: Column) -> Column:
+    def _flat_complete(self, text: Column) -> Column:
+        """FLAT path pass 1: the complete-tier alternation on every
+        row (framed result, or the marked input unchanged on miss)."""
+        marked = F.concat(F.lit(_MARK), text)
+        return F.regexp_replace(marked, self._complete_re, self._repl)
+
+    def _flat_result(self, text: Column, complete: Column) -> Column:
+        """FLAT path pass 2: rows that complete-matched reuse pass 1's
+        frame; only the misses execute the partial-tier regex (the
+        when() branches evaluate lazily in codegen). Two-pass is the
+        measured winner on the flat path — see _build_combined."""
+        marked = F.concat(F.lit(_MARK), text)
+        partial = F.regexp_replace(marked, self._partial_re, self._repl)
+        return F.when(complete.startswith(_HIT), complete).otherwise(partial)
+
+    def _idx_from_result(
+        self, res: Column, was_complete: Column | None = None
+    ) -> Column:
         """Winning global index from the framed result of either path:
         flat (global frame, header byte-scan — every losing sentinel
         before the winner contributes exactly one separator byte, so
-        the marker's byte position IS the winning ordinal, which the
-        complete-first alternation order makes the round-1 encoding
-        directly) or dispatch tree (local frame, leaf-id + local
-        ordinal through the _leaf_idx_map table). NULL when the regex
-        didn't match (result still starts with \\x02)."""
+        the marker's byte position IS the winning ordinal; the caller
+        passes ``was_complete`` to add the +N partial-tier offset) or
+        dispatch tree (local frame, leaf-id + local ordinal through
+        the _leaf_idx_map table, both tiers in one frame). NULL when
+        the regex didn't match (result still starts with \\x02)."""
         if not self._leaves:
+            n = len(self.patterns)
+            ord0 = F.when(res.startswith(_HIT), F.instr(res, _MARK) - 2)
             return F.when(
-                res.startswith(_HIT), F.instr(res, _MARK) - 2
+                ord0.isNotNull(),
+                ord0 + F.when(was_complete, F.lit(0)).otherwise(F.lit(n)),
             ).cast("int")
         return F.when(
             res.startswith(_HIT), self._leaf_lookup(res, self._leaf_idx_map)
@@ -694,15 +731,20 @@ class PatternDB:
         """Winning compiled-pattern ordinal; ordinal+N encodes a
         partial (pattern-consumed, message-remainder) match; NULL if
         unmatched. Mirrors radix.c's complete-then-partial two-pass
-        (merged into one alternation, complete tier first).
+        (merged into one alternation per dispatch-tree leaf; literal
+        two-pass on the flat path).
 
         Standalone expression form (no projection staging) — fine for
         one-off classification; apply() stages the shared subtrees as
-        materialized columns so the regex runs once per row."""
+        materialized columns so each regex runs once per row."""
         if not self.patterns:
             return F.lit(None).cast("int")
         text = _strip_framing_bytes(text)
-        return self._idx_from_result(self._merged_result(text))
+        if self._leaves:
+            return self._idx_from_result(self._merged_result(text))
+        complete = self._flat_complete(text)
+        res = self._flat_result(text, complete)
+        return self._idx_from_result(res, complete.startswith(_HIT))
 
     def classify(self, text: Column) -> Column:
         """rule_id of the winning rule, NULL if unclassified."""
@@ -746,8 +788,8 @@ class PatternDB:
     def _groups_from_result(self, res: Column, idx: Column) -> Column:
         """Field values of the winning alternative, sliced out of the
         framed result by the index-keyed compile-time byte offset
-        (``_block_offs``, 2N entries — the full round-1 index is the
-        block ordinal now that both tiers share one frame) — the
+        (``_block_offs``, N entries — both flat tiers share the same
+        single-tier frame, so the block ordinal is idx mod N) — the
         winner's block runs from there to its \\x01 terminator (field
         j at split element j, 1-based; the partial-tier message
         remainder sits after the LAST block and never reaches the
@@ -773,7 +815,9 @@ class PatternDB:
                 self._leaf_lookup(res, self._leaf_off_map),
             )
         else:
-            off = self._lut(self._block_offs, idx, "int")
+            off = self._lut(
+                self._block_offs, idx % max(len(self.patterns), 1), "int"
+            )
         block = F.substring_index(
             res.substr(off, F.length(res)), _BLOCK_SEP, 1
         )
@@ -1006,17 +1050,39 @@ class PatternDB:
             txt_col = f"__pdb_txt{prefix}"
             df = df.withColumn(txt_col, gated)
             gated = F.col(txt_col)
-            # stage 1: merged two-tier alternation (ONE regex
-            # execution per row, complete alternatives first)
-            df = df.withColumn(r_col, self._merged_result(gated))
-            # stage 2: framed result -> global ordinal (byte scan +
-            # leaf-table lookup on the tree path, header scan flat)
-            df = df.withColumn(idx_col, self._idx_from_result(F.col(r_col)))
-            # stage 3: winner's block sliced out by compile-time offset
-            df = df.withColumn(
-                groups_col,
-                self._groups_from_result(F.col(r_col), F.col(idx_col)),
-            ).drop(r_col, txt_col)
+            if self._leaves:
+                # TREE: stage 1 — merged two-tier alternation (ONE
+                # regex execution per row, complete alternatives
+                # first); stage 2 — framed result -> global ordinal
+                # (leaf-table lookup); stage 3 — winner's block sliced
+                # out by compile-time offset
+                df = df.withColumn(r_col, self._merged_result(gated))
+                df = df.withColumn(
+                    idx_col, self._idx_from_result(F.col(r_col))
+                )
+                df = df.withColumn(
+                    groups_col,
+                    self._groups_from_result(F.col(r_col), F.col(idx_col)),
+                ).drop(r_col, txt_col)
+            else:
+                # FLAT: two-pass tiers (complete every row, partial
+                # lazily on the misses — the measured winner here, see
+                # _build_combined), then the same ordinal/groups decode
+                c_col = f"__pdb_c{prefix}"
+                df = df.withColumn(c_col, self._flat_complete(gated))
+                df = df.withColumn(
+                    r_col, self._flat_result(gated, F.col(c_col))
+                )
+                df = df.withColumn(
+                    idx_col,
+                    self._idx_from_result(
+                        F.col(r_col), F.col(c_col).startswith(_HIT)
+                    ),
+                )
+                df = df.withColumn(
+                    groups_col,
+                    self._groups_from_result(F.col(r_col), F.col(idx_col)),
+                ).drop(c_col, r_col, txt_col)
         idx = F.col(idx_col)
         mod = idx % max(n, 1)
         proj2 = {
